@@ -1,0 +1,33 @@
+"""tsidx — a PySpark-native inverted-index build + BM25 top-k query engine.
+
+Capabilities mirror the reference library ``retaildevcrews/ts_type_filter``
+(read-only at /root/reference) re-expressed Spark-first:
+
+- tokenization: whitespace word-breaking + Snowball-English stemming with the
+  exact semantics of the reference (``ts_type_filter/inverted_index.py:26-33,61``),
+  vectorized through Arrow/pandas UDFs (`tsidx.tokenize`);
+- index build: deterministic docID assignment under stable (conv_id, turn_idx)
+  ordering, posting-list construction via groupBy shuffle with block sharding
+  for skew + row-size control, delta+varbyte compression, per-partition lineage
+  manifests with checkpoint resume (`tsidx.docids`, `tsidx.build`,
+  `tsidx.compress`);
+- query: disjunctive match (reference ``Index.match`` semantics,
+  ``inverted_index.py:71-101``) and BM25 top-k with deterministic tie-breaking,
+  naive Catalyst plan + block-max WAND engine (`tsidx.query`);
+- a single-node oracle faithful to the reference used as rank-identity ground
+  truth (`tsidx.oracle`);
+- driver-side type-filter parity layer (parser / filter / normalizer /
+  validator semantics of the reference) (`tsidx.filter_parity`).
+"""
+
+from tsidx.porter2 import stem  # noqa: F401
+from tsidx.tokenize import break_on_whitespace, stem_tokens, term_freqs  # noqa: F401
+from tsidx.oracle import OracleIndex  # noqa: F401
+
+__all__ = [
+    "stem",
+    "break_on_whitespace",
+    "stem_tokens",
+    "term_freqs",
+    "OracleIndex",
+]
