@@ -1,0 +1,34 @@
+"""docID assignment: the scale path (range partitions + prefix-sum offsets)
+must realize exactly the same total order as the global window."""
+
+from pyspark.sql import functions as F
+
+from tsidx.docids import assign_doc_ids, check_unique_keys
+
+import pytest
+
+
+def test_prefix_sum_equals_window(spark, sonnets_transcripts):
+    a = assign_doc_ids(sonnets_transcripts, method="prefix_sum", num_partitions=7)
+    b = assign_doc_ids(sonnets_transcripts, method="window")
+    ar = {(r["conv_id"], r["turn_idx"]): r["doc_id"] for r in a.collect()}
+    br = {(r["conv_id"], r["turn_idx"]): r["doc_id"] for r in b.collect()}
+    assert ar == br
+    assert sorted(ar.values()) == list(range(154))
+
+
+def test_prefix_sum_dense_and_deterministic(spark, sonnets_transcripts):
+    a1 = assign_doc_ids(sonnets_transcripts, method="prefix_sum", num_partitions=5)
+    a2 = assign_doc_ids(sonnets_transcripts, method="prefix_sum", num_partitions=11)
+    r1 = sorted((r["conv_id"], r["turn_idx"], r["doc_id"]) for r in a1.collect())
+    r2 = sorted((r["conv_id"], r["turn_idx"], r["doc_id"]) for r in a2.collect())
+    # docIDs are a pure function of the input table, not of the partitioning
+    assert r1 == r2
+
+
+def test_duplicate_keys_rejected(spark):
+    df = spark.createDataFrame(
+        [("c1", 0, "x"), ("c1", 0, "y")], "conv_id string, turn_idx int, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        check_unique_keys(df, ("conv_id", "turn_idx"))

@@ -1,0 +1,110 @@
+"""Spark engine vs single-node oracle: rank identity on the sonnets corpus.
+
+The transcripts fixture maps the 154 reference sonnets onto the
+(conv_id, turn_idx) transcript schema (FIXTURES.md §1a); docID order under
+(conv_id, turn_idx) equals the reference's insertion order, so all goldens
+carry over verbatim.
+"""
+
+import pytest
+
+from tsidx.build import build_index
+from tsidx.oracle import OracleIndex
+from tsidx.query import QueryEngine
+
+GOLDEN_QUERIES = ["same", "thrall quench", "fire heat", "love", "zzzunknown", ""]
+
+
+@pytest.fixture(scope="module", params=["varbyte", "array"])
+def built(request, spark, sonnets_transcripts):
+    idx = build_index(
+        sonnets_transcripts,
+        block_size=64,  # small blocks: force multi-block terms at 154 docs
+        codec=request.param,
+        num_partitions=4,
+    )
+    return idx
+
+
+@pytest.fixture(scope="module")
+def oracle(sonnets):
+    o = OracleIndex()
+    o.add_corpus(sonnets)
+    return o
+
+
+def test_statistics_match_reference_goldens(built):
+    assert built.statistics() == {
+        "num_documents": 154,
+        "num_unique_terms": 4034,
+        "num_postings": 13044,
+    }
+
+
+def test_df_table_head(built, oracle):
+    got = [(r["term"], r["df"]) for r in built.document_frequencies().limit(5).collect()]
+    assert got == [("sonnet", 154), ("and", 148), ("to", 146), ("in", 139), ("the", 135)]
+
+
+def test_doc_text_roundtrip(built, sonnets):
+    """Per-turn text equality with the source table (input_hint invariant)."""
+    rows = built.docs.orderBy("doc_id").select("doc_id", "text").collect()
+    assert len(rows) == len(sonnets)
+    for r in rows:
+        assert r["text"] == sonnets[r["doc_id"]]
+
+
+@pytest.mark.parametrize("query", GOLDEN_QUERIES)
+def test_match_identical_to_oracle(built, oracle, query):
+    engine = QueryEngine(built)
+    got = [r["doc_id"] for r in engine.match(query).collect()]
+    assert got == oracle.match(query)
+
+
+def test_match_pinned(built, oracle):
+    engine = QueryEngine(built)
+    built.pinned.add(7)
+    oracle2 = OracleIndex()
+    # reuse oracle postings; just pin on a shallow copy
+    oracle2.postings, oracle2.doc_lengths = oracle.postings, oracle.doc_lengths
+    oracle2.pin(7)
+    try:
+        got = [r["doc_id"] for r in engine.match("same").collect()]
+        assert got == oracle2.match("same")
+        got_empty = [r["doc_id"] for r in engine.match("zzzunknown").collect()]
+        assert got_empty == [7]
+    finally:
+        built.pinned.discard(7)
+
+
+@pytest.mark.parametrize("query", ["same", "thrall quench", "fire heat", "love", "the fire of love"])
+def test_bm25_bit_identical_to_oracle(built, oracle, query):
+    engine = QueryEngine(built)
+    k = 10
+    got = [(r["doc_id"], r["score"]) for r in engine.bm25_topk(query, k).collect()]
+    want = oracle.bm25_topk(query, k)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    # scores are bit-identical by construction (same IEEE754 op order)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == ws, (gd, gs, ws)
+
+
+def test_match_all_intersection(built, oracle):
+    engine = QueryEngine(built)
+    got = [r["doc_id"] for r in engine.match_all("fire heat").collect()]
+    fire = set(oracle.match("fire"))
+    heat = set(oracle.match("heat"))
+    assert got == sorted(fire & heat)
+
+
+def test_write_read_roundtrip(tmp_path, spark, built, oracle):
+    from tsidx.index import InvertedIndex
+
+    path = str(tmp_path / "idx")
+    built.write(path, num_partitions=4)
+    loaded = InvertedIndex.read(spark, path)
+    assert loaded.meta["n_docs"] == 154
+    assert loaded.statistics() == built.statistics()
+    engine = QueryEngine(loaded)
+    got = [(r["doc_id"], r["score"]) for r in engine.bm25_topk("fire heat", 5).collect()]
+    assert got == oracle.bm25_topk("fire heat", 5)

@@ -1,0 +1,87 @@
+"""Deterministic dense docID assignment under stable (conv_id, turn_idx) order.
+
+The reference's docID space is document insertion order
+(``/root/reference/ts_type_filter/inverted_index.py:42,53,99-101``); the Spark
+analog is a total order on ``(conv_id, turn_idx)`` (FIXTURES.md §1). Two
+implementations:
+
+- ``window``: global ``row_number()`` — correct but single-partition; test
+  scale only.
+- ``prefix_sum`` (default): range-repartition on the order columns, sort
+  within partitions, count rows per partition, exclusive prefix sum on the
+  driver, then add ``offset + local position`` in an Arrow-batched
+  ``mapInPandas`` pass. This is the scale-correct zipWithIndex pattern without
+  RDDs: one extra count job, no global sort bottleneck. Because range
+  partitions are globally ordered and rows are sorted within each partition,
+  the resulting ids realize the same total order regardless of where the
+  sampled range boundaries fall.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["assign_doc_ids", "check_unique_keys"]
+
+
+def check_unique_keys(df: DataFrame, order_cols: tuple[str, ...]) -> None:
+    """Reject duplicate documents — the distributed analog of the reference's
+    duplicate-add check (``inverted_index.py:49-50``)."""
+    dup = df.groupBy(*order_cols).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        key = {c: dup[0][c] for c in order_cols}
+        raise ValueError(f"duplicate document key: {key}")
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    method: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Return *df* plus a dense ``doc_id`` column realizing the total order
+    given by *order_cols* (0-based, no gaps)."""
+    if method == "window":
+        w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
+        return df.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
+    if method != "prefix_sum":
+        raise ValueError(f"unknown docid method: {method}")
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n = max(1, min(n, 20000))
+    ranged = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {
+        row["pid"]: row["count"]
+        for row in ranged.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in range(n):
+        offsets[pid] = running
+        running += counts.get(pid, 0)
+    bc_offsets = spark.sparkContext.broadcast(offsets)
+
+    # build a fresh StructType — StructType.add() mutates in place and
+    # df.schema returns the DataFrame's cached schema object
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("doc_id", T.LongType(), False)]
+    )
+
+    def _assign(batches):
+        from pyspark import TaskContext
+
+        next_id = bc_offsets.value[TaskContext.get().partitionId()]
+        for pdf in batches:
+            k = len(pdf)
+            pdf = pdf.copy()
+            pdf["doc_id"] = range(next_id, next_id + k)
+            next_id += k
+            yield pdf
+
+    out = ranged.mapInPandas(_assign, schema=out_schema)
+    return out

@@ -1,0 +1,132 @@
+"""Index container + persistent layout.
+
+An index is four tables plus scalar metadata:
+
+- ``docs``      — the source transcript rows + assigned ``doc_id`` (per-turn
+                  text is carried through byte-identically; the per-row
+                  invariant of BASELINE.json `input_hint`);
+- ``postings``  — one row per (term, block) posting block. Blocks are
+                  docID-range shards (``block_id = doc_id // block_size``):
+                  they bound row size (no 2 GB array cells at 10^12 docs),
+                  split Zipf-hot terms across groups (skew salt, SURVEY §2.4
+                  N4), and carry block-max metadata for WAND pruning;
+- ``terms``     — (term, df) global document frequencies;
+- ``manifest``  — per-build-partition lineage + metrics rows (SURVEY §2.4 N5).
+
+Physical layout on disk (parquet in the sandbox; the same writer would target
+Iceberg tables on a real cluster — no Iceberg runtime jar is present here):
+
+    <path>/meta.json
+    <path>/docs/        range-partitioned by doc_id
+    <path>/postings/    range-partitioned + sorted by (term, block_id) so a
+                        query's `term IN (...)` predicate prunes row groups
+                        via parquet min/max stats
+    <path>/terms/
+    <path>/manifest/
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["InvertedIndex", "POSTINGS_ARRAY_SCHEMA", "POSTINGS_VARBYTE_SCHEMA"]
+
+POSTINGS_ARRAY_SCHEMA = (
+    "term string, block_id long, block_df long, min_doc long, max_doc long, "
+    "max_wtf double, plist array<struct<doc_id: long, tf: int, dl: int>>"
+)
+
+POSTINGS_VARBYTE_SCHEMA = (
+    "term string, block_id long, block_df long, min_doc long, max_doc long, "
+    "max_wtf double, doc_gaps binary, tfs binary, dls binary"
+)
+
+
+@dataclass
+class InvertedIndex:
+    docs: DataFrame
+    postings: DataFrame
+    terms: DataFrame
+    meta: dict
+    manifest: DataFrame | None = None
+    pinned: set[int] = field(default_factory=set)
+
+    # ------------------------------------------------------------------ io
+
+    def write(self, path: str, num_partitions: int | None = None) -> None:
+        spark = self.docs.sparkSession
+        n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        (
+            self.docs.repartitionByRange(n, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "docs"))
+        )
+        (
+            self.postings.repartitionByRange(n, "term", "block_id")
+            .sortWithinPartitions("term", "block_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "postings"))
+        )
+        (
+            self.terms.repartitionByRange(max(1, n // 4), "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "terms"))
+        )
+        if self.manifest is not None:
+            self.manifest.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(path, "manifest")
+            )
+        meta = dict(self.meta)
+        meta["pinned"] = sorted(self.pinned)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str) -> "InvertedIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        pinned = set(meta.pop("pinned", []))
+        manifest_path = os.path.join(path, "manifest")
+        manifest = (
+            spark.read.parquet(manifest_path) if os.path.isdir(manifest_path) else None
+        )
+        return cls(
+            docs=spark.read.parquet(os.path.join(path, "docs")),
+            postings=spark.read.parquet(os.path.join(path, "postings")),
+            terms=spark.read.parquet(os.path.join(path, "terms")),
+            meta=meta,
+            manifest=manifest,
+            pinned=pinned,
+        )
+
+    # ------------------------------------------------------------- operators
+
+    def pin(self, doc_id: int) -> None:
+        """Reference ``Index.pin`` (``inverted_index.py:67-68``): the doc is
+        unioned into every match result."""
+        self.pinned.add(doc_id)
+
+    def statistics(self) -> dict:
+        """Counts matching reference ``statistics()``
+        (``inverted_index.py:131-153``). Distributed aggregation — one pass
+        over the terms table."""
+        row = self.terms.agg(
+            F.count("*").alias("terms"), F.sum("df").alias("postings")
+        ).collect()[0]
+        return {
+            "num_documents": self.meta["n_docs"],
+            "num_unique_terms": row["terms"],
+            "num_postings": row["postings"] or 0,
+        }
+
+    def document_frequencies(self) -> DataFrame:
+        """(term, df) ordered by descending df — the reference frequency
+        table (``inverted_index.py:148-153``)."""
+        return self.terms.select("term", "df").orderBy(F.desc("df"), F.asc("term"))

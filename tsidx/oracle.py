@@ -91,7 +91,9 @@ class OracleIndex:
             idf = bm25_idf(n, len(plist))
             for doc_id, tf in plist:
                 dl = self.doc_lengths[doc_id]
-                contrib = idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+                # parenthesization matches the engine expression exactly
+                # (bit-identical IEEE754 evaluation order)
+                contrib = idf * ((tf * (K1 + 1.0)) / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl)))
                 per_doc.setdefault(doc_id, []).append((term, contrib))
         return per_doc
 

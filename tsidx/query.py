@@ -1,0 +1,160 @@
+"""Query engines: disjunctive/conjunctive match and BM25 top-k.
+
+Semantics bound to the reference:
+
+- ``match`` — disjunctive boolean retrieval with results in docID (insertion)
+  order, pinned docs unioned in, unknown terms silently ignored
+  (``/root/reference/ts_type_filter/inverted_index.py:71-101``).
+- ``bm25_topk`` — the canonical BM25 spec of SURVEY §7.3. Scores are
+  bit-identical to :class:`tsidx.oracle.OracleIndex`: idf is computed on the
+  driver with CPython ``math.log``; per-(doc, term) contributions use the
+  same double-precision expression shape as the oracle; per-doc sums are
+  accumulated in sorted-term order via ``aggregate(sort_array(collect_list))``
+  (never shuffle-arrival order); ties break by ascending doc_id.
+
+Physical behavior: the only data read is the posting blocks of the query's
+terms — ``term IN (...)`` is pushed to the parquet/Iceberg scan (blocks are
+written sorted by term, so row-group pruning applies). The naive plan's
+top-k executes as TakeOrdered (per-partition heap + driver merge), shuffle-
+free after the per-doc aggregation. The WAND engine (tsidx.wand) consumes the
+same block rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsidx.index import InvertedIndex
+from tsidx.oracle import bm25_idf
+from tsidx.tokenize import query_terms
+
+__all__ = ["QueryEngine"]
+
+_DECODED_SCHEMA = "term string, doc_id long, tf int, dl int"
+
+
+def _decode_blocks(batches):
+    """Arrow-batched varbyte decoder: binary streams -> posting rows."""
+    import pandas as pd
+
+    from tsidx.compress import decode_posting_block
+
+    for pdf in batches:
+        terms, docs, tfs, dls = [], [], [], []
+        for term, g, t, d in zip(pdf["term"], pdf["doc_gaps"], pdf["tfs"], pdf["dls"]):
+            doc_ids, tf_arr, dl_arr = decode_posting_block(bytes(g), bytes(t), bytes(d))
+            terms.extend([term] * len(doc_ids))
+            docs.extend(doc_ids.astype("int64"))
+            tfs.extend(tf_arr.astype("int32"))
+            dls.extend(dl_arr.astype("int32"))
+        yield pd.DataFrame(
+            {"term": terms, "doc_id": docs, "tf": tfs, "dl": dls}
+        ).astype({"doc_id": "int64", "tf": "int32", "dl": "int32"})
+
+
+class QueryEngine:
+    def __init__(self, index: InvertedIndex):
+        from tsidx.ship import ensure_shipped
+
+        ensure_shipped(index.docs.sparkSession)
+        self.index = index
+        self._stem_cache: dict = {}
+
+    # ------------------------------------------------------------- plumbing
+
+    def terms_of(self, query: str | list[str]) -> list[str]:
+        return query_terms(query, self._stem_cache)
+
+    def _blocks_for(self, terms: list[str]) -> DataFrame:
+        if not terms:
+            return self.index.postings.limit(0)
+        return self.index.postings.filter(F.col("term").isin(terms))
+
+    def posting_rows(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, tf, dl) rows for the given terms only."""
+        blocks = self._blocks_for(terms)
+        if self.index.meta["codec"] == "varbyte":
+            return blocks.mapInPandas(_decode_blocks, schema=_DECODED_SCHEMA)
+        return blocks.select(
+            "term",
+            F.explode("plist").alias("p"),
+        ).select("term", "p.doc_id", "p.tf", "p.dl")
+
+    def query_idfs(self, terms: list[str]) -> dict[str, float]:
+        """Driver-side idf for the query's terms (bit-identical to oracle)."""
+        if not terms:
+            return {}
+        n = self.index.meta["n_docs"]
+        rows = self.index.terms.filter(F.col("term").isin(terms)).collect()
+        return {r["term"]: bm25_idf(n, r["df"]) for r in rows}
+
+    # ------------------------------------------------------------- operators
+
+    def match(self, query: str | list[str]) -> DataFrame:
+        """Disjunctive match; one ``doc_id`` column in ascending (insertion)
+        order. Reference ``Index.match`` (``inverted_index.py:71-101``)."""
+        spark = self.index.docs.sparkSession
+        hits = self.posting_rows(self.terms_of(query)).select("doc_id").distinct()
+        if self.index.pinned:
+            pinned = spark.createDataFrame(
+                [(d,) for d in sorted(self.index.pinned)], "doc_id long"
+            )
+            hits = hits.unionByName(pinned).distinct()
+        return hits.orderBy("doc_id")
+
+    def match_all(self, query: str | list[str]) -> DataFrame:
+        """Conjunctive match (posting-list intersection): docs containing
+        every query term. North-rule extension; no reference counterpart."""
+        terms = self.terms_of(query)
+        spark = self.index.docs.sparkSession
+        if not terms:
+            return spark.range(0).select(F.col("id").alias("doc_id"))
+        rows = self.posting_rows(terms)
+        return (
+            rows.groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") == len(terms))
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+
+    def bm25_scores(self, query: str | list[str]) -> DataFrame:
+        """(doc_id, score) for all candidate docs (disjunctive semantics)."""
+        terms = self.terms_of(query)
+        idfs = self.query_idfs(terms)
+        spark = self.index.docs.sparkSession
+        if not idfs:
+            return spark.createDataFrame([], "doc_id long, score double")
+        k1 = float(self.index.meta["k1"])
+        b = float(self.index.meta["b"])
+        avgdl = float(self.index.meta["avgdl"])
+        rows = self.posting_rows(sorted(idfs))
+        idf_map = F.create_map(
+            *[F.lit(x) for t in sorted(idfs) for x in (t, idfs[t])]
+        )
+        tf = F.col("tf").cast("double")
+        dl = F.col("dl").cast("double")
+        contrib = idf_map[F.col("term")] * (
+            (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl) / F.lit(avgdl)))
+        )
+        # Canonical accumulation: sum contributions in sorted-term order so
+        # float results do not depend on shuffle arrival order (SURVEY §7.2).
+        return (
+            rows.withColumn("contrib", contrib)
+            .groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score")
+            )
+        )
+
+    def bm25_topk(self, query: str | list[str], k: int) -> DataFrame:
+        """Deterministic top-k by (-score, doc_id); executes as TakeOrdered."""
+        return self.bm25_scores(query).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).limit(k)
