@@ -1,0 +1,144 @@
+"""Per-round benchmark: index build throughput + query latencies.
+
+Runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32) against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1). The transcript
+corpus is the documents table expanded deterministically REPLICAS× into
+the transcripts shape (per BASELINE.json input_hint) so build throughput
+is measured in turns/sec at a meaningful row count.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns": N,
+   "build_turns_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+REPLICAS = int(os.environ.get("TSIDX_BENCH_REPLICAS", "16"))
+
+
+def expand_transcripts(spark, sf_dir: str, replicas: int):
+    """documents -> replicas× transcripts; deterministic, no external data."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    return docs.crossJoin(reps).select(
+        F.format_string(
+            "r%03d-c%07d", F.col("rep"), (F.col("doc_id") / 8).cast("long")
+        ).alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("tsidx-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tsidx.build import build_index
+    from tsidx.query import QueryEngine
+
+    timings: dict[str, float] = {}
+
+    transcripts = expand_transcripts(spark, sf_dir, REPLICAS)
+    transcripts = transcripts.persist()
+    n_turns = transcripts.count()
+
+    t0 = time.time()
+    idx = build_index(transcripts, block_size=1 << 16, check_unique=False)
+    idx.postings.count()  # materialize the whole build
+    timings["build_index"] = time.time() - t0
+    build_tps = n_turns / timings["build_index"]
+
+    eng = QueryEngine(idx)
+
+    t0 = time.time()
+    eng.match("the customer query merge window").count()
+    timings["match_or"] = time.time() - t0
+
+    t0 = time.time()
+    eng.match_all("table scan join").count()
+    timings["match_and"] = time.time() - t0
+
+    t0 = time.time()
+    eng.bm25_topk("customer query merge", 25).collect()
+    timings["bm25_topk"] = time.time() - t0
+
+    t0 = time.time()
+    eng.bm25_topk("vector stream dup small batch", 100).collect()
+    timings["bm25_topk_wide"] = time.time() - t0
+
+    t0 = time.time()
+    stats = idx.statistics()
+    timings["index_stats"] = time.time() - t0
+
+    # training-data ops on the raw documents / embeddings tables
+    from tsidx.ann import cosine_topk
+    from tsidx.dedup import minhash_signatures, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    ngram_jaccard_pairs(docs, n=3, tau=0.2).count()
+    timings["ngram_jaccard"] = time.time() - t0
+
+    t0 = time.time()
+    minhash_signatures(docs, num_hashes=32).count()
+    timings["minhash"] = time.time() - t0
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    t0 = time.time()
+    cosine_topk(emb, queries, k=10).count()
+    timings["ann_cosine_topk"] = time.time() - t0
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "index-build + query suite wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf,
+                "turns": n_turns,
+                "build_turns_per_sec": round(build_tps, 1),
+                "n_postings": int(stats["num_postings"]),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

