@@ -334,6 +334,119 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_MINHASH = 4
+SIMHASH_BITS = 32
+EMB_DUP_TAU = 0.4
+HL_QUERY = "customer query"
+
+
+def _q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First N_MINHASH MinHash values per doc (full hash-pipeline parity)."""
+    from tsidx.dedup import minhash_signatures
+
+    docs = load_documents(spark, sf_dir)
+    sig = minhash_signatures(docs, num_hashes=N_MINHASH, n=3)
+    cols = [F.col("sig")[i].cast("long").alias(f"mh{i}") for i in range(N_MINHASH)]
+    return sig.select(F.col("doc_id").cast("long"), *cols)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsidx.dedup import simhash
+
+    docs = load_documents(spark, sf_dir)
+    return simhash(docs, bits=SIMHASH_BITS).select(
+        F.col("doc_id").cast("long"), F.col("simhash").cast("long")
+    )
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling token hash: fp = fold (fp*31 + h(tok)) mod p."""
+    docs = load_documents(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), " ")
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % F.lit(
+        2147483647
+    )
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(31) + h(t)) % F.lit(2147483647),
+    )
+    return docs.select(F.col("doc_id").cast("long"), fp.alias("fp"))
+
+
+def _q_embedding_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsidx.ann import cosine_dup_pairs_exact
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = cosine_dup_pairs_exact(emb, tau=EMB_DUP_TAU)
+    return pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.round("sim", 4).alias("sim_r"),
+    )
+
+
+def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH-bucketed) cosine top-k — no SQL oracle by design
+    (recall < 1); the driver records the weaker rows-only check, and
+    tests/test_ann.py bounds recall vs the exact path."""
+    from tsidx.ann import lsh_bucketed_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    topk = lsh_bucketed_topk(emb, queries_df, k=ANN_K, n_planes=6, n_tables=6)
+    return topk.select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.round("sim", 4).alias("sim_r"),
+    )
+
+
+def _q_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs — approximate, rows-only check."""
+    from tsidx.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = load_documents(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=16, n=3)
+    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+    )
+
+
+def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ``Index.highlight`` semantics over matched docs
+    (``inverted_index.py:103-129``): words whose stem is a query stem are
+    wrapped in markers."""
+    from tsidx.tokenize import query_terms, stem_tokens
+
+    docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < 50)
+    stems = set(query_terms(HL_QUERY))
+
+    def _hl(batches):
+        import pandas as pd
+        import re
+
+        cache: dict = {}
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                parts = []
+                for part in re.split(r"(\s+)", text):
+                    if part and not part.isspace():
+                        s = stem_tokens(part, cache)
+                        if s and s[0] in stems:
+                            part = f"[bold green]{part}[/bold green]"
+                    parts.append(part)
+                out.append("".join(parts))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "highlighted": out})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _hl, schema="doc_id long, highlighted string"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_stats": _q_index_stats,
@@ -349,6 +462,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": _q_lang_stats,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "minhash_sigs": _q_minhash_sigs,
+        "simhash": _q_simhash,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_dup_exact": _q_embedding_dup_exact,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "lsh_dedup_pairs": _q_lsh_dedup_pairs,
+        "highlight": _q_highlight,
     }
 
 
@@ -357,8 +477,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+_H64 = "('0x' || substr(md5({v}),1,15))::BIGINT"
+_P31 = 2147483647
+
+
+def _minhash_sql() -> str:
+    from tsidx.dedup import minhash_params
+
+    mh_cols = ", ".join(
+        f"min((h * {a} + {b}) % {_P31})::BIGINT AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(N_MINHASH))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, len(toks) - 1)]) AS shingles
+  FROM t WHERE len(toks) >= 3
+),
+hx AS (
+  SELECT doc_id, ({_H64.format(v='s')} % {_P31}) AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+)
+SELECT doc_id, {mh_cols} FROM hx GROUP BY doc_id"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS s FROM documents
+),
+tf AS (
+  SELECT doc_id, s, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, s
+),
+hx AS (
+  SELECT doc_id, tf, {_H64.format(v='s')} AS h FROM tf
+),
+bits AS (
+  SELECT doc_id, b.i,
+         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN tf ELSE -tf END) AS bs
+  FROM hx CROSS JOIN range({SIMHASH_BITS}) b(i)
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       sum(CASE WHEN bs > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     terms_cte = _terms_cte()
+    hl_stems = ", ".join(f"'{s}'" for s in _sql_query_terms(HL_QUERY))
     return {
         "index_stats": f"""
 WITH {terms_cte}
@@ -448,6 +619,39 @@ ranked AS (
 )
 SELECT query_id, vec_id, round(sim, 4) AS sim_r
 FROM ranked WHERE rn <= {ANN_K}""",
+        "minhash_sigs": _minhash_sql(),
+        "simhash": _simhash_sql(),
+        "doc_fingerprint": f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           [({_H64.format(v='t')} % {_P31})
+            for t in string_split(trim(text), ' ')]),
+         (acc, x) -> (acc * 31 + x) % {_P31}
+       )::BIGINT AS fp
+FROM documents""",
+        "embedding_dup_exact": f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))), 4) AS sim_r
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) *
+       sqrt(list_dot_product(b.v, b.v))) >= {EMB_DUP_TAU}""",
+        "highlight": f"""
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           string_split(trim(text), ' '),
+           tok -> CASE WHEN ({_stem_case_sql()}) IN ({hl_stems})
+                       THEN '[bold green]' || tok || '[/bold green]'
+                       ELSE tok END),
+         ' ') AS highlighted
+FROM documents WHERE doc_id < 50""",
     }
 
 

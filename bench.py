@@ -31,7 +31,8 @@ def expand_transcripts(spark, sf_dir: str, replicas: int):
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     reps = spark.range(replicas).select(F.col("id").alias("rep"))
-    return docs.crossJoin(reps).select(
+    n_parts = max(int(spark.sparkContext.defaultParallelism) * 2, 8)
+    return docs.crossJoin(reps).repartition(n_parts).select(
         F.format_string(
             "r%03d-c%07d", F.col("rep"), (F.col("doc_id") / 8).cast("long")
         ).alias("conv_id"),
@@ -73,7 +74,7 @@ def main():
     n_turns = transcripts.count()
 
     t0 = time.time()
-    idx = build_index(transcripts, block_size=1 << 16, check_unique=False)
+    idx = build_index(transcripts, block_size=8192, check_unique=False)
     idx.postings.count()  # materialize the whole build
     timings["build_index"] = time.time() - t0
     build_tps = n_turns / timings["build_index"]

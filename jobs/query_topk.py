@@ -1,0 +1,77 @@
+"""spark-submit entry point: top-k BM25 query against a persistent index.
+
+    python jobs/query_topk.py --index /tmp/idx --query "fire heat" -k 10 \
+        --engine wand --parallelism 8
+
+Engines: ``naive`` (Catalyst join+agg+TakeOrdered plan) and ``wand``
+(block-max pruned, tsidx.wand) — rank- and score-identical by construction.
+``--mode match`` runs the reference's disjunctive boolean retrieval instead
+(results in docID order, ``ts_type_filter/inverted_index.py:71-101``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from build_index import make_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", required=True, nargs="+")
+    ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--engine", default="wand", choices=["naive", "wand"])
+    ap.add_argument("--mode", default="topk", choices=["topk", "match", "match_all"])
+    ap.add_argument("--parallelism", type=int, default=None)
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+
+    spark = make_spark(args.parallelism, "tsidx-query")
+    from tsidx.index import InvertedIndex
+    from tsidx.query import QueryEngine
+
+    idx = InvertedIndex.read(spark, args.index)
+    eng = QueryEngine(idx)
+    query = list(args.query)
+
+    latencies = []
+    rows = []
+    for _ in range(args.repeat):
+        t0 = time.time()
+        if args.mode == "match":
+            rows = eng.match(query).collect()
+        elif args.mode == "match_all":
+            rows = eng.match_all(query).collect()
+        elif args.engine == "wand":
+            rows = eng.wand_topk(query, args.k).collect()
+        else:
+            rows = eng.bm25_topk(query, args.k).collect()
+        latencies.append(time.time() - t0)
+
+    latencies.sort()
+    out = {
+        "job": "query_topk",
+        "mode": args.mode,
+        "engine": args.engine,
+        "query": query,
+        "k": args.k,
+        "rows": len(rows),
+        "p50_sec": round(latencies[len(latencies) // 2], 4),
+        "results": [
+            {k: (round(v, 6) if isinstance(v, float) else v) for k, v in r.asDict().items()}
+            for r in rows[:20]
+        ],
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Similarity-search operators: exact top-k, LSH recall bound, dup pairs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsidx.ann import (
+    cosine_dup_pairs_exact,
+    cosine_topk,
+    embedding_dup_pairs,
+    lsh_bucketed_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def test_cosine_topk_shape_and_order(emb, queries):
+    got = cosine_topk(emb, queries, k=5).collect()
+    assert len(got) == 40  # 8 queries x 5
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["vec_id"] != q for r in rows)  # self excluded
+
+
+def test_cosine_topk_matches_numpy(emb, queries):
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    got = cosine_topk(emb, queries, k=3).collect()
+    for r in got[:9]:
+        a, b = vecs[r["query_id"]], vecs[r["vec_id"]]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["sim"] - want) < 1e-9
+
+
+def test_lsh_recall_bound(emb, queries):
+    """LSH top-k must recover a solid fraction of the exact top-k."""
+    # random 64-dim corpus: nearest neighbors sit at cosine ~0.3-0.5, so
+    # collision probability per table is low — few planes, many tables
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = lsh_bucketed_topk(
+        emb, queries, k=10, n_planes=4, n_tables=16
+    ).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # every approx sim must be a true cosine (verified candidates)
+    exact_sims = {(r["query_id"], r["vec_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_sims:
+            assert abs(r["sim"] - exact_sims[key]) < 1e-9
+
+
+def test_lsh_deterministic(emb, queries):
+    a = sorted(map(tuple, lsh_bucketed_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, lsh_bucketed_topk(emb, queries, k=5).collect()))
+    assert a == b
+
+
+def test_dup_pairs_lsh_subset_of_exact(emb):
+    """LSH dup pairs are exact-cosine-verified, so every returned pair must
+    appear in the brute-force set at the same threshold."""
+    tau = 0.4
+    exact = {(r["id_a"], r["id_b"]) for r in
+             cosine_dup_pairs_exact(emb, tau).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           embedding_dup_pairs(emb, tau=tau, n_planes=4, n_tables=6).collect()}
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.3  # candidate recall sanity

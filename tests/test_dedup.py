@@ -1,0 +1,94 @@
+"""Dedup operators: exact groups, shingle Jaccard, MinHash/LSH, SimHash."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsidx.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_sets,
+    simhash,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (3, "completely different text with unrelated words here"),
+    (4, "spark builds inverted index postings at scale"),
+    (5, "spark builds inverted index postings at scale quickly"),  # near-dup of 4
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r["keep_id"]: r for r in exact_dedup_groups(docs).collect()}
+    assert groups[0]["n_dups"] == 2
+    assert groups[0]["member_ids"] == [0, 2]
+    assert sum(r["n_dups"] for r in groups.values()) == 6
+
+
+def test_shingle_sets(docs):
+    sh = {r["doc_id"]: r for r in shingle_sets(docs, n=3).collect()}
+    assert sh[0]["n_shingles"] == 7  # 9 tokens -> 7 distinct trigrams
+    assert "the quick brown" in sh[0]["shingles"]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, n=3, tau=0.3).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0  # exact dup
+    assert (0, 1) in pairs and 0.4 < pairs[(0, 1)] < 1.0
+    assert (4, 5) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_hot_key_cap(docs):
+    """Capping shingle df drops only pairs that relied on hot shingles."""
+    uncapped = set(
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, tau=0.3).collect()
+    )
+    capped = set(
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, tau=0.3, max_key_df=2).collect()
+    )
+    assert capped <= uncapped
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    sigs = {r["doc_id"]: list(r["sig"]) for r in
+            minhash_signatures(docs, num_hashes=16).collect()}
+    assert sigs[0] == sigs[2]           # exact dups -> identical signature
+    agree01 = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+    agree03 = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert agree01 > agree03            # near-dup agrees more than unrelated
+
+
+def test_lsh_candidates_find_dups(docs):
+    sigs = minhash_signatures(docs, num_hashes=16)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             lsh_candidate_pairs(sigs, bands=8, rows_per_band=2).collect()}
+    assert (0, 2) in pairs              # identical docs always collide
+
+
+def test_simhash_hamming(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in
+           simhash(docs, bits=32).collect()}
+    assert fps[0] == fps[2]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fps[0], fps[1]) < ham(fps[0], fps[3])
+
+
+def test_simhash_deterministic(docs):
+    a = sorted(map(tuple, simhash(docs).collect()))
+    b = sorted(map(tuple, simhash(docs).collect()))
+    assert a == b

@@ -1,0 +1,96 @@
+"""Checkpoint-resume: kill-and-resume at shard granularity == one-shot build."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tsidx.build import build_index
+from tsidx.oracle import OracleIndex
+from tsidx.query import QueryEngine
+from tsidx.resume import build_index_resumable, pending_shards, read_manifest
+
+
+def _postings_set(idx):
+    rows = idx.postings.select(
+        "term", "block_id", "block_df", "min_doc", "max_doc", "max_tf", "min_dl"
+    ).collect()
+    return sorted(tuple(r) for r in rows)
+
+
+def test_one_shot_resumable_build(spark, sonnets_transcripts, sonnets, tmp_path):
+    path = str(tmp_path / "idx")
+    idx = build_index_resumable(
+        sonnets_transcripts, path, block_size=16, shard_size=64
+    )
+    assert idx is not None
+    assert pending_shards(path) == []
+    manifest = read_manifest(path)
+    assert [r["shard_id"] for r in manifest] == [0, 1, 2]
+    assert sum(r["doc_count"] for r in manifest) == 154
+    assert sum(r["n_postings"] for r in manifest) == 13044
+    assert all(r["posting_bytes"] > 0 for r in manifest)
+    assert all(r["hot_term"] is not None for r in manifest)
+    # lineage is deterministic: no wall-clock fields
+    assert not any("time" in k or "ts" in k for r in manifest for k in r)
+
+    oracle = OracleIndex()
+    oracle.add_corpus(sonnets)
+    eng = QueryEngine(idx)
+    got = [(r["doc_id"], r["score"]) for r in eng.bm25_topk("fire heat", 10).collect()]
+    assert got == oracle.bm25_topk("fire heat", 10)
+
+
+def test_kill_and_resume_equals_one_shot(spark, sonnets_transcripts, tmp_path):
+    one = str(tmp_path / "one")
+    stepped = str(tmp_path / "stepped")
+    full = build_index_resumable(
+        sonnets_transcripts, one, block_size=16, shard_size=64
+    )
+    # simulated preemption: one shard per invocation
+    for step in range(10):
+        got = build_index_resumable(
+            sonnets_transcripts, stepped, block_size=16, shard_size=64, max_shards=1
+        )
+        if got is not None:
+            break
+    assert got is not None
+    assert step == 2  # one shard per call; the 3rd call completes + finalizes
+    assert _postings_set(got) == _postings_set(full)
+    assert got.meta == full.meta
+    t1 = sorted(tuple(r) for r in got.terms.collect())
+    t2 = sorted(tuple(r) for r in full.terms.collect())
+    assert t1 == t2
+
+
+def test_resume_skips_completed_shards(spark, sonnets_transcripts, tmp_path):
+    path = str(tmp_path / "idx")
+    assert (
+        build_index_resumable(
+            sonnets_transcripts, path, block_size=16, shard_size=64, max_shards=2
+        )
+        is None
+    )
+    assert pending_shards(path) == [2]
+    # poison completed shard markers' data dir mtimes by recording bytes
+    before = {r["shard_id"]: r["posting_bytes"] for r in read_manifest(path)}
+    idx = build_index_resumable(
+        sonnets_transcripts, path, block_size=16, shard_size=64
+    )
+    assert idx is not None
+    after = {r["shard_id"]: r["posting_bytes"] for r in read_manifest(path)}
+    for s in (0, 1):
+        assert before[s] == after[s]  # untouched on resume
+
+
+def test_resumable_matches_in_memory_build(spark, sonnets_transcripts, tmp_path):
+    path = str(tmp_path / "idx")
+    persisted = build_index_resumable(
+        sonnets_transcripts, path, block_size=16, shard_size=64
+    )
+    mem = build_index(sonnets_transcripts, block_size=16)
+    assert _postings_set(persisted) == _postings_set(mem)
+    assert persisted.meta["avgdl"] == mem.meta["avgdl"]
+    assert persisted.meta["n_docs"] == mem.meta["n_docs"]

@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "lsh_bucketed_topk", "embedding_dup_pairs"]
+__all__ = [
+    "cosine_topk",
+    "cosine_dup_pairs_exact",
+    "lsh_bucketed_topk",
+    "embedding_dup_pairs",
+]
 
 
 def _as_double(col):
@@ -66,6 +71,28 @@ def cosine_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def cosine_dup_pairs_exact(
+    corpus: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-duplicate pairs (id_a < id_b, cosine >= tau) by
+    brute-force self-join — the oracle twin of :func:`embedding_dup_pairs`.
+    Broadcast one side; O(N^2/2) — test/verification scale only (the LSH
+    variant is the 100 TB path)."""
+    c = _with_norm(corpus.select(id_col, emb_col), emb_col, "_n")
+    a = c.select(
+        F.col(id_col).alias("id_a"), F.col("_e").alias("ea"), F.col("_n").alias("na")
+    )
+    b = c.select(
+        F.col(id_col).alias("id_b"), F.col("_e").alias("eb"), F.col("_n").alias("nb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    sim = (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim")
+    return pairs.select("id_a", "id_b", sim).filter(F.col("sim") >= tau)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int):

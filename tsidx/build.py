@@ -17,8 +17,13 @@ Design notes for 10^12-turn scale:
   joins, not aggregations, so this manual salt is required (SURVEY §2.4 N4).
 - Blocks are docID-contiguous, so the global posting list of a term is the
   concatenation of its blocks in block_id order — merge is free.
-- Block metadata (min/max doc, block max of the BM25 tf/length factor) is
-  computed JVM-side in the same aggregation; WAND uses it to skip blocks.
+- Block metadata (min/max doc, max tf, min dl) is computed JVM-side in the
+  same aggregation; WAND derives a safe per-block score bound from it at
+  query time (the BM25 tf/length factor is monotone increasing in tf and
+  decreasing in dl, so wtf(max_tf, min_dl) bounds every doc in the block).
+  Storing (max_tf, min_dl) instead of a precomputed bound keeps the build
+  independent of global stats (avgdl), which is what makes per-shard
+  checkpointed builds single-pass and shards mergeable (tsidx.resume).
 - idf is *not* materialized: it needs only (N, df) and is computed on the
   driver at query time with CPython ``math.log`` so that engine scores are
   bit-identical to the single-node oracle (JVM ``Math.log`` may differ in the
@@ -36,26 +41,23 @@ from pyspark.sql import functions as F
 
 from tsidx.compress import encode_posting_block
 from tsidx.docids import assign_doc_ids, check_unique_keys
-from tsidx.index import POSTINGS_VARBYTE_SCHEMA, InvertedIndex
+from tsidx.index import (
+    POSTINGS_ARRAY_SCHEMA,
+    POSTINGS_VARBYTE_SCHEMA,
+    InvertedIndex,
+)
 from tsidx.oracle import B, K1
 from tsidx.ship import ensure_shipped
 from tsidx.tokenize import TOKENS_SCHEMA, tokenize_map_in_pandas
 
-__all__ = ["build_index", "DEFAULT_BLOCK_SIZE"]
+__all__ = [
+    "build_index",
+    "postings_from_tokens",
+    "make_fused_block_builder",
+    "DEFAULT_BLOCK_SIZE",
+]
 
 DEFAULT_BLOCK_SIZE = 1 << 20
-
-
-def _wtf_expr(avgdl: float):
-    """BM25 tf/length factor: tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
-
-    Parenthesized to match the oracle's Python evaluation order exactly
-    (IEEE754 ops are deterministic given identical order — SURVEY §7.2)."""
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    return (tf * F.lit(K1 + 1.0)) / (
-        tf + F.lit(K1) * (F.lit(1.0 - B) + (F.lit(B) * dl) / F.lit(avgdl))
-    )
 
 
 def _encode_blocks(batches):
@@ -80,12 +82,124 @@ def _encode_blocks(batches):
                 "block_df": pdf["block_df"],
                 "min_doc": pdf["min_doc"],
                 "max_doc": pdf["max_doc"],
-                "max_wtf": pdf["max_wtf"],
+                "max_tf": pdf["max_tf"],
+                "min_dl": pdf["min_dl"],
+                "sum_tf": pdf["sum_tf"],
                 "doc_gaps": gaps_col,
                 "tfs": tfs_col,
                 "dls": dls_col,
             }
         )
+
+
+def make_fused_block_builder(codec: str):
+    """applyInPandas factory: one group = one block's docs (doc_id, text)
+    -> that block's complete posting rows.
+
+    The fused strategy's workhorse: tokenize, count, sort, and encode in a
+    single Arrow batch pass, so the only wide shuffle in the whole build
+    moves the *raw documents* hashed by ``block_id`` — a uniformly
+    distributed key — instead of exploded (doc, term) posting rows grouped
+    by ``term``. Shuffle volume drops ~(avg dl)x and Zipf-hot-term skew
+    disappears from the exchange entirely (SURVEY §2.4 N4 solved by
+    construction rather than salting).
+    """
+    from tsidx.porter2 import stem
+
+    def build_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cache = build_block._stem_cache  # per-worker, survives across groups
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        doc_ids = pdf["doc_id"].to_numpy()
+        token_lists = pdf["text"].str.split()
+        block_id = int(pdf["block_id"].iloc[0])
+        # term -> ([doc_id], [tf], [dl]) with doc_ids ascending by iteration
+        acc: dict[str, list] = {}
+        for doc_id, tokens in zip(doc_ids, token_lists):
+            if tokens is None:
+                continue
+            counts: dict[str, int] = {}
+            for tok in tokens:
+                s = cache.get(tok)
+                if s is None:
+                    s = stem(tok)
+                    cache[tok] = s
+                counts[s] = counts.get(s, 0) + 1
+            dl = len(tokens)
+            for term, tf in counts.items():
+                entry = acc.get(term)
+                if entry is None:
+                    acc[term] = entry = ([], [], [])
+                entry[0].append(doc_id)
+                entry[1].append(tf)
+                entry[2].append(dl)
+        out = {
+            "term": [], "block_id": [], "block_df": [], "min_doc": [],
+            "max_doc": [], "max_tf": [], "min_dl": [], "sum_tf": [],
+        }
+        payload = {"plist": []} if codec == "array" else {
+            "doc_gaps": [], "tfs": [], "dls": []
+        }
+        for term in sorted(acc):  # deterministic row order
+            d, t, l = acc[term]
+            out["term"].append(term)
+            out["block_id"].append(block_id)
+            out["block_df"].append(len(d))
+            out["min_doc"].append(d[0])
+            out["max_doc"].append(d[-1])
+            out["max_tf"].append(max(t))
+            out["min_dl"].append(min(l))
+            out["sum_tf"].append(sum(t))
+            if codec == "array":
+                payload["plist"].append(
+                    [{"doc_id": x, "tf": y, "dl": z} for x, y, z in zip(d, t, l)]
+                )
+            else:
+                g, tb, lb = encode_posting_block(
+                    np.asarray(d, dtype=np.uint64),
+                    np.asarray(t, dtype=np.uint64),
+                    np.asarray(l, dtype=np.uint64),
+                )
+                payload["doc_gaps"].append(g)
+                payload["tfs"].append(tb)
+                payload["dls"].append(lb)
+        return pd.DataFrame({**out, **payload})
+
+    build_block._stem_cache = {}
+    return build_block
+
+
+def postings_from_tokens(
+    tokens: DataFrame, block_size: int, codec: str
+) -> DataFrame:
+    """(doc_id, term, tf, dl) rows -> posting-block rows.
+
+    The ``doc_id // block_size`` grouping is simultaneously the row-size cap,
+    the Zipf-hot-term salt (a df≈N term splits across N/block_size groups —
+    AQE skew handling covers joins, not aggregations, SURVEY §2.4 N4), and
+    the WAND block unit.
+    """
+    blocks = (
+        tokens.withColumn("block_id", F.expr(f"doc_id DIV {int(block_size)}"))
+        .groupBy("term", "block_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("plist"),
+            F.count("*").alias("block_df"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+            F.sum(F.col("tf").cast("long")).alias("sum_tf"),
+        )
+    )
+    if codec == "varbyte":
+        return blocks.mapInPandas(_encode_blocks, schema=POSTINGS_VARBYTE_SCHEMA)
+    return blocks.select(
+        "term", "block_id", "block_df", "min_doc", "max_doc", "max_tf", "min_dl",
+        "sum_tf", "plist",
+    )
 
 
 def build_index(
@@ -97,6 +211,7 @@ def build_index(
     docid_method: str = "prefix_sum",
     num_partitions: int | None = None,
     check_unique: bool = True,
+    strategy: str = "fused",
     k1: float = K1,
     b: float = B,
 ) -> InvertedIndex:
@@ -106,9 +221,20 @@ def build_index(
     (``inverted_index.py:48-65``): extract text stream, whitespace-break,
     stem; duplicates rejected via *check_unique*; docID order = total order
     on *order_cols* = the reference's insertion order.
+
+    ``strategy``:
+
+    - ``fused`` (default): shuffle raw docs by ``block_id`` and build each
+      block's postings in one Arrow pass (`make_fused_block_builder`) —
+      smallest shuffle, no hot-term skew, best parallelism.
+    - ``explode``: classic exploded-token path (tokenize -> shuffle
+      (doc, term) rows -> groupBy(term, block)); kept as the
+      cross-validation twin and for engines that need the token stream.
     """
     if codec not in ("varbyte", "array"):
         raise ValueError(f"unknown codec: {codec}")
+    if strategy not in ("fused", "explode"):
+        raise ValueError(f"unknown strategy: {strategy}")
     ensure_shipped(transcripts.sparkSession)
     if check_unique:
         check_unique_keys(transcripts, order_cols)
@@ -119,35 +245,31 @@ def build_index(
     docs.persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = docs.count()
 
-    tokens = docs.select("doc_id", "text").mapInPandas(
-        tokenize_map_in_pandas(), schema=TOKENS_SCHEMA
-    )
-    tokens.persist(StorageLevel.MEMORY_AND_DISK)
-    total_tokens = tokens.agg(F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0
-    avgdl = (total_tokens / n_docs) if n_docs else 0.0
-
-    blocks = (
-        tokens.withColumn("block_id", F.expr(f"doc_id DIV {int(block_size)}"))
-        .groupBy("term", "block_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("plist"),
-            F.count("*").alias("block_df"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
-            F.max(_wtf_expr(avgdl)).alias("max_wtf"),
+    if strategy == "fused":
+        schema = (
+            POSTINGS_VARBYTE_SCHEMA if codec == "varbyte" else POSTINGS_ARRAY_SCHEMA
         )
-    )
-    if codec == "varbyte":
-        postings = blocks.mapInPandas(_encode_blocks, schema=POSTINGS_VARBYTE_SCHEMA)
+        postings = (
+            docs.select(
+                "doc_id", "text", F.expr(f"doc_id DIV {int(block_size)}").alias("block_id")
+            )
+            .groupBy("block_id")
+            .applyInPandas(make_fused_block_builder(codec), schema=schema)
+        )
     else:
-        postings = blocks.select(
-            "term", "block_id", "block_df", "min_doc", "max_doc", "max_wtf", "plist"
+        tokens = docs.select("doc_id", "text").mapInPandas(
+            tokenize_map_in_pandas(), schema=TOKENS_SCHEMA
         )
+        postings = postings_from_tokens(tokens, block_size, codec)
     postings.persist(StorageLevel.MEMORY_AND_DISK)
 
-    terms = postings.groupBy("term").agg(F.sum("block_df").alias("df"))
+    agg = postings.agg(
+        F.sum("sum_tf").alias("total_tokens")
+    ).collect()[0]
+    total_tokens = int(agg["total_tokens"] or 0)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
-    tokens.unpersist()
+    terms = postings.groupBy("term").agg(F.sum("block_df").alias("df"))
     meta = {
         "n_docs": int(n_docs),
         "total_tokens": int(total_tokens),

@@ -28,13 +28,24 @@ __all__ = [
     "shingle_sets",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "minhash_params",
     "lsh_candidate_pairs",
     "simhash",
 ]
 
-# 64-bit FNV-ish mixing constants for the minhash permutation family; the
-# per-function (a, b) pairs are derived deterministically from the index i.
-_MERSENNE_P = (1 << 61) - 1
+# MinHash permutations live in the Mersenne-31 field: h is reduced to
+# < 2^31 before (a*h + b) so every intermediate fits int64 WITHOUT overflow
+# — Spark 4 runs ANSI mode (overflow throws) and the DuckDB oracles compute
+# the identical expression. (a_i, b_i) derive deterministically from i.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, both < 2^31."""
+    return [
+        (2 * i + 1, (1099511628211 * (i + 1)) % _MERSENNE_P)
+        for i in range(num_hashes)
+    ]
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
@@ -142,21 +153,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>[num_hashes]) MinHash signatures.
 
-    h_i(s) = (a_i * h64(s) + b_i) mod (2^61 - 1), min over the doc's
-    shingle set; (a_i, b_i) derived deterministically from i. One narrow
-    explode + one groupBy(doc_id) shuffle; signature stays 8*num_hashes
-    bytes per doc regardless of document size.
+    h_i(s) = (a_i * (h64(s) mod p) + b_i) mod p with p = 2^31 - 1, min over
+    the doc's shingle set. One narrow explode + one groupBy(doc_id)
+    shuffle; signature stays 8*num_hashes bytes per doc regardless of
+    document size.
     """
     ex = shingle_sets(docs, n, text_col, id_col).select(
         "doc_id", F.explode("shingles").alias("s")
     )
-    h = ex.withColumn("h", _shingle_hash64())
+    h = ex.withColumn("h", _shingle_hash64() % F.lit(_MERSENNE_P))
     mins = [
-        F.min(
-            (F.col("h") * F.lit(2 * i + 1) + F.lit(1099511628211 * (i + 1)))
-            % F.lit(_MERSENNE_P)
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     sig = h.groupBy("doc_id").agg(*mins)
     return sig.select(

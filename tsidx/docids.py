@@ -9,12 +9,16 @@ implementations:
   scale only.
 - ``prefix_sum`` (default): range-repartition on the order columns, sort
   within partitions, count rows per partition, exclusive prefix sum on the
-  driver, then add ``offset + local position`` in an Arrow-batched
-  ``mapInPandas`` pass. This is the scale-correct zipWithIndex pattern without
-  RDDs: one extra count job, no global sort bottleneck. Because range
-  partitions are globally ordered and rows are sorted within each partition,
-  the resulting ids realize the same total order regardless of where the
-  sampled range boundaries fall.
+  driver, then ``doc_id = partition_offset + position_within_partition``.
+  The in-partition position comes from ``monotonically_increasing_id()``,
+  which is defined as ``partition_id << 33 + row position``: subtracting the
+  shifted partition id recovers the position entirely JVM-side inside
+  whole-stage codegen — no Python/Arrow round trip of the corpus (an earlier
+  ``mapInPandas`` version of this step anti-scaled 8->32 cores). This is the
+  scale-correct zipWithIndex pattern without RDDs: one extra count job, no
+  global sort bottleneck. Because range partitions are globally ordered and
+  rows are sorted within each partition, the resulting ids realize the same
+  total order regardless of where the sampled range boundaries fall.
 """
 
 from __future__ import annotations
@@ -22,7 +26,6 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 __all__ = ["assign_doc_ids", "check_unique_keys"]
 
@@ -59,29 +62,15 @@ def assign_doc_ids(
         row["pid"]: row["count"]
         for row in ranged.groupBy(F.spark_partition_id().alias("pid")).count().collect()
     }
-    offsets: dict[int, int] = {}
+    offsets = []
     running = 0
     for pid in range(n):
-        offsets[pid] = running
+        offsets.append(running)
         running += counts.get(pid, 0)
-    bc_offsets = spark.sparkContext.broadcast(offsets)
 
-    # build a fresh StructType — StructType.add() mutates in place and
-    # df.schema returns the DataFrame's cached schema object
-    out_schema = T.StructType(
-        df.schema.fields + [T.StructField("doc_id", T.LongType(), False)]
+    pid = F.spark_partition_id().cast("long")
+    pos = F.monotonically_increasing_id() - F.shiftleft(pid, 33)
+    offset = F.element_at(
+        F.array(*[F.lit(o) for o in offsets]), (pid + 1).cast("int")
     )
-
-    def _assign(batches):
-        from pyspark import TaskContext
-
-        next_id = bc_offsets.value[TaskContext.get().partitionId()]
-        for pdf in batches:
-            k = len(pdf)
-            pdf = pdf.copy()
-            pdf["doc_id"] = range(next_id, next_id + k)
-            next_id += k
-            yield pdf
-
-    out = ranged.mapInPandas(_assign, schema=out_schema)
-    return out
+    return ranged.withColumn("doc_id", (offset + pos).cast("long"))

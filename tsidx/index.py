@@ -38,12 +38,13 @@ __all__ = ["InvertedIndex", "POSTINGS_ARRAY_SCHEMA", "POSTINGS_VARBYTE_SCHEMA"]
 
 POSTINGS_ARRAY_SCHEMA = (
     "term string, block_id long, block_df long, min_doc long, max_doc long, "
-    "max_wtf double, plist array<struct<doc_id: long, tf: int, dl: int>>"
+    "max_tf int, min_dl int, sum_tf long, "
+    "plist array<struct<doc_id: long, tf: int, dl: int>>"
 )
 
 POSTINGS_VARBYTE_SCHEMA = (
     "term string, block_id long, block_df long, min_doc long, max_doc long, "
-    "max_wtf double, doc_gaps binary, tfs binary, dls binary"
+    "max_tf int, min_dl int, sum_tf long, doc_gaps binary, tfs binary, dls binary"
 )
 
 
@@ -90,16 +91,29 @@ class InvertedIndex:
 
     @classmethod
     def read(cls, spark: SparkSession, path: str) -> "InvertedIndex":
+        """Load either layout: one-shot (``write``) or checkpointed
+        (``tsidx.resume`` — shard-partitioned postings, JSON manifest)."""
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         pinned = set(meta.pop("pinned", []))
-        manifest_path = os.path.join(path, "manifest")
-        manifest = (
-            spark.read.parquet(manifest_path) if os.path.isdir(manifest_path) else None
-        )
+        resumable = os.path.exists(os.path.join(path, "config.json"))
+        postings = spark.read.parquet(os.path.join(path, "postings"))
+        if resumable:
+            postings = postings.drop("shard")
+            from tsidx.resume import read_manifest
+
+            rows = read_manifest(path)
+            manifest = spark.createDataFrame(rows) if rows else None
+        else:
+            manifest_path = os.path.join(path, "manifest")
+            manifest = (
+                spark.read.parquet(manifest_path)
+                if os.path.isdir(manifest_path)
+                else None
+            )
         return cls(
             docs=spark.read.parquet(os.path.join(path, "docs")),
-            postings=spark.read.parquet(os.path.join(path, "postings")),
+            postings=postings,
             terms=spark.read.parquet(os.path.join(path, "terms")),
             meta=meta,
             manifest=manifest,

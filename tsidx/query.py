@@ -164,3 +164,33 @@ class QueryEngine:
         return self.bm25_scores(query).orderBy(
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
+
+    def wand_topk(self, query: str | list[str], k: int) -> DataFrame:
+        """Block-max WAND top-k (tsidx.wand) — rank- and score-identical to
+        :meth:`bm25_topk`, prunes non-competitive posting blocks."""
+        from tsidx.wand import wand_topk
+
+        return wand_topk(self.index, query, k)
+
+    def highlight(self, query: str | list[str], text: str,
+                  start: str = "[bold green]", end: str = "[/bold green]") -> str:
+        """Wrap words whose stem is a query stem in marker tags — reference
+        ``Index.highlight`` (``inverted_index.py:103-129``): the text is
+        re-split on whitespace runs (separators preserved) and each word
+        part is marked if its stem matches."""
+        import re
+
+        stems = set(self.terms_of(query))
+        out = []
+        for part in re.split(r"(\s+)", text):
+            if part and not part.isspace():
+                s = self._stem_cache.get(part)
+                if s is None:
+                    from tsidx.porter2 import stem
+
+                    s = stem(part)
+                    self._stem_cache[part] = s
+                if s in stems:
+                    part = f"{start}{part}{end}"
+            out.append(part)
+        return "".join(out)
