@@ -98,6 +98,14 @@ def main():
     timings["bm25_topk_wide"] = time.time() - t0
 
     t0 = time.time()
+    eng.wand_topk("customer query merge", 25).collect()
+    timings["wand_topk"] = time.time() - t0
+
+    t0 = time.time()
+    eng.wand_topk("vector stream dup small batch", 100).collect()
+    timings["wand_topk_wide"] = time.time() - t0
+
+    t0 = time.time()
     stats = idx.statistics()
     timings["index_stats"] = time.time() - t0
 

@@ -44,7 +44,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--replicas", type=int, default=256)
+    # big enough that the parallel build work dominates the ~10s serial
+    # floor (session jobs, sampling, cache materialization) at both levels
+    ap.add_argument("--replicas", type=int, default=2048)
     # N=4 vs 4N=16: stays within this VM's un-throttled core budget. The
     # box reports 32 cores but per-core throughput drops to ~0.59x when all
     # 32 are loaded (hypervisor/turbo throttling, measured with plain

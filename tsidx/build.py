@@ -239,11 +239,13 @@ def build_index(
     if check_unique:
         check_unique_keys(transcripts, order_cols)
 
-    docs = assign_doc_ids(
-        transcripts, order_cols, method=docid_method, num_partitions=num_partitions
+    # the assign step persists its range partitioning internally (see
+    # tsidx/docids.py — load-bearing) and hands back the row count from its
+    # prefix-sum collect, so no extra docs-materialization job is needed
+    docs, n_docs = assign_doc_ids(
+        transcripts, order_cols, method=docid_method,
+        num_partitions=num_partitions, return_count=True,
     )
-    docs.persist(StorageLevel.MEMORY_AND_DISK)
-    n_docs = docs.count()
 
     if strategy == "fused":
         schema = (

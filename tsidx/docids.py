@@ -44,12 +44,25 @@ def assign_doc_ids(
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     method: str = "prefix_sum",
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_count: bool = False,
+):
     """Return *df* plus a dense ``doc_id`` column realizing the total order
-    given by *order_cols* (0-based, no gaps)."""
+    given by *order_cols* (0-based, no gaps).
+
+    With ``return_count=True`` returns ``(df, n_rows)`` — the prefix-sum
+    path already collects per-partition counts, so the total is free (saves
+    callers a separate count job over the corpus).
+
+    NOTE (prefix_sum): the returned frame reads from a *persisted* range
+    partitioning. That cache is load-bearing for correctness, not just
+    speed: range boundaries come from sampling, and the collected
+    per-partition counts are only valid for the sampled boundaries — a
+    recompute could re-sample and mis-assign ids against stale offsets.
+    """
     if method == "window":
         w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
-        return df.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
+        out = df.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
+        return (out, df.count()) if return_count else out
     if method != "prefix_sum":
         raise ValueError(f"unknown docid method: {method}")
 
@@ -73,4 +86,5 @@ def assign_doc_ids(
     offset = F.element_at(
         F.array(*[F.lit(o) for o in offsets]), (pid + 1).cast("int")
     )
-    return ranged.withColumn("doc_id", (offset + pos).cast("long"))
+    out = ranged.withColumn("doc_id", (offset + pos).cast("long"))
+    return (out, running) if return_count else out
