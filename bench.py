@@ -52,6 +52,14 @@ def main():
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir:
+        # this VM's disk (~400 MB/s) serializes shuffle-heavy stages; RAM is
+        # 128 GiB, so shuffle on tmpfs (a real cluster configures its own)
+        local_dir = (
+            "/dev/shm/tsidx-spark-local" if os.path.isdir("/dev/shm") else "/tmp"
+        )
+        os.makedirs(local_dir, exist_ok=True)
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("tsidx-bench")
@@ -60,6 +68,7 @@ def main():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
+        .config("spark.local.dir", local_dir)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

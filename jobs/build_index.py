@@ -26,6 +26,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _local_dirs() -> str:
+    override = os.environ.get("SPARK_LOCAL_DIRS") or os.environ.get(
+        "TSIDX_LOCAL_DIR"
+    )
+    if override:
+        return override
+    if os.path.isdir("/dev/shm"):
+        path = "/dev/shm/tsidx-spark-local"
+        os.makedirs(path, exist_ok=True)
+        return path
+    return "/tmp"
+
+
 def make_spark(parallelism: int | None, app: str):
     from pyspark.sql import SparkSession
 
@@ -43,6 +56,10 @@ def make_spark(parallelism: int | None, app: str):
         # local mode: the driver JVM hosts all executor threads — size the
         # heap for the core count, not the 1g default
         .config("spark.driver.memory", os.environ.get("TSIDX_DRIVER_MEM", "48g"))
+        # shuffle spill on this VM's 400 MB/s disk serializes the build
+        # (measured: 2x wall time at 16 cores); RAM is 128 GiB, so put
+        # shuffle files on tmpfs. A real cluster sets local dirs itself.
+        .config("spark.local.dir", _local_dirs())
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

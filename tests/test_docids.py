@@ -32,3 +32,31 @@ def test_duplicate_keys_rejected(spark):
     )
     with pytest.raises(ValueError, match="duplicate"):
         check_unique_keys(df, ("conv_id", "turn_idx"))
+
+
+def test_conv_offset_equals_window(spark, sonnets_transcripts):
+    a = assign_doc_ids(sonnets_transcripts, method="conv_offset", num_partitions=7)
+    b = assign_doc_ids(sonnets_transcripts, method="window")
+    ar = {(r["conv_id"], r["turn_idx"]): r["doc_id"] for r in a.collect()}
+    br = {(r["conv_id"], r["turn_idx"]): r["doc_id"] for r in b.collect()}
+    assert ar == br
+
+
+def test_conv_offset_return_count(spark, sonnets_transcripts):
+    df, n = assign_doc_ids(
+        sonnets_transcripts, method="conv_offset", return_count=True
+    )
+    assert n == 154
+    assert sorted(r["doc_id"] for r in df.collect()) == list(range(154))
+
+
+def test_conv_offset_falls_back_when_not_dense(spark):
+    # turn_idx gaps (0, 2) -> density check fails -> prefix_sum fallback,
+    # which realizes lexicographic (conv_id, turn_idx) order regardless
+    rows = [("a", 0, "x"), ("a", 2, "y"), ("b", 0, "z")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in assign_doc_ids(df, method="conv_offset").collect()
+    }
+    assert got == {("a", 0): 0, ("a", 2): 1, ("b", 0): 2}

@@ -30,4 +30,35 @@ __all__ = [
     "stem_tokens",
     "term_freqs",
     "OracleIndex",
+    "build_index",
+    "build_index_resumable",
+    "InvertedIndex",
+    "QueryEngine",
+    "wand_topk",
 ]
+
+
+def __getattr__(name):
+    """Lazy re-exports: the Spark-facing API imports pyspark, which pure
+    driver-side users of the oracle/tokenizer/tsfilter don't need."""
+    if name == "build_index":
+        from tsidx.build import build_index
+
+        return build_index
+    if name == "build_index_resumable":
+        from tsidx.resume import build_index_resumable
+
+        return build_index_resumable
+    if name == "InvertedIndex":
+        from tsidx.index import InvertedIndex
+
+        return InvertedIndex
+    if name == "QueryEngine":
+        from tsidx.query import QueryEngine
+
+        return QueryEngine
+    if name == "wand_topk":
+        from tsidx.wand import wand_topk
+
+        return wand_topk
+    raise AttributeError(f"module 'tsidx' has no attribute {name!r}")

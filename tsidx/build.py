@@ -208,7 +208,7 @@ def build_index(
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     block_size: int = DEFAULT_BLOCK_SIZE,
     codec: str = "varbyte",
-    docid_method: str = "prefix_sum",
+    docid_method: str = "conv_offset",
     num_partitions: int | None = None,
     check_unique: bool = True,
     strategy: str = "fused",
@@ -231,13 +231,27 @@ def build_index(
       (doc, term) rows -> groupBy(term, block)); kept as the
       cross-validation twin and for engines that need the token stream.
     """
+    import os
+    import sys
+    import time
+
+    trace = os.environ.get("TSIDX_PHASE_TIMING") == "1"
+
+    def _mark(label, t0):
+        if trace:
+            print(f"[tsidx-phase] {label}: {time.time() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        return time.time()
+
     if codec not in ("varbyte", "array"):
         raise ValueError(f"unknown codec: {codec}")
     if strategy not in ("fused", "explode"):
         raise ValueError(f"unknown strategy: {strategy}")
     ensure_shipped(transcripts.sparkSession)
+    t = time.time()
     if check_unique:
         check_unique_keys(transcripts, order_cols)
+    t = _mark("unique_check", t)
 
     # the assign step persists its range partitioning internally (see
     # tsidx/docids.py — load-bearing) and hands back the row count from its
@@ -246,6 +260,7 @@ def build_index(
         transcripts, order_cols, method=docid_method,
         num_partitions=num_partitions, return_count=True,
     )
+    t = _mark("assign_doc_ids", t)
 
     if strategy == "fused":
         schema = (
@@ -268,6 +283,7 @@ def build_index(
     agg = postings.agg(
         F.sum("sum_tf").alias("total_tokens")
     ).collect()[0]
+    t = _mark("postings_build", t)
     total_tokens = int(agg["total_tokens"] or 0)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 

@@ -7,7 +7,16 @@ implementations:
 
 - ``window``: global ``row_number()`` — correct but single-partition; test
   scale only.
-- ``prefix_sum`` (default): range-repartition on the order columns, sort
+- ``conv_offset`` (default): exploits the input invariant that ``turn_idx``
+  is dense 0..n-1 within each conversation (FIXTURES.md §1):
+  ``doc_id = conv_offset(conv_id) + turn_idx`` where the offsets come from a
+  per-conversation count (a map-side-combined shuffle of (conv_id, 1) pairs
+  — ~avg-turns× smaller than the corpus), a distributed prefix sum over the
+  tiny offsets table, and a join back (broadcast when the conversation
+  count allows). The corpus itself is NEVER exchanged: no sampling, no
+  full-row shuffle, no correctness-critical cache. Falls back to
+  ``prefix_sum`` automatically when density doesn't hold.
+- ``prefix_sum``: range-repartition on the order columns, sort
   within partitions, count rows per partition, exclusive prefix sum on the
   driver, then ``doc_id = partition_offset + position_within_partition``.
   The in-partition position comes from ``monotonically_increasing_id()``,
@@ -39,10 +48,52 @@ def check_unique_keys(df: DataFrame, order_cols: tuple[str, ...]) -> None:
         raise ValueError(f"duplicate document key: {key}")
 
 
+def _prefix_sum_offsets(sizes: DataFrame, key: str, n: int) -> DataFrame:
+    """(key, size) -> (key, offset, size): exclusive prefix sum in *key*
+    order, computed distributed: range-partition the (small) sizes table,
+    cumsum within each sorted partition, add driver-collected partition
+    offsets. Deterministic regardless of sampled range boundaries."""
+    ranged = sizes.repartitionByRange(n, key).sortWithinPartitions(key)
+    ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    part_totals = {
+        r["pid"]: r["total"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum("size").alias("total"))
+        .collect()
+    }
+    part_offsets = []
+    running = 0
+    for pid in range(n):
+        part_offsets.append(running)
+        running += part_totals.get(pid, 0)
+    bc = ranged.sparkSession.sparkContext.broadcast(part_offsets)
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in ranged.schema.fields)
+
+    # running within-partition cumsum over the sorted sizes (a window with
+    # partitionBy(spark_partition_id()) would trigger a reshuffle and
+    # scramble partition ids — this pass stays pinned to the range layout)
+    def _cumsum(batches):
+        import numpy as np
+        from pyspark import TaskContext
+
+        run = bc.value[TaskContext.get().partitionId()]
+        for pdf in batches:
+            sizes = pdf["size"].to_numpy()
+            pdf = pdf.copy()
+            pdf["offset"] = run + np.concatenate(
+                ([0], np.cumsum(sizes[:-1]))
+            ) if len(sizes) else np.empty(0, dtype="int64")
+            run += int(sizes.sum())
+            yield pdf
+
+    return ranged.mapInPandas(_cumsum, schema=f"{fields}, offset long")
+
+
 def assign_doc_ids(
     df: DataFrame,
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
-    method: str = "prefix_sum",
+    method: str = "conv_offset",
     num_partitions: int | None = None,
     return_count: bool = False,
 ):
@@ -63,6 +114,53 @@ def assign_doc_ids(
         w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
         out = df.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
         return (out, df.count()) if return_count else out
+
+    spark = df.sparkSession
+    if method == "conv_offset":
+        if len(order_cols) != 2:
+            method = "prefix_sum"
+        else:
+            group_col, idx_col = order_cols
+            n = num_partitions or int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            n = max(1, min(n, 20000))
+            sizes = df.groupBy(group_col).agg(
+                F.count("*").alias("size"),
+                F.min(idx_col).alias("_lo"),
+                F.max(idx_col).alias("_hi"),
+            )
+            sizes.persist(StorageLevel.MEMORY_AND_DISK)
+            bad = (
+                sizes.filter(
+                    (F.col("_lo") != 0) | (F.col("_hi") != F.col("size") - 1)
+                )
+                .limit(1)
+                .count()
+            )
+            if bad:
+                sizes.unpersist()
+                method = "prefix_sum"  # turn_idx not dense — general path
+            else:
+                offsets = _prefix_sum_offsets(
+                    sizes.select(group_col, "size"), group_col, n
+                )
+                total = offsets.agg(
+                    F.sum("size").alias("t")
+                ).collect()[0]["t"] or 0
+                off = offsets.select(group_col, "offset")
+                # conversations are ~avg-turns× fewer than turns; broadcast
+                # when the offsets table is driver-safe, else co-partitioned
+                # shuffle join (Catalyst/AQE picks SMJ)
+                n_convs = offsets.count()
+                if n_convs <= 5_000_000:
+                    off = F.broadcast(off)
+                out = df.join(off, group_col).withColumn(
+                    "doc_id",
+                    (F.col("offset") + F.col(idx_col).cast("long")).cast("long"),
+                ).drop("offset")
+                return (out, int(total)) if return_count else out
+
     if method != "prefix_sum":
         raise ValueError(f"unknown docid method: {method}")
 
