@@ -118,6 +118,18 @@ def main():
     stats = idx.statistics()
     timings["index_stats"] = time.time() - t0
 
+    # single-node reference-class baseline: the oracle (a faithful
+    # reimplementation of the reference's in-memory Index + BM25) over the
+    # same corpus, same process — the "matches-or-beats single-node" check
+    from tsidx.oracle import OracleIndex
+
+    texts = [r["text"] for r in transcripts.select("text").collect()]
+    t0 = time.time()
+    oracle = OracleIndex()
+    oracle.add_corpus(texts)
+    timings["oracle_build_single_node"] = time.time() - t0
+    oracle_tps = n_turns / timings["oracle_build_single_node"]
+
     # training-data ops on the raw documents / embeddings tables
     from tsidx.ann import cosine_topk
     from tsidx.dedup import minhash_signatures, ngram_jaccard_pairs
@@ -150,6 +162,8 @@ def main():
                 "sf": sf,
                 "turns": n_turns,
                 "build_turns_per_sec": round(build_tps, 1),
+                "oracle_single_node_turns_per_sec": round(oracle_tps, 1),
+                "spark_vs_single_node_speedup": round(build_tps / oracle_tps, 2),
                 "n_postings": int(stats["num_postings"]),
                 "cpus": cpus,
             }

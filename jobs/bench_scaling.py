@@ -21,7 +21,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_build(input_path: str, replicas: int, parallelism: int, out: str) -> dict:
+def run_build(input_path: str, replicas: int, parallelism: int, out: str,
+              turns_per_conv: int = 64, block_size: int = 16384) -> dict:
     cmd = [
         sys.executable,
         os.path.join(REPO, "jobs", "build_index.py"),
@@ -29,7 +30,8 @@ def run_build(input_path: str, replicas: int, parallelism: int, out: str) -> dic
         "--output", out,
         "--parallelism", str(parallelism),
         "--replicas", str(replicas),
-        "--block-size", "8192",
+        "--turns-per-conv", str(turns_per_conv),
+        "--block-size", str(block_size),
         "--skip-unique-check",
         "--no-write",
     ]
@@ -44,9 +46,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    # big enough that the parallel build work dominates the ~10s serial
-    # floor (session jobs, sampling, cache materialization) at both levels
-    ap.add_argument("--replicas", type=int, default=2048)
+    # big enough that the parallel build work dominates the ~35s serial
+    # floor (driver planning, broadcast build, small aggregations, cache
+    # metadata) at both levels — Amdahl: W >= 22*S for 0.8 at 4x cores
+    ap.add_argument("--replicas", type=int, default=8192)
     # N=4 vs 4N=16: stays within this VM's un-throttled core budget. The
     # box reports 32 cores but per-core throughput drops to ~0.59x when all
     # 32 are loaded (hypervisor/turbo throttling, measured with plain
@@ -133,13 +136,14 @@ reporting each level's best run. Reproduce the probe:
         f.write(
             f"""
 - Job: `python jobs/build_index.py --input {args.input} --replicas {args.replicas}
-  --block-size 8192 --skip-unique-check --no-write --parallelism N`
+  --turns-per-conv 64 --block-size 16384 --skip-unique-check --no-write
+  --parallelism N`
 - Input: documents table of `{args.input}` expanded deterministically into
   {results[args.high]['turns']:,} transcript turns (per BASELINE.json input_hint shape).
-- Pipeline measured: docID assignment (range-partition prefix-sum, pure
-  JVM) -> shuffle raw docs by block_id -> fused Arrow pass per block
-  (tokenize + stem + tf + varbyte encode) -> full materialization. No
-  index write (pure build path).
+- Pipeline measured: docID assignment (conversation-offset join, corpus
+  never exchanged) -> shuffle raw docs by block_id -> fused Arrow pass per
+  block (tokenize + stem + tf + varbyte encode) -> full materialization.
+  No index write (pure build path).
 
 | parallelism | build sec | turns/sec |
 |---|---|---|

@@ -66,7 +66,8 @@ def make_spark(parallelism: int | None, app: str):
     return spark
 
 
-def load_transcripts(spark, input_path: str, replicas: int):
+def load_transcripts(spark, input_path: str, replicas: int,
+                     turns_per_conv: int = 8):
     from pyspark.sql import functions as F
 
     sc = spark.sparkContext
@@ -79,9 +80,10 @@ def load_transcripts(spark, input_path: str, replicas: int):
         reps = spark.range(replicas).select(F.col("id").alias("rep"))
         return docs.crossJoin(reps).repartition(n_parts).select(
             F.format_string(
-                "r%03d-c%07d", F.col("rep"), (F.col("doc_id") / 8).cast("long")
+                "r%03d-c%07d", F.col("rep"),
+                (F.col("doc_id") / turns_per_conv).cast("long"),
             ).alias("conv_id"),
-            (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+            (F.col("doc_id") % turns_per_conv).cast("int").alias("turn_idx"),
             F.lit("user").alias("role"),
             F.col("text"),
             F.lit("").alias("tool"),
@@ -97,6 +99,7 @@ def main() -> None:
     ap.add_argument("--parallelism", type=int, default=None,
                     help="local[N] cores; omit under spark-submit")
     ap.add_argument("--replicas", type=int, default=1)
+    ap.add_argument("--turns-per-conv", type=int, default=8)
     ap.add_argument("--block-size", type=int, default=1 << 16)
     ap.add_argument("--shard-size", type=int, default=None)
     ap.add_argument("--codec", default="varbyte", choices=["varbyte", "array"])
@@ -109,7 +112,9 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = make_spark(args.parallelism, "tsidx-build")
-    transcripts = load_transcripts(spark, args.input, args.replicas).persist()
+    transcripts = load_transcripts(
+        spark, args.input, args.replicas, args.turns_per_conv
+    ).persist()
     n_turns = transcripts.count()
 
     t0 = time.time()
