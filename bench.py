@@ -22,7 +22,11 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-REPLICAS = int(os.environ.get("TSIDX_BENCH_REPLICAS", "16"))
+# 128 x sf0.1-documents ~= 640k turns: big enough that build throughput
+# reflects the engine rather than session/job overhead (the single-node
+# oracle baseline runs at ~50k turns/s flat — the distributed build must
+# be measured past that crossover)
+REPLICAS = int(os.environ.get("TSIDX_BENCH_REPLICAS", "128"))
 
 
 def expand_transcripts(spark, sf_dir: str, replicas: int):
