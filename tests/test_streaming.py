@@ -1,0 +1,102 @@
+"""Streaming ingestion: batch appends, replay idempotence, query parity."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from tsidx.oracle import OracleIndex
+from tsidx.query import QueryEngine
+from tsidx.streaming import append_batch, read_stream_index, stream_build
+
+BASE = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def rows_for(texts, prefix):
+    return [
+        (f"{prefix}-{i // 4:03d}", i % 4, "user", t, "", BASE)
+        for i, t in enumerate(texts)
+    ]
+
+
+@pytest.fixture(scope="module")
+def halves(sonnets):
+    return sonnets[:80], sonnets[80:]
+
+
+def test_append_batches_match_oracle(spark, halves, tmp_path):
+    first, second = halves
+    path = str(tmp_path / "sidx")
+    append_batch(
+        spark.createDataFrame(rows_for(first, "a"), SCHEMA), path, 0, block_size=32
+    )
+    append_batch(
+        spark.createDataFrame(rows_for(second, "b"), SCHEMA), path, 1, block_size=32
+    )
+    idx = read_stream_index(spark, path)
+    assert idx.meta["n_docs"] == 154
+
+    # oracle with the same arrival order (batch 0 docs before batch 1 docs)
+    oracle = OracleIndex()
+    oracle.add_corpus(first)
+    # batch 1 ids start at the next block boundary after 80 -> 96
+    for i, t in enumerate(second):
+        oracle.add(96 + i, t)
+
+    eng = QueryEngine(idx)
+    for q in ["fire heat", "love beauty time", "same"]:
+        got = [r["doc_id"] for r in eng.match(q).collect()]
+        assert got == oracle.match(q)
+        sk = [(r["doc_id"], r["score"]) for r in eng.bm25_topk(q, 10).collect()]
+        wk = [(r["doc_id"], r["score"]) for r in eng.wand_topk(q, 10).collect()]
+        assert sk == oracle.bm25_topk(q, 10)
+        assert wk == sk
+
+
+def test_append_replay_is_idempotent(spark, halves, tmp_path):
+    first, second = halves
+    path = str(tmp_path / "sidx")
+    b0 = spark.createDataFrame(rows_for(first, "a"), SCHEMA)
+    b1 = spark.createDataFrame(rows_for(second, "b"), SCHEMA)
+    append_batch(b0, path, 0, block_size=32)
+    append_batch(b1, path, 1, block_size=32)
+    idx1 = read_stream_index(spark, path)
+    stats1 = idx1.statistics()
+    t1 = sorted(tuple(r) for r in idx1.terms.collect())
+    # replay batch 1 (simulates foreachBatch retry after a crash)
+    append_batch(b1, path, 1, block_size=32)
+    idx2 = read_stream_index(spark, path)
+    assert idx2.statistics() == stats1
+    assert idx2.meta["n_docs"] == 154
+    t2 = sorted(tuple(r) for r in idx2.terms.collect())
+    assert t1 == t2
+
+
+def test_stream_build_file_source(spark, halves, tmp_path):
+    """End-to-end: file-source stream -> foreachBatch appends -> query."""
+    first, second = halves
+    in_dir = str(tmp_path / "in")
+    path = str(tmp_path / "sidx")
+    spark.createDataFrame(rows_for(first + second, "a"), SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    q = stream_build(
+        stream, path, block_size=32, trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    assert os.path.exists(os.path.join(path, "meta.json"))
+    idx = read_stream_index(spark, path)
+    assert idx.meta["n_docs"] == 154
+    assert idx.meta["streaming"] is True
+    oracle = OracleIndex()
+    oracle.add_corpus(first + second)
+    eng = QueryEngine(idx)
+    got = [(r["doc_id"], r["score"]) for r in eng.bm25_topk("fire heat", 5).collect()]
+    assert got == oracle.bm25_topk("fire heat", 5)

@@ -28,11 +28,15 @@ def built(spark, sonnets_transcripts, sonnets):
     return idx, oracle
 
 
+@pytest.mark.parametrize("limit", [0, 200_000], ids=["pruned-path", "fast-path"])
 @pytest.mark.parametrize("query", QUERIES)
 @pytest.mark.parametrize("k", [1, 10, 200])
-def test_wand_rank_identical_to_oracle(built, query, k):
+def test_wand_rank_identical_to_oracle(built, query, k, limit):
     idx, oracle = built
-    got = [(r["doc_id"], r["score"]) for r in wand_topk(idx, query, k).collect()]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(idx, query, k, small_candidate_limit=limit).collect()
+    ]
     want = oracle.bm25_topk(query, k)
     assert [d for d, _ in got] == [d for d, _ in want]
     for (d1, s1), (d2, s2) in zip(got, want):

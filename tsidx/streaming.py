@@ -1,0 +1,221 @@
+"""Structured Streaming ingestion: incremental index appends.
+
+The reference's ``Index.add`` is streaming ingestion by nature — documents
+enter in arrival order and docIDs ARE that order
+(``/root/reference/ts_type_filter/inverted_index.py:42,48-65``). This module
+gives the distributed engine the same capability over a transcript stream:
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(in_dir)
+    q = stream_build(stream, index_path, block_size=8192)
+    q.awaitTermination()
+
+Semantics:
+
+- docIDs are arrival-ordered: batches are appended in micro-batch order,
+  rows within a batch ordered by (conv_id, turn_idx). Each batch's id range
+  starts at the next block boundary after the previous high-water mark, so
+  posting blocks never span shards (the global index stays the plain union
+  of shard outputs; WAND's one-group-per-block invariant holds). The id
+  gaps this creates are recorded in the manifest and harmless — ids are an
+  ordering, not an array index.
+- exactly-once: shards are keyed by the streaming batch id; a replayed
+  batch overwrites its own shard and re-commits the same manifest row
+  (idempotent), the streaming checkpoint handles source offsets.
+- the index is queryable between batches: ``meta.json`` and the terms table
+  are refreshed after every commit (cheap — aggregation over block
+  metadata columns only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsidx.build import make_fused_block_builder
+from tsidx.docids import assign_doc_ids
+from tsidx.index import (
+    POSTINGS_ARRAY_SCHEMA,
+    POSTINGS_VARBYTE_SCHEMA,
+    InvertedIndex,
+)
+from tsidx.oracle import B, K1
+from tsidx.resume import read_manifest
+from tsidx.ship import ensure_shipped
+
+__all__ = ["append_batch", "stream_build", "read_stream_index"]
+
+
+def _state_path(path: str) -> str:
+    return os.path.join(path, "stream_state.json")
+
+
+def _load_state(path: str, block_size: int, codec: str) -> dict:
+    p = _state_path(path)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {
+        "next_doc_id": 0,
+        "n_docs": 0,
+        "total_tokens": 0,
+        "block_size": int(block_size),
+        "codec": codec,
+        "batches": {},
+    }
+
+
+def _align_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def append_batch(
+    batch: DataFrame,
+    path: str,
+    batch_id: int,
+    *,
+    block_size: int = 8192,
+    codec: str = "varbyte",
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> None:
+    """Append one micro-batch to the index at *path* (foreachBatch body).
+
+    Idempotent per *batch_id*: replays overwrite their own shard and restore
+    the id watermark the batch originally used.
+    """
+    spark = batch.sparkSession
+    ensure_shipped(spark)
+    state = _load_state(path, block_size, codec)
+    if state["codec"] != codec or state["block_size"] != block_size:
+        raise ValueError("batch parameters differ from the index's")
+    key = str(batch_id)
+    replay = state["batches"].get(key)
+    base = (
+        replay["doc_lo"]
+        if replay is not None
+        else _align_up(state["next_doc_id"], block_size)
+    )
+
+    ids, n_rows = assign_doc_ids(batch, order_cols, return_count=True)
+    if n_rows == 0:
+        return
+    docs = ids.withColumn("doc_id", (F.col("doc_id") + F.lit(base)).cast("long"))
+
+    schema = POSTINGS_VARBYTE_SCHEMA if codec == "varbyte" else POSTINGS_ARRAY_SCHEMA
+    postings = (
+        docs.select(
+            "doc_id", "text", F.expr(f"doc_id DIV {int(block_size)}").alias("block_id")
+        )
+        .groupBy("block_id")
+        .applyInPandas(make_fused_block_builder(codec), schema=schema)
+    )
+    out_dir = os.path.join(path, "postings", f"shard={batch_id}")
+    postings.write.mode("overwrite").parquet(out_dir)
+    (
+        docs.write.mode("overwrite").parquet(
+            os.path.join(path, "docs", f"shard={batch_id}")
+        )
+    )
+
+    built = spark.read.parquet(out_dir)
+    stats = built.agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("block_df").alias("n_postings"),
+        F.sum("sum_tf").alias("token_count"),
+        F.max("block_df").alias("max_block_df"),
+    ).collect()[0]
+    row = {
+        "shard_id": int(batch_id),
+        "doc_lo": int(base),
+        "doc_hi": int(base + n_rows),
+        "doc_count": int(n_rows),
+        "token_count": int(stats["token_count"] or 0),
+        "n_blocks": int(stats["n_blocks"] or 0),
+        "n_postings": int(stats["n_postings"] or 0),
+        "max_block_df": int(stats["max_block_df"] or 0),
+    }
+    os.makedirs(os.path.join(path, "manifest"), exist_ok=True)
+    marker = os.path.join(path, "manifest", f"shard-{batch_id}.json")
+    with open(marker + ".tmp", "w") as f:
+        json.dump(row, f, indent=2, sort_keys=True)
+    os.replace(marker + ".tmp", marker)
+
+    if replay is None:
+        state["n_docs"] += n_rows
+        state["total_tokens"] += row["token_count"]
+        state["next_doc_id"] = base + n_rows
+        state["batches"][key] = {"doc_lo": base, "doc_count": n_rows}
+    with open(_state_path(path) + ".tmp", "w") as f:
+        json.dump(state, f, indent=2, sort_keys=True)
+    os.replace(_state_path(path) + ".tmp", _state_path(path))
+
+    # refresh queryable metadata (terms table + meta.json)
+    all_postings = spark.read.option(
+        "basePath", os.path.join(path, "postings")
+    ).parquet(os.path.join(path, "postings")).drop("shard")
+    terms = all_postings.groupBy("term").agg(F.sum("block_df").alias("df"))
+    terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
+    meta = {
+        "n_docs": state["n_docs"],
+        "total_tokens": state["total_tokens"],
+        "avgdl": (state["total_tokens"] / state["n_docs"]) if state["n_docs"] else 0.0,
+        "k1": K1,
+        "b": B,
+        "block_size": int(block_size),
+        "codec": codec,
+        "order_cols": list(order_cols),
+        "pinned": [],
+        "version": 1,
+        "streaming": True,
+    }
+    mp = os.path.join(path, "meta.json")
+    with open(mp + ".tmp", "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    os.replace(mp + ".tmp", mp)
+
+
+def stream_build(
+    stream: DataFrame,
+    path: str,
+    *,
+    block_size: int = 8192,
+    codec: str = "varbyte",
+    checkpoint: str | None = None,
+    trigger: dict | None = None,
+):
+    """Wire a streaming transcripts DataFrame into incremental index
+    appends; returns the started StreamingQuery."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(
+            batch_df, path, batch_id, block_size=block_size, codec=codec
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint or os.path.join(path, "_checkpoint")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_stream_index(spark, path: str) -> InvertedIndex:
+    """Load a streaming-built index (shard-partitioned docs + postings)."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    pinned = set(meta.pop("pinned", []))
+    rows = read_manifest(path)
+    return InvertedIndex(
+        docs=spark.read.option("basePath", os.path.join(path, "docs"))
+        .parquet(os.path.join(path, "docs"))
+        .drop("shard"),
+        postings=spark.read.option("basePath", os.path.join(path, "postings"))
+        .parquet(os.path.join(path, "postings"))
+        .drop("shard"),
+        terms=spark.read.parquet(os.path.join(path, "terms")),
+        meta=meta,
+        manifest=spark.createDataFrame(rows) if rows else None,
+        pinned=pinned,
+    )

@@ -103,7 +103,7 @@ def _make_group_scorer(idfs: dict[str, float], k: int, k1: float, b: float,
 
 
 def wand_topk(index: InvertedIndex, query: str | list[str], k: int,
-              seed_factor: int = 4) -> DataFrame:
+              seed_factor: int = 4, small_candidate_limit: int = 200_000) -> DataFrame:
     """Deterministic BM25 top-k with block-max pruning; returns
     (doc_id, score) ordered by (-score, doc_id), bit-identical to the
     oracle and to ``QueryEngine.bm25_topk``."""
@@ -142,13 +142,24 @@ def wand_topk(index: InvertedIndex, query: str | list[str], k: int,
     )
     # deterministic priority: highest UB first, block_id tiebreak
     meta = sorted(ub_rows, key=lambda r: (-r["ub"], r["block_id"]))
+    scorer_all = _make_group_scorer(idfs, k, k1, b, avgdl, block_size, codec)
+    total_cand = sum(r["cand_count"] for r in meta)
+    if total_cand <= small_candidate_limit:
+        # fast path: below this size the seed/prune choreography (3 jobs)
+        # costs more than exactly scoring every candidate block in one pass
+        return (
+            cand.groupBy("block_id")
+            .applyInPandas(scorer_all, schema=_SCORE_SCHEMA)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
     seed_ids, seen = [], 0
     for r in meta:
         seed_ids.append(r["block_id"])
         seen += r["cand_count"]
         if seen >= seed_factor * k:
             break
-    scorer = _make_group_scorer(idfs, k, k1, b, avgdl, block_size, codec)
+    scorer = scorer_all
 
     seed_scores = (
         cand.filter(F.col("block_id").isin(seed_ids))
