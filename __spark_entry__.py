@@ -447,6 +447,40 @@ def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_CACHE: dict = {}
+
+
+def _q_streaming_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index built by two incremental streaming appends must carry the same
+    (term, df) table as the batch build — document frequencies don't depend
+    on the docID space, so the batch oracle applies verbatim."""
+    import tempfile
+
+    from tsidx.streaming import append_batch, read_stream_index
+
+    key = (id(spark), os.path.normpath(sf_dir))
+    path = _STREAM_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="tsidx_stream_q_")
+        transcripts = documents_as_transcripts(spark, sf_dir)
+        half = transcripts.count() // 2
+        with_id = transcripts.withColumn(
+            "_n",
+            F.conv(F.substring(F.col("conv_id"), 2, 6), 10, 10).cast("long")
+            * _TURNS_PER_CONV
+            + F.col("turn_idx"),
+        )
+        append_batch(
+            with_id.filter(F.col("_n") < half).drop("_n"), path, 0, block_size=512
+        )
+        append_batch(
+            with_id.filter(F.col("_n") >= half).drop("_n"), path, 1, block_size=512
+        )
+        _STREAM_CACHE[key] = path
+    idx = read_stream_index(spark, path)
+    return idx.terms.select("term", F.col("df").cast("long").alias("df"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_stats": _q_index_stats,
@@ -469,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "lsh_dedup_pairs": _q_lsh_dedup_pairs,
         "highlight": _q_highlight,
+        "streaming_term_df": _q_streaming_term_df,
     }
 
 
@@ -539,6 +574,9 @@ SELECT (SELECT count(*) FROM dl)::BIGINT AS n_docs,
        (SELECT sum(dl) FROM dl)::BIGINT AS total_tokens,
        ((SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM dl)) AS avgdl""",
         "term_df": f"""
+WITH {terms_cte}
+SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term""",
+        "streaming_term_df": f"""
 WITH {terms_cte}
 SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term""",
         "match_or": f"""
