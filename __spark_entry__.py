@@ -447,6 +447,31 @@ def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsidx.textstats import lang_id_heuristic
+
+    return lang_id_heuristic(load_documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "lang_pred", "best_hits"
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsidx.textstats import token_counts
+
+    return token_counts(load_documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "n_ws_tokens", "n_bpe_pieces"
+    )
+
+
+def _q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsidx.textstats import quality_signals
+
+    return quality_signals(load_documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "n_tokens", "ttr_r", "mean_tok_len_r",
+        "stopword_ratio_r", "punct_ratio_r",
+    )
+
+
 _STREAM_CACHE: dict = {}
 
 
@@ -504,6 +529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup_pairs": _q_lsh_dedup_pairs,
         "highlight": _q_highlight,
         "streaming_term_df": _q_streaming_term_df,
+        "lang_id": _q_lang_id,
+        "token_counts": _q_token_counts,
+        "quality_signals": _q_quality_signals,
     }
 
 
@@ -562,9 +590,41 @@ SELECT doc_id,
 FROM bits GROUP BY doc_id"""
 
 
+def _lang_id_sql() -> str:
+    from tsidx.textstats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    hits = ",\n         ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in LANG_PROFILES[lang])}))) AS h_{lang}"
+        for lang in langs
+    )
+    great = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    whens = "\n            ".join(
+        f"WHEN h_{lang} = {great} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+h AS (
+  SELECT doc_id,
+         {hits}
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN {great} = 0 THEN 'unk'
+            {whens}
+       END AS lang_pred,
+       {great}::BIGINT AS best_hits
+FROM h"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from tsidx.textstats import BPE_PIECE_RE, LANG_PROFILES
+
     terms_cte = _terms_cte()
     hl_stems = ", ".join(f"'{s}'" for s in _sql_query_terms(HL_QUERY))
+    en_sw = ", ".join(repr(w) for w in LANG_PROFILES["en"])
     return {
         "index_stats": f"""
 WITH {terms_cte}
@@ -690,6 +750,26 @@ SELECT doc_id,
                        ELSE tok END),
          ' ') AS highlighted
 FROM documents WHERE doc_id < 50""",
+        "lang_id": _lang_id_sql(),
+        "token_counts": f"""
+SELECT doc_id,
+       len(string_split(trim(text), ' '))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PIECE_RE}'))::BIGINT AS n_bpe_pieces
+FROM documents""",
+        "quality_signals": f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS ttr_r,
+       round(list_sum([len(x) for x in toks])::DOUBLE / len(toks), 4)
+         AS mean_tok_len_r,
+       round(len(list_filter(toks, x -> x IN ({en_sw})))::DOUBLE / len(toks), 4)
+         AS stopword_ratio_r,
+       round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE /
+             length(text), 4) AS punct_ratio_r
+FROM t""",
     }
 
 

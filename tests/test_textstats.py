@@ -1,0 +1,50 @@
+"""Text-analysis operators: language-ID heuristic, token counts, quality."""
+
+from __future__ import annotations
+
+import pytest
+
+from tsidx.textstats import lang_id_heuristic, quality_signals, token_counts
+
+DOCS = [
+    (0, "the cat is in the house and it is warm"),
+    (1, "el gato que vive en la casa y los perros"),
+    (2, "le chat est dans la maison et les chiens"),
+    (3, "der hund ist nicht in das haus und die katze"),
+    (4, "zzz qqq xxx"),                         # no profile hits -> unk
+    (5, "numbers 123 and, punct-uation! here."),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id_heuristic(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "fr"
+    assert got[3] == "de"
+    assert got[4] == "unk"
+
+
+def test_token_counts(docs):
+    got = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert got[0]["n_ws_tokens"] == 10
+    # "numbers 123 and, punct-uation! here." ->
+    # letters: numbers, and, punct, uation, here (5); digits: 123 (1);
+    # punctuation: , - ! . (4)
+    assert got[5]["n_ws_tokens"] == 5
+    assert got[5]["n_bpe_pieces"] == 10
+
+
+def test_quality_signals(docs):
+    got = {r["doc_id"]: r for r in quality_signals(docs).collect()}
+    r0 = got[0]
+    assert r0["n_tokens"] == 10
+    assert r0["ttr_r"] == 0.8  # "the" and "is" repeat
+    assert 0.0 < r0["stopword_ratio_r"] <= 1.0
+    assert got[4]["stopword_ratio_r"] == 0.0
+    assert got[5]["punct_ratio_r"] > 0.0
