@@ -1,0 +1,75 @@
+"""Randomized (seeded) corpus: oracle, naive plan, and WAND must agree on
+every query — broad-spectrum rank-identity beyond the golden corpora."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pytest
+
+from tsidx.build import build_index
+from tsidx.oracle import OracleIndex
+from tsidx.query import QueryEngine
+from tsidx.wand import wand_topk
+
+WORDS = (
+    "running jumps quickly the a of and cats dogs houses trees water fire "
+    "earth wind burning burned burns walked walking walks happily sadness "
+    "beautiful ugly compute computing computed lazy? fox-trot don't 'tis "
+    "CAPS MixedCase 123 42nd punctuation! semi;colon"
+).split()
+
+
+def make_corpus(seed: int, n_docs: int):
+    rng = random.Random(seed)
+    return [
+        " ".join(rng.choices(WORDS, k=rng.randint(3, 40))) for _ in range(n_docs)
+    ]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    texts = make_corpus(20260817, 300)
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (f"c{i // 6:04d}", i % 6, "user", t, "", base) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).repartition(8)
+    idx = build_index(df, block_size=32)
+    oracle = OracleIndex()
+    oracle.add_corpus(texts)
+    return idx, oracle
+
+
+def test_statistics_agree(built):
+    idx, oracle = built
+    assert idx.statistics() == oracle.statistics()
+
+
+def test_random_queries_rank_identical(built):
+    idx, oracle = built
+    eng = QueryEngine(idx)
+    rng = random.Random(7)
+    for i in range(15):
+        q = " ".join(rng.choices(WORDS + ["notaword"], k=rng.randint(1, 5)))
+        k = rng.choice([1, 5, 25, 400])
+        assert [r["doc_id"] for r in eng.match(q).collect()] == oracle.match(q), q
+        got_n = [(r["doc_id"], r["score"]) for r in eng.bm25_topk(q, k).collect()]
+        got_w = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(idx, q, k, small_candidate_limit=0).collect()
+        ]
+        want = oracle.bm25_topk(q, k)
+        assert got_n == want, (q, k, "naive")
+        assert got_w == want, (q, k, "wand")
+
+
+def test_df_table_agrees(built):
+    idx, oracle = built
+    got = {r["term"]: r["df"] for r in idx.terms.collect()}
+    want = {t: df for t, df in oracle.document_frequencies()}
+    assert got == want
