@@ -34,7 +34,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["InvertedIndex", "POSTINGS_ARRAY_SCHEMA", "POSTINGS_VARBYTE_SCHEMA"]
+__all__ = [
+    "InvertedIndex",
+    "merge_indexes",
+    "POSTINGS_ARRAY_SCHEMA",
+    "POSTINGS_VARBYTE_SCHEMA",
+]
 
 POSTINGS_ARRAY_SCHEMA = (
     "term string, block_id long, block_df long, min_doc long, max_doc long, "
@@ -144,3 +149,55 @@ class InvertedIndex:
         """(term, df) ordered by descending df — the reference frequency
         table (``inverted_index.py:148-153``)."""
         return self.terms.select("term", "df").orderBy(F.desc("df"), F.asc("term"))
+
+
+def merge_indexes(a: "InvertedIndex", b: "InvertedIndex") -> "InvertedIndex":
+    """Merge two indexes over disjoint, block-aligned docID ranges.
+
+    The explicit form of the shard-merge the build pipeline does implicitly
+    (SURVEY §2.4 N5): because blocks are docID-range shards, the merged
+    posting table is the plain union — no per-term list splicing, no
+    re-encode, no shuffle of posting bytes. Validates the invariants that
+    make that true: identical block_size/codec, and no block_id owned by
+    both sides (which also guarantees WAND's one-group-per-block scoring
+    assumption survives the merge). Corpus stats (n_docs, total_tokens,
+    avgdl) recombine exactly; the terms table is re-aggregated from block
+    metadata columns only.
+    """
+    for key in ("block_size", "codec", "k1", "b"):
+        if a.meta[key] != b.meta[key]:
+            raise ValueError(f"index meta mismatch on {key!r}")
+    overlap = (
+        a.postings.select("block_id")
+        .distinct()
+        .join(b.postings.select("block_id").distinct(), "block_id")
+        .limit(1)
+        .count()
+    )
+    if overlap:
+        raise ValueError("indexes share a posting block — docID ranges overlap")
+    postings = a.postings.unionByName(b.postings)
+    terms = postings.groupBy("term").agg(F.sum("block_df").alias("df"))
+    n_docs = a.meta["n_docs"] + b.meta["n_docs"]
+    total_tokens = a.meta["total_tokens"] + b.meta["total_tokens"]
+    meta = dict(a.meta)
+    meta.update(
+        {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        }
+    )
+    manifest = None
+    if a.manifest is not None and b.manifest is not None:
+        manifest = a.manifest.unionByName(b.manifest, allowMissingColumns=True)
+    elif a.manifest is not None or b.manifest is not None:
+        manifest = a.manifest or b.manifest
+    return InvertedIndex(
+        docs=a.docs.unionByName(b.docs),
+        postings=postings,
+        terms=terms,
+        meta=meta,
+        manifest=manifest,
+        pinned=a.pinned | b.pinned,
+    )
