@@ -34,6 +34,8 @@ def sonnets() -> list[str]:
 def spark():
     from pyspark.sql import SparkSession
 
+    local_dir = "/dev/shm/tsidx-test-local" if os.path.isdir("/dev/shm") else "/tmp"
+    os.makedirs(local_dir, exist_ok=True)
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("tsidx-tests")
@@ -43,6 +45,7 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        .config("spark.local.dir", local_dir)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

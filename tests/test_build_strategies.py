@@ -31,3 +31,34 @@ def test_fused_equals_explode(spark, sonnets_transcripts):
     t1 = sorted(tuple(r) for r in fused.terms.collect())
     t2 = sorted(tuple(r) for r in explode.terms.collect())
     assert t1 == t2
+
+
+def test_multi_stream_text_cols(spark):
+    """Multi-stream extractor semantics: indexing (title, body) columns ==
+    indexing their space-joined concatenation (reference
+    inverted_index.py:13-24 under whitespace breaking)."""
+    import datetime
+
+    from tsidx.oracle import OracleIndex
+    from tsidx.query import QueryEngine
+
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        ("c0", 0, "user", "greatest sonnet", "the fire burns bright", "", base),
+        ("c0", 1, "user", "cold winter", "ice and snow cover fields", "", base),
+        ("c1", 0, "user", "fire again", "flames rise high", "", base),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, title string, "
+        "text string, tool string, ts timestamp",
+    )
+    idx = build_index(df, block_size=8, text_cols=("title", "text"))
+    oracle = OracleIndex()
+    oracle.add_corpus([f"{r[3]} {r[4]}" for r in rows])
+    assert idx.statistics() == oracle.statistics()
+    eng = QueryEngine(idx)
+    for q in ["fire", "sonnet ice", "flames"]:
+        assert [r["doc_id"] for r in eng.match(q).collect()] == oracle.match(q)
+        got = [(r["doc_id"], r["score"]) for r in eng.bm25_topk(q, 3).collect()]
+        assert got == oracle.bm25_topk(q, 3)

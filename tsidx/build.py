@@ -212,6 +212,7 @@ def build_index(
     num_partitions: int | None = None,
     check_unique: bool = True,
     strategy: str = "fused",
+    text_cols: tuple[str, ...] = ("text",),
     k1: float = K1,
     b: float = B,
 ) -> InvertedIndex:
@@ -221,6 +222,14 @@ def build_index(
     (``inverted_index.py:48-65``): extract text stream, whitespace-break,
     stem; duplicates rejected via *check_unique*; docID order = total order
     on *order_cols* = the reference's insertion order.
+
+    *text_cols* generalizes the reference's multi-stream extractor
+    (``inverted_index.py:13-24`` — "documents may have multiple streams of
+    text (e.g. title, body)"): under whitespace word-breaking, indexing N
+    streams is exactly indexing their space-joined concatenation, so
+    multiple columns are fused with ``concat_ws(' ', ...)`` before
+    tokenization (tf counts and document length aggregate across streams,
+    matching per-doc set-union-then-count semantics).
 
     ``strategy``:
 
@@ -256,6 +265,10 @@ def build_index(
     # the assign step persists its range partitioning internally (see
     # tsidx/docids.py — load-bearing) and hands back the row count from its
     # prefix-sum collect, so no extra docs-materialization job is needed
+    if tuple(text_cols) != ("text",):
+        transcripts = transcripts.withColumn(
+            "text", F.concat_ws(" ", *[F.col(c) for c in text_cols])
+        )
     docs, n_docs = assign_doc_ids(
         transcripts, order_cols, method=docid_method,
         num_partitions=num_partitions, return_count=True,
