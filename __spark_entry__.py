@@ -102,15 +102,28 @@ _FALLBACK_STEMS = {
 }
 _stem_case_cache: str | None = None
 
+# Whitespace tokenization for every oracle: the engine splits on whitespace
+# RUNS (pandas str.split / Spark split on \s+), so the oracles must too —
+# a single-space string_split would emit empty tokens on consecutive
+# spaces/tabs and silently diverge on any non-single-spaced corpus.
+# (DuckDB string literals don't process backslash escapes, so '\s+' is the
+# two-character regex verbatim.)
+
+
+def _toks_sql(v: str = "text") -> str:
+    return f"regexp_split_to_array(trim({v}), '\\s+')"
+
 
 def _stem_case_sql() -> str:
-    """``CASE tok ... END`` applying Porter2 to the closed corpus vocab."""
+    """``CASE tok ... END`` applying Porter2 to the closed corpus vocab
+    (plus the derived transcript role words, used by the multi-stream
+    oracle)."""
     global _stem_case_cache
     if _stem_case_cache is not None:
         return _stem_case_cache
     from tsidx.porter2 import stem
 
-    vocab: set[str] = set()
+    vocab: set[str] = set(_ROLES)
     try:
         import pyarrow.parquet as pq
 
@@ -133,7 +146,7 @@ def _terms_cte() -> str:
     """CTEs: toks (doc_id, tok), trm (doc_id, term), tf, dl."""
     return f"""
 toks AS (
-  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  SELECT doc_id, unnest({_toks_sql()}) AS tok
   FROM documents WHERE trim(text) <> ''
 ),
 trm AS (
@@ -166,6 +179,12 @@ Q_RARE = "vector stream dup"
 ANN_NQ = 5  # embeddings with vec_id < ANN_NQ are the ANN query set
 ANN_K = 10
 JACCARD_TAU = 0.2
+# hot-shingle document-frequency cap (the 100 TB safety valve — a shingle
+# shared by f docs yields f^2/2 candidate pairs; one in a large corpus
+# fraction carries no near-dup signal). 64 is far above the testdata's
+# observed max shingle df (25 at sf0.1) so the capped result is exact here,
+# while bounding the blow-up on any hot-keyed corpus.
+JACCARD_MAX_DF = 64
 K1, B = 1.2, 0.75
 
 
@@ -240,6 +259,20 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND top-k — bit-identical to the naive BM25 plan by
+    construction (safe pruning; tsidx/wand.py), so it shares bm25_topk's
+    oracle SQL. ``small_candidate_limit=0`` forces the seed/prune path so
+    the correctness gate exercises the pruning machinery, not the fast
+    path."""
+    from tsidx.wand import wand_topk
+
+    idx = get_index(spark, sf_dir)
+    return wand_topk(idx, Q_BM25, Q_BM25_K, small_candidate_limit=0).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
+
+
 def _q_bm25_scores_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = get_engine(spark, sf_dir)
     return eng.bm25_scores(Q_RARE).select(
@@ -302,15 +335,16 @@ def _q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by token-3-gram Jaccard >= tau.
 
-    Spark plan: per-doc distinct shingle arrays -> explode -> self-equi-join
-    on shingle (shuffle on shingle key) -> pair aggregation. At 100 TB the
-    shingle join is bucketed and hot shingles are df-capped (a shingle in
-    >X% of docs carries no near-dup signal) — see tsidx/dedup.py.
+    Spark plan: per-doc distinct shingle arrays -> explode -> groupBy
+    shingle buckets (df-capped at JACCARD_MAX_DF — hot shingles carry no
+    near-dup signal and would blow up quadratically) -> in-bucket pair
+    generation -> pair aggregation; see tsidx/dedup.py. The oracle applies
+    the identical df-cap predicate.
     """
     from tsidx.dedup import ngram_jaccard_pairs
 
     docs = load_documents(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, n=3, tau=JACCARD_TAU)
+    pairs = ngram_jaccard_pairs(docs, n=3, tau=JACCARD_TAU, max_key_df=JACCARD_MAX_DF)
     return pairs.select(
         F.col("doc_a").cast("long"),
         F.col("doc_b").cast("long"),
@@ -396,7 +430,10 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < ANN_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    topk = lsh_bucketed_topk(emb, queries_df, k=ANN_K, n_planes=6, n_tables=6)
+    # few planes + many tables: random 64-dim neighbors sit at cosine
+    # ~0.3-0.5, so per-table collision probability is low; measured recall
+    # vs exact = 0.84-0.90 at sf0.001/sf0.01 (gated by lsh_ann_recall)
+    topk = lsh_bucketed_topk(emb, queries_df, k=ANN_K, n_planes=4, n_tables=16)
     return topk.select(
         F.col("query_id").cast("long"),
         F.col("vec_id").cast("long"),
@@ -506,6 +543,68 @@ def _q_streaming_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.terms.select("term", F.col("df").cast("long").alias("df"))
 
 
+def _q_multistream_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stream build (reference extractor streams,
+    ``inverted_index.py:13-24``): index over BOTH the ``text`` and ``role``
+    columns. Under whitespace word-breaking this equals indexing the
+    space-joined concatenation, which is exactly SQL-expressible, so the
+    oracle tokenizes ``text || ' ' || role``."""
+    from tsidx.build import build_index
+
+    key = (id(spark), os.path.normpath(sf_dir), "multistream")
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        transcripts = documents_as_transcripts(spark, sf_dir)
+        idx = build_index(
+            transcripts, block_size=1024, text_cols=("text", "role")
+        )
+        _INDEX_CACHE[key] = idx
+    return idx.terms.select("term", F.col("df").cast("long").alias("df"))
+
+
+LSH_ANN_RECALL_BOUND = 0.5
+LSH_DEDUP_RECALL_BOUND = 0.5
+
+
+def _q_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantitative gate for the approximate ANN path: recall of the
+    LSH-bucketed top-k vs the exact brute-force top-k, emitted as a
+    constant-schema row the oracle can check (`recall_ok` flips to false —
+    a visible hash mismatch — if recall drops below the bound). The
+    driver-side set intersection touches only 2·k·n_queries rows."""
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in _q_ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in _q_lsh_ann_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact) if exact else 1.0
+    return spark.createDataFrame(
+        [(ANN_NQ, bool(recall >= LSH_ANN_RECALL_BOUND))],
+        "n_queries long, recall_ok boolean",
+    )
+
+
+def _q_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of MinHash-LSH candidate pairs against the exact Jaccard
+    near-dup pairs (tau=JACCARD_TAU ground truth); emitted as a checkable
+    constant-schema row like lsh_ann_recall."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in _q_ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in _q_lsh_dedup_pairs(spark, sf_dir).collect()
+    }
+    recall = len(truth & cand) / len(truth) if truth else 1.0
+    return spark.createDataFrame(
+        [(bool(recall >= LSH_DEDUP_RECALL_BOUND),)], "recall_ok boolean"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_stats": _q_index_stats,
@@ -513,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_or": _q_match_or,
         "match_and": _q_match_and,
         "bm25_topk": _q_bm25_topk,
+        "wand_topk": _q_wand_topk,
         "bm25_scores_rare": _q_bm25_scores_rare,
         "doc_length": _q_doc_length,
         "tf_rows": _q_tf_rows,
@@ -529,6 +629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup_pairs": _q_lsh_dedup_pairs,
         "highlight": _q_highlight,
         "streaming_term_df": _q_streaming_term_df,
+        "multistream_term_df": _q_multistream_term_df,
+        "lsh_ann_recall": _q_lsh_ann_recall,
+        "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "quality_signals": _q_quality_signals,
@@ -553,7 +656,7 @@ def _minhash_sql() -> str:
     )
     return f"""
 WITH t AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
 ),
 sh AS (
   SELECT doc_id,
@@ -571,7 +674,7 @@ SELECT doc_id, {mh_cols} FROM hx GROUP BY doc_id"""
 def _simhash_sql() -> str:
     return f"""
 WITH t AS (
-  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS s FROM documents
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS s FROM documents
 ),
 tf AS (
   SELECT doc_id, s, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, s
@@ -604,7 +707,7 @@ def _lang_id_sql() -> str:
     )
     return f"""
 WITH t AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
 ),
 h AS (
   SELECT doc_id,
@@ -639,6 +742,31 @@ SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term""",
         "streaming_term_df": f"""
 WITH {terms_cte}
 SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term""",
+        # multi-stream build == tokenizing text+role concatenated with a
+        # space; role derives from doc_id exactly as in
+        # documents_as_transcripts
+        "multistream_term_df": f"""
+WITH src AS (
+  SELECT doc_id,
+         text || ' ' ||
+         (['user','assistant','system','tool'])[(doc_id % 4)::INT + 1] AS text2
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest({_toks_sql("text2")}) AS tok
+  FROM src WHERE trim(text2) <> ''
+),
+trm AS (
+  SELECT doc_id, {_stem_case_sql()} AS term FROM toks
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM trm GROUP BY doc_id, term
+)
+SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term""",
+        "lsh_ann_recall": f"""
+SELECT {ANN_NQ}::BIGINT AS n_queries, true AS recall_ok""",
+        "lsh_dedup_recall": """
+SELECT true AS recall_ok""",
         "match_or": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm WHERE term IN ({_terms_in(Q_OR)})""",
@@ -649,6 +777,11 @@ SELECT doc_id FROM (
   WHERE term IN ({_terms_in(Q_AND)}) GROUP BY doc_id
 ) WHERE nt = {len(_sql_query_terms(Q_AND))}""",
         "bm25_topk": f"""
+SELECT * FROM ({_bm25_scores_sql(Q_BM25)})
+ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
+        # WAND is rank- and score-identical to the naive plan by
+        # construction, so it shares the bm25_topk oracle verbatim
+        "wand_topk": f"""
 SELECT * FROM ({_bm25_scores_sql(Q_BM25)})
 ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "bm25_scores_rare": _bm25_scores_sql(Q_RARE),
@@ -663,7 +796,7 @@ SELECT min(doc_id)::BIGINT AS keep_doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY text""",
         "text_quality": """
 WITH t AS (
-  SELECT doc_id, n_chars, string_split(trim(text), ' ') AS toks FROM documents
+  SELECT doc_id, n_chars, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
 )
 SELECT doc_id,
        len(toks)::BIGINT AS n_tokens,
@@ -677,7 +810,7 @@ SELECT lang, count(*)::BIGINT AS n_docs,
 FROM documents GROUP BY lang""",
         "ngram_jaccard_pairs": f"""
 WITH t AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
 ),
 sh AS (
   SELECT doc_id,
@@ -687,11 +820,17 @@ sh AS (
 ),
 ex AS (
   SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+),
+sdf AS (
+  SELECT s, count(*) AS c FROM ex GROUP BY s
+),
+exc AS (  -- identical hot-shingle df-cap as the Spark plan
+  SELECT ex.* FROM ex JOIN sdf USING (s) WHERE sdf.c <= {JACCARD_MAX_DF}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(count(*)::DOUBLE /
              (any_value(a.n) + any_value(b.n) - count(*)), 4) AS jaccard_r
-FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*))
        >= {JACCARD_TAU}""",
@@ -724,7 +863,7 @@ SELECT doc_id,
        list_reduce(
          list_prepend(0::BIGINT,
            [({_H64.format(v='t')} % {_P31})
-            for t in string_split(trim(text), ' ')]),
+            for t in regexp_split_to_array(trim(text), '\s+')]),
          (acc, x) -> (acc * 31 + x) % {_P31}
        )::BIGINT AS fp
 FROM documents""",
@@ -744,7 +883,7 @@ WHERE list_dot_product(a.v, b.v) /
 SELECT doc_id,
        array_to_string(
          list_transform(
-           string_split(trim(text), ' '),
+           regexp_split_to_array(trim(text), '\s+'),
            tok -> CASE WHEN ({_stem_case_sql()}) IN ({hl_stems})
                        THEN '[bold green]' || tok || '[/bold green]'
                        ELSE tok END),
@@ -753,12 +892,12 @@ FROM documents WHERE doc_id < 50""",
         "lang_id": _lang_id_sql(),
         "token_counts": f"""
 SELECT doc_id,
-       len(string_split(trim(text), ' '))::BIGINT AS n_ws_tokens,
+       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_ws_tokens,
        len(regexp_extract_all(text, '{BPE_PIECE_RE}'))::BIGINT AS n_bpe_pieces
 FROM documents""",
         "quality_signals": f"""
 WITH t AS (
-  SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
 )
 SELECT doc_id,
        len(toks)::BIGINT AS n_tokens,

@@ -139,7 +139,7 @@ def main():
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     t0 = time.time()
-    ngram_jaccard_pairs(docs, n=3, tau=0.2).count()
+    ngram_jaccard_pairs(docs, n=3, tau=0.2, max_key_df=64).count()
     timings["ngram_jaccard"] = time.time() - t0
 
     t0 = time.time()

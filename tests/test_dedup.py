@@ -36,6 +36,27 @@ def test_exact_dedup_groups(docs):
     assert sum(r["n_dups"] for r in groups.values()) == 6
 
 
+def test_exact_dedup_members_capped(spark):
+    """A 10^5-way duplicated text must not produce a giant member_ids row:
+    the list is capped while n_dups stays exact."""
+    big = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit("same text every time").alias("text")
+    ).unionByName(
+        spark.createDataFrame([(100_000, "a unique one")], "doc_id long, text string")
+    )
+    rows = {r["keep_id"]: r for r in
+            exact_dedup_groups(big, members_cap=50).collect()}
+    assert rows[0]["n_dups"] == 100_000
+    assert rows[0]["member_ids"] == list(range(50))
+    assert rows[100_000]["n_dups"] == 1
+    assert rows[100_000]["member_ids"] == [100_000]
+
+
+def test_ngram_jaccard_uncapped_warns(docs):
+    with pytest.warns(UserWarning, match="max_key_df"):
+        ngram_jaccard_pairs(docs, n=3, tau=0.3)
+
+
 def test_shingle_sets(docs):
     sh = {r["doc_id"]: r for r in shingle_sets(docs, n=3).collect()}
     assert sh[0]["n_shingles"] == 7  # 9 tokens -> 7 distinct trigrams

@@ -60,6 +60,55 @@ def test_wand_array_codec(spark, sonnets_transcripts, sonnets):
     assert got == oracle.bm25_topk("fire heat", 10)
 
 
+def test_wand_no_driver_scale_collect(spark, sonnets, monkeypatch):
+    """Survivor selection must stay a DataFrame plan: with >= 10^4 posting
+    blocks, no single driver collect during wand_topk may return more than
+    O(seed_factor * k) rows (regression: per-block metadata collect + giant
+    isin() survivor literal)."""
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    texts = [t for rep in range(80) for t in sonnets]  # 12,320 docs
+    rows = [
+        (f"r{i // 16:05d}", i % 16, "user", t, "", base)
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).repartition(16)
+    idx = build_index(df, block_size=1)  # one doc per block -> 12,320 blocks
+    n_blocks = idx.postings.select("block_id").distinct().count()
+    assert n_blocks >= 10_000
+
+    k, seed_factor = 10, 4
+    collected_sizes = []
+    df_cls = type(idx.postings)  # the concrete (classic) DataFrame class
+    real_collect = df_cls.collect
+
+    def spy_collect(self):
+        out = real_collect(self)
+        collected_sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(df_cls, "collect", spy_collect)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in real_collect(
+            wand_topk(idx, "fire heat", k, seed_factor=seed_factor,
+                      small_candidate_limit=0)
+        )
+    ]
+    monkeypatch.undo()
+    assert collected_sizes, "expected bounded driver collects"
+    cap = max(seed_factor * k, 64)  # terms fetch + seed rows + seed top-k
+    assert max(collected_sizes) <= cap, collected_sizes
+
+    oracle = OracleIndex()
+    oracle.add_corpus(texts)
+    assert got == oracle.bm25_topk("fire heat", k)
+
+
 def test_wand_tie_break_with_duplicate_docs(spark, sonnets):
     """Replicated corpus -> exact score ties; tie-break must be ascending
     doc_id (regression: argpartition picked arbitrary tied docs)."""

@@ -49,14 +49,37 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       members_cap: int | None = 1000) -> DataFrame:
     """Exact-duplicate groups: one row per distinct text with the kept
-    (minimum) id and the duplicate count. Hash-groupBy — one shuffle on the
-    text value; Spark's hash aggregate handles arbitrarily many groups."""
-    return docs.groupBy(text_col).agg(
+    (minimum) id, the duplicate count, and up to *members_cap* member ids.
+
+    Hash-groupBy — one shuffle on the text value; Spark's hash aggregate
+    handles arbitrarily many groups. ``member_ids`` is capped because a
+    single text duplicated 10^8 times would otherwise become one multi-GB
+    row: rows are ranked within their text group first (same hash
+    partitioning as the final aggregate, so Catalyst inserts no second
+    shuffle) and ``collect_list`` only sees the first *members_cap* ids —
+    the aggregation buffer itself stays bounded, unlike a post-hoc
+    ``slice``. ``n_dups`` always carries the exact total.
+    ``members_cap=None`` restores the unbounded list (test scale only).
+    """
+    if members_cap is None:
+        return docs.groupBy(text_col).agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.partitionBy(text_col).orderBy(id_col))
+    ranked = docs.select(text_col, id_col).withColumn("_rk", rk)
+    return ranked.groupBy(text_col).agg(
         F.min(id_col).alias("keep_id"),
         F.count("*").alias("n_dups"),
-        F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_rk") <= members_cap, F.col(id_col)))
+        ).alias("member_ids"),
     )
 
 
@@ -65,18 +88,37 @@ def _tokens(text_col: str):
 
 
 def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """(id, shingles array<string>, n_shingles) — distinct token n-grams."""
-    toks = _tokens(text_col)
+                 id_col: str = "doc_id",
+                 num_partitions: int | None = None) -> DataFrame:
+    """(id, shingles array<string>, n_shingles) — distinct token n-grams.
+
+    The token split is projected *before* a round-robin repartition and the
+    shingle transform runs after it. The exchange is load-bearing twice
+    over: (a) it materializes the split array once per row — higher-order
+    lambdas are interpreted, so an inlined ``split`` would re-tokenize the
+    text for every shingle position (O(|doc|^2) work; CollapseProject would
+    inline it without the barrier) — and (b) it restores parallelism when
+    the source is a single small file (one input partition would otherwise
+    serialize the whole shingle pipeline onto one core; at real scale the
+    scan already has thousands of partitions and the exchange is cheap
+    relative to the O(|doc|) shingle work it balances).
+    """
+    spark = docs.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks_df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    ).repartition(p)
+    m = F.size(F.col("toks"))
     shingles = F.array_distinct(
-        F.expr(
-            f"transform(sequence(0, size(split(trim({text_col}), '\\\\s+')) - {n}),"
-            f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i + 1, {n})))"
+        F.transform(
+            F.sequence(F.lit(0), m - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
         )
     )
     return (
-        docs.filter(F.size(toks) >= n)
-        .select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
+        toks_df.filter(m >= n)
+        .select("doc_id", shingles.alias("shingles"))
         .withColumn("n_shingles", F.size("shingles"))
     )
 
@@ -91,34 +133,56 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairs (doc_a < doc_b, jaccard) with token-n-gram Jaccard >= tau.
 
-    Plan: explode distinct shingles -> (optional df-cap on hot shingles) ->
-    self-equi-join on the shingle string (one shuffle, co-partitioned both
-    sides) -> count intersections per pair -> exact Jaccard from the two set
-    sizes. Only pairs sharing >= 1 surviving shingle are ever materialized.
+    Plan: explode distinct shingles -> groupBy(shingle) buckets ->
+    (df-cap: drop buckets larger than *max_key_df*) -> generate in-bucket
+    candidate pairs JVM-side -> groupBy(pair) counts intersections ->
+    exact Jaccard from the two set sizes. Compared to a shingle self-join
+    this computes the shingle pipeline once (a self-join re-evaluates it
+    per side), shuffles each posting once, and bounds per-bucket memory by
+    *max_key_df* — which is also the hot-key safety valve: a shingle shared
+    by f docs yields f(f-1)/2 pair rows, so an uncapped hot shingle is a
+    quadratic blow-up at corpus scale, while a shingle in a large fraction
+    of the corpus carries no near-duplicate signal anyway (standard
+    MinHash-LSH practice). Calling with ``max_key_df=None`` warns.
     """
+    if max_key_df is None:
+        import warnings
+
+        warnings.warn(
+            "ngram_jaccard_pairs without max_key_df: a hot shingle shared by"
+            " f docs emits f^2/2 candidate pairs — set max_key_df for any"
+            " corpus-scale run",
+            stacklevel=2,
+        )
     ex = shingle_sets(docs, n, text_col, id_col).select(
         "doc_id", "n_shingles", F.explode("shingles").alias("s")
     )
-    if max_key_df is not None:
-        hot = (
-            ex.groupBy("s").count()
-            .filter(F.col("count") > max_key_df)
-            .select("s", F.lit(True).alias("_hot"))
-        )
-        ex = (
-            ex.join(F.broadcast(hot), "s", "left")
-            .filter(F.col("_hot").isNull())
-            .drop("_hot")
-        )
-    a = ex.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"), "s"
+    buckets = ex.groupBy("s").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "n_shingles"))
+        ).alias("members")
     )
-    b = ex.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"), "s"
+    buckets = buckets.filter(F.size("members") >= 2)
+    if max_key_df is not None:
+        buckets = buckets.filter(F.size("members") <= max_key_df)
+    m = F.col("members")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(m) - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(m) - 1),
+                lambda j: F.struct(
+                    F.get(m, i)["doc_id"].alias("doc_a"),
+                    F.get(m, i)["n_shingles"].alias("n_a"),
+                    F.get(m, j)["doc_id"].alias("doc_b"),
+                    F.get(m, j)["n_shingles"].alias("n_b"),
+                ),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.n_a", "p.doc_b", "p.n_b")
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count("*").alias("inter"),

@@ -13,7 +13,7 @@ whole posting *blocks* using the block-max metadata stored at build time
 2. **Seed θ.** Exactly score the few highest-UB block groups (enough to
    cover ≥ seed_factor·k candidate postings); θ = the k-th best seed score —
    a valid lower bound on the final k-th score.
-3. **Prune + score.** Only blocks with ``UB ≥ θ`` are decoded and scored.
+3. **Prune + score.** Only blocks with ``UB ≥ θ − ε`` are decoded and scored.
    Scoring runs as ``applyInPandas`` over ``groupBy(block_id)``: because a
    document's postings for *all* terms share its block_id, every doc's score
    is complete within one group, so each group emits only its local top-k
@@ -27,9 +27,17 @@ both. Ties break by ascending doc_id. Pruning is safe: skipped groups have
 UB < θ ≤ final k-th score, and θ is established from ≥ k fully-scored docs.
 
 At 10^12 docs: block metadata is ~|q| rows per 2^20-doc range; the UB
-aggregation shuffles only metadata, the seed collect is a k-row driver
-fetch, and phase-3 decodes only surviving ranges — the dominant cost scales
-with the number of *competitive* blocks, not corpus size.
+aggregation shuffles only metadata and *stays a DataFrame* — the driver
+never materializes per-block rows. The only collects are bounded: the
+seed-block selection (``ORDER BY ub DESC LIMIT seed_factor·k`` — each block
+holds ≥ 1 candidate, so that prefix always covers the seed quota) and the
+k-row seed top-k. Survivors are selected by a broadcast **semi-join** of
+the candidate postings against ``ub_df.filter(ub ≥ θ − ε)``, so pruning
+scales past 10^6 blocks with no giant ``isin()`` literal in the plan.
+``ε`` absorbs the nondeterministic partial-agg summation order of the UB
+doubles (relative slack 1e-9 ≫ ulp error): keeping a few extra borderline
+blocks is safe; pruning stays exact because every kept block is scored
+exactly.
 """
 
 from __future__ import annotations
@@ -126,40 +134,44 @@ def wand_topk(index: InvertedIndex, query: str | list[str], k: int,
     codec = index.meta["codec"]
 
     cand = index.postings.filter(F.col("term").isin(sorted(idfs)))
+    scorer = _make_group_scorer(idfs, k, k1, b, avgdl, block_size, codec)
+    # total candidate postings = Σ df over the query terms — already on the
+    # driver from the (|q|-row) terms fetch above; no extra job
+    total_cand = sum(r["df"] for r in rows if r["term"] in idfs)
+    if total_cand <= small_candidate_limit:
+        # fast path: below this size the seed/prune choreography (3 jobs)
+        # costs more than exactly scoring every candidate block in one pass
+        return (
+            cand.groupBy("block_id")
+            .applyInPandas(scorer, schema=_SCORE_SCHEMA)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
     idf_map = F.create_map(*[F.lit(x) for t in sorted(idfs) for x in (t, idfs[t])])
     max_tf = F.col("max_tf").cast("double")
     min_dl = F.col("min_dl").cast("double")
     bound_wtf = (max_tf * F.lit(k1 + 1.0)) / (
         max_tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * min_dl) / F.lit(avgdl))
     )
-    ub_rows = (
-        cand.groupBy("block_id")
-        .agg(
-            F.sum(idf_map[F.col("term")] * bound_wtf).alias("ub"),
-            F.sum("block_df").alias("cand_count"),
-        )
+    # per-block upper bounds — a metadata-only DataFrame (payload columns are
+    # pruned from the scan); never collected in full
+    ub_df = cand.groupBy("block_id").agg(
+        F.sum(idf_map[F.col("term")] * bound_wtf).alias("ub"),
+        F.sum("block_df").alias("cand_count"),
+    )
+    # bounded seed collect: every block carries >= 1 candidate posting, so
+    # the seed_factor*k highest-UB blocks always cover the seed quota
+    seed_rows = (
+        ub_df.orderBy(F.desc("ub"), F.asc("block_id"))
+        .limit(seed_factor * k)
         .collect()
     )
-    # deterministic priority: highest UB first, block_id tiebreak
-    meta = sorted(ub_rows, key=lambda r: (-r["ub"], r["block_id"]))
-    scorer_all = _make_group_scorer(idfs, k, k1, b, avgdl, block_size, codec)
-    total_cand = sum(r["cand_count"] for r in meta)
-    if total_cand <= small_candidate_limit:
-        # fast path: below this size the seed/prune choreography (3 jobs)
-        # costs more than exactly scoring every candidate block in one pass
-        return (
-            cand.groupBy("block_id")
-            .applyInPandas(scorer_all, schema=_SCORE_SCHEMA)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
     seed_ids, seen = [], 0
-    for r in meta:
+    for r in seed_rows:
         seed_ids.append(r["block_id"])
         seen += r["cand_count"]
         if seen >= seed_factor * k:
             break
-    scorer = scorer_all
 
     seed_scores = (
         cand.filter(F.col("block_id").isin(seed_ids))
@@ -167,22 +179,20 @@ def wand_topk(index: InvertedIndex, query: str | list[str], k: int,
         .applyInPandas(scorer, schema=_SCORE_SCHEMA)
     )
     seed_top = seed_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-    if len(seed_top) >= k and len(seed_ids) < len(meta):
-        theta = seed_top[k - 1]["score"]
-        survivor_ids = [
-            r["block_id"]
-            for r in meta
-            if r["ub"] >= theta and r["block_id"] not in set(seed_ids)
-        ]
-    else:
-        survivor_ids = [r["block_id"] for r in meta if r["block_id"] not in set(seed_ids)]
     seed_df = spark.createDataFrame(
         [(r["doc_id"], r["score"]) for r in seed_top] or [], _SCORE_SCHEMA
     )
-    if not survivor_ids:
-        return seed_df.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    survivors = ub_df.filter(~F.col("block_id").isin(seed_ids))
+    if len(seed_top) >= k:
+        theta = seed_top[k - 1]["score"]
+        # ε slack: UB partial-agg summation order is nondeterministic, so a
+        # degenerate block's UB can land a few ulps below a contained doc's
+        # exact score; 1e-9 relative slack keeps such blocks (safe — they
+        # are then scored exactly) without materially weakening pruning
+        eps = 1e-9 * abs(theta) + 1e-12
+        survivors = survivors.filter(F.col("ub") >= F.lit(theta - eps))
     rest = (
-        cand.filter(F.col("block_id").isin(survivor_ids))
+        cand.join(F.broadcast(survivors.select("block_id")), "block_id", "semi")
         .groupBy("block_id")
         .applyInPandas(scorer, schema=_SCORE_SCHEMA)
     )
