@@ -60,3 +60,23 @@ def test_conv_offset_falls_back_when_not_dense(spark):
         for r in assign_doc_ids(df, method="conv_offset").collect()
     }
     assert got == {("a", 0): 0, ("a", 2): 1, ("b", 0): 2}
+
+
+def test_conv_offset_broadcast_cutoff_both_ways(spark, sonnets_transcripts, monkeypatch):
+    """The broadcast decision is byte-estimated; both sides of the cutoff
+    (broadcast join vs shuffle join) must assign identical ids."""
+    import tsidx.docids as d
+
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in assign_doc_ids(sonnets_transcripts, method="window").collect()
+    }
+    for cutoff in (0, 64 << 20):  # 0 bytes -> never broadcast; big -> always
+        monkeypatch.setattr(d, "BROADCAST_OFFSETS_MAX_BYTES", cutoff)
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["doc_id"]
+            for r in assign_doc_ids(
+                sonnets_transcripts, method="conv_offset", num_partitions=7
+            ).collect()
+        }
+        assert got == want, f"cutoff={cutoff}"

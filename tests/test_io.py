@@ -1,0 +1,90 @@
+"""Storage-format seam: the spark.tsidx.format knob genuinely switches the
+physical format of every table IO (Iceberg on clusters; parquet default in
+the sandbox — proven here with json as the stand-in third format)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from tsidx.io import DEFAULT_FORMAT, read_table, table_format, write_table
+
+
+def test_default_format_parquet_roundtrip(spark, tmp_path):
+    assert table_format(spark) == DEFAULT_FORMAT == "parquet"
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("x"))
+    out = str(tmp_path / "t")
+    write_table(df, out)
+    assert glob.glob(os.path.join(out, "*.parquet"))
+    got = read_table(spark, out)
+    assert sorted(r["x"] for r in got.collect()) == [2 * i for i in range(10)]
+
+
+def test_format_knob_switches_physical_format(spark, tmp_path):
+    """With spark.tsidx.format set, the same call sites write/read that
+    format — the dispatch is real, not a parquet alias."""
+    df = spark.range(5).select(F.col("id"))
+    out = str(tmp_path / "j")
+    spark.conf.set("spark.tsidx.format", "json")
+    try:
+        assert table_format(spark) == "json"
+        write_table(df, out)
+        assert glob.glob(os.path.join(out, "*.json"))
+        assert not glob.glob(os.path.join(out, "*.parquet"))
+        got = read_table(spark, out)
+        assert sorted(r["id"] for r in got.collect()) == list(range(5))
+    finally:
+        spark.conf.unset("spark.tsidx.format")
+
+
+def test_explicit_fmt_overrides_conf(spark, tmp_path):
+    df = spark.range(3)
+    out = str(tmp_path / "p")
+    spark.conf.set("spark.tsidx.format", "json")
+    try:
+        write_table(df, out, fmt="parquet")
+        assert glob.glob(os.path.join(out, "*.parquet"))
+        got = read_table(spark, out, fmt="parquet")
+        assert got.count() == 3
+    finally:
+        spark.conf.unset("spark.tsidx.format")
+
+
+def test_base_path_preserves_partition_column(spark, tmp_path):
+    root = str(tmp_path / "sharded")
+    for shard in (0, 1):
+        write_table(
+            spark.range(4).select((F.col("id") + 10 * shard).alias("v")),
+            os.path.join(root, f"shard={shard}"),
+        )
+    got = read_table(spark, root, base_path=root)
+    assert set(got.columns) == {"v", "shard"}
+    assert got.filter(F.col("shard") == 1).count() == 4
+
+
+def test_index_read_delegates_streaming_layout(spark, tmp_path):
+    """InvertedIndex.read on a streaming-built index must load via the
+    shard-layout path instead of crashing on manifest/*.json (regression:
+    the non-resumable branch tried spark.read.parquet on JSON markers)."""
+    import datetime
+
+    from tsidx.index import InvertedIndex
+    from tsidx.streaming import append_batch
+
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (f"c{i:03d}", 0, "user", f"hello world turn {i}", "", base)
+        for i in range(32)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    path = str(tmp_path / "sidx")
+    append_batch(df, path, 0, block_size=16)
+    idx = InvertedIndex.read(spark, path)
+    assert idx.meta["n_docs"] == 32
+    assert idx.docs.count() == 32
+    assert idx.terms.filter(F.col("term") == "hello").collect()[0]["df"] == 32

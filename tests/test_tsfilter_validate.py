@@ -96,6 +96,62 @@ def test_validator_errors():
         create_validator2(parse("type a = NotDefined"), "a")([])  # noqa
 
 
+# --------------------------------------------------------------------------
+# pydantic-model compiler (create_validator) — same reference acceptance
+# tables (reference validator.py:50-260, tests/test_validator.py:5-330),
+# exercised wherever pydantic is installed.
+# --------------------------------------------------------------------------
+
+
+def _pydantic_accepts(model, value) -> bool:
+    import pydantic
+
+    try:
+        model.model_validate({"value": value})
+        return True
+    except pydantic.ValidationError:
+        return False
+
+
+@pytest.mark.parametrize(
+    "source, root, value, expected, name", FLAT, ids=[c[4] for c in FLAT]
+)
+def test_pydantic_validator_cases(source, root, value, expected, name):
+    pytest.importorskip("pydantic")
+    from tsidx.tsfilter.validate import create_validator
+
+    model = create_validator(parse(source), root)
+    assert _pydantic_accepts(model, value) is expected
+
+
+def test_pydantic_validator_errors():
+    pytest.importorskip("pydantic")
+    from tsidx.tsfilter.validate import create_validator
+
+    with pytest.raises(ValueError, match="not found"):
+        create_validator(parse("type a = 1"), "missing")
+    with pytest.raises(ValueError, match="type parameters"):
+        create_validator(parse("type a<T> = T"), "a")
+    with pytest.raises(ValueError, match="unknown type"):
+        create_validator(parse("type a = NotDefined"), "a")
+    with pytest.raises(ValueError, match="recursive"):
+        create_validator(parse("type a = {x: a}"), "a")
+
+
+def test_pydantic_matches_closure_validator():
+    """Both compilers must agree on every (source, value) pair — the
+    pydantic path is an alternate backend, not an alternate semantics."""
+    pytest.importorskip("pydantic")
+    from tsidx.tsfilter.validate import create_validator
+
+    for source, root, subs, _name in CASES:
+        defs = parse(source)
+        v2 = create_validator2(defs, root)
+        model = create_validator(defs, root)
+        for value, _expected in subs:
+            assert _pydantic_accepts(model, value) is v2(value), (source, value)
+
+
 MENU_TS = "/root/reference/samples/menu/data/menu.ts"
 
 
@@ -114,3 +170,25 @@ def test_menu_validation():
     assert validator({"items": [{"name": "Grilled Chicken Sandwich",
                                  "warp_drive": True}]}) is False
     assert validator({"nope": []}) is False
+
+
+@pytest.mark.skipif(not os.path.exists(MENU_TS), reason="reference menu absent")
+def test_menu_validation_pydantic():
+    """The full production menu compiles to a pydantic Cart model with the
+    same accept/reject behavior as the closure validator."""
+    pytest.importorskip("pydantic")
+    from tsidx.tsfilter.validate import create_validator
+
+    with open(MENU_TS) as f:
+        type_defs = parse(f.read())
+    model = create_validator(type_defs, "Cart")
+    assert _pydantic_accepts(model, {"items": []}) is True
+    assert _pydantic_accepts(
+        model, {"items": [{"name": "Grilled Chicken Sandwich"}]}
+    ) is True
+    assert _pydantic_accepts(model, {"items": [{"name": "Flux Capacitor"}]}) is False
+    assert _pydantic_accepts(
+        model,
+        {"items": [{"name": "Grilled Chicken Sandwich", "warp_drive": True}]},
+    ) is False
+    assert _pydantic_accepts(model, {"nope": []}) is False

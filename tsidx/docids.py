@@ -12,10 +12,14 @@ implementations:
   ``doc_id = conv_offset(conv_id) + turn_idx`` where the offsets come from a
   per-conversation count (a map-side-combined shuffle of (conv_id, 1) pairs
   — ~avg-turns× smaller than the corpus), a distributed prefix sum over the
-  tiny offsets table, and a join back (broadcast when the conversation
-  count allows). The corpus itself is NEVER exchanged: no sampling, no
-  full-row shuffle, no correctness-critical cache. Falls back to
-  ``prefix_sum`` automatically when density doesn't hold.
+  tiny offsets table, and a join back (broadcast while the estimated
+  offsets bytes stay under ``BROADCAST_OFFSETS_MAX_BYTES``). The corpus
+  itself is NEVER exchanged: no sampling and no full-row shuffle of the
+  raw turns. The offsets table's own prefix sum does depend on a sampled
+  range partitioning of the (small) sizes table, so it is pinned by an
+  eager ``localCheckpoint`` before anything consumes it (see
+  ``_prefix_sum_offsets``); the intermediate caches are then freed. Falls
+  back to ``prefix_sum`` automatically when density doesn't hold.
 - ``prefix_sum``: range-repartition on the order columns, sort
   within partitions, count rows per partition, exclusive prefix sum on the
   driver, then ``doc_id = partition_offset + position_within_partition``.
@@ -48,11 +52,24 @@ def check_unique_keys(df: DataFrame, order_cols: tuple[str, ...]) -> None:
         raise ValueError(f"duplicate document key: {key}")
 
 
+#: broadcast the conv-offsets table only while its estimated serialized size
+#: stays under this bound (row-count alone is the wrong proxy: 5M
+#: (string, long) rows are already hundreds of MB on every executor)
+BROADCAST_OFFSETS_MAX_BYTES = 64 << 20
+
+
 def _prefix_sum_offsets(sizes: DataFrame, key: str, n: int) -> DataFrame:
     """(key, size) -> (key, offset, size): exclusive prefix sum in *key*
     order, computed distributed: range-partition the (small) sizes table,
     cumsum within each sorted partition, add driver-collected partition
-    offsets. Deterministic regardless of sampled range boundaries."""
+    offsets. Deterministic regardless of sampled range boundaries.
+
+    The result is eagerly ``localCheckpoint``-ed before returning: the
+    collected per-partition totals are only valid for the *sampled* range
+    boundaries, so a lazy recompute could re-sample and mis-assign offsets
+    — the checkpoint pins the materialized rows (a lost executor fails the
+    job instead of silently recomputing wrong) and lets the intermediate
+    cache be freed immediately instead of leaking across builds."""
     ranged = sizes.repartitionByRange(n, key).sortWithinPartitions(key)
     ranged.persist(StorageLevel.MEMORY_AND_DISK)
     part_totals = {
@@ -87,7 +104,10 @@ def _prefix_sum_offsets(sizes: DataFrame, key: str, n: int) -> DataFrame:
             run += int(sizes.sum())
             yield pdf
 
-    return ranged.mapInPandas(_cumsum, schema=f"{fields}, offset long")
+    out = ranged.mapInPandas(_cumsum, schema=f"{fields}, offset long")
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return out
 
 
 def assign_doc_ids(
@@ -145,15 +165,23 @@ def assign_doc_ids(
                 offsets = _prefix_sum_offsets(
                     sizes.select(group_col, "size"), group_col, n
                 )
-                total = offsets.agg(
-                    F.sum("size").alias("t")
-                ).collect()[0]["t"] or 0
+                sizes.unpersist()  # offsets is checkpointed; nothing else reads it
+                stats = offsets.agg(
+                    F.sum("size").alias("t"),
+                    F.count("*").alias("n_convs"),
+                    F.avg(F.length(group_col)).alias("key_len"),
+                ).collect()[0]
+                total = stats["t"] or 0
                 off = offsets.select(group_col, "offset")
                 # conversations are ~avg-turns× fewer than turns; broadcast
-                # when the offsets table is driver-safe, else co-partitioned
-                # shuffle join (Catalyst/AQE picks SMJ)
-                n_convs = offsets.count()
-                if n_convs <= 5_000_000:
+                # only while the estimated serialized table (key bytes +
+                # 8-byte offset + per-row overhead) fits the byte bound —
+                # row count alone undercounts long conv_ids; beyond it,
+                # co-partitioned shuffle join (Catalyst/AQE picks SMJ)
+                est_bytes = int(stats["n_convs"] or 0) * (
+                    float(stats["key_len"] or 0.0) + 28.0
+                )
+                if est_bytes <= BROADCAST_OFFSETS_MAX_BYTES:
                     off = F.broadcast(off)
                 out = df.join(off, group_col).withColumn(
                     "doc_id",

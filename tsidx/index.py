@@ -34,6 +34,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tsidx.io import read_table, write_table
+
 __all__ = [
     "InvertedIndex",
     "merge_indexes",
@@ -67,28 +69,23 @@ class InvertedIndex:
     def write(self, path: str, num_partitions: int | None = None) -> None:
         spark = self.docs.sparkSession
         n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        (
+        write_table(
             self.docs.repartitionByRange(n, "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "docs"))
+            .sortWithinPartitions("doc_id"),
+            os.path.join(path, "docs"),
         )
-        (
+        write_table(
             self.postings.repartitionByRange(n, "term", "block_id")
-            .sortWithinPartitions("term", "block_id")
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "postings"))
+            .sortWithinPartitions("term", "block_id"),
+            os.path.join(path, "postings"),
         )
-        (
+        write_table(
             self.terms.repartitionByRange(max(1, n // 4), "term")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "terms"))
+            .sortWithinPartitions("term"),
+            os.path.join(path, "terms"),
         )
         if self.manifest is not None:
-            self.manifest.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(path, "manifest")
-            )
+            write_table(self.manifest.coalesce(1), os.path.join(path, "manifest"))
         meta = dict(self.meta)
         meta["pinned"] = sorted(self.pinned)
         with open(os.path.join(path, "meta.json"), "w") as f:
@@ -96,13 +93,20 @@ class InvertedIndex:
 
     @classmethod
     def read(cls, spark: SparkSession, path: str) -> "InvertedIndex":
-        """Load either layout: one-shot (``write``) or checkpointed
-        (``tsidx.resume`` — shard-partitioned postings, JSON manifest)."""
+        """Load any layout: one-shot (``write``), checkpointed
+        (``tsidx.resume`` — shard-partitioned postings, JSON manifest), or
+        streaming-built (``tsidx.streaming`` — shard-partitioned docs AND
+        postings, ``stream_state.json``; delegated to
+        ``read_stream_index``)."""
+        if os.path.exists(os.path.join(path, "stream_state.json")):
+            from tsidx.streaming import read_stream_index
+
+            return read_stream_index(spark, path)
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         pinned = set(meta.pop("pinned", []))
         resumable = os.path.exists(os.path.join(path, "config.json"))
-        postings = spark.read.parquet(os.path.join(path, "postings"))
+        postings = read_table(spark, os.path.join(path, "postings"))
         if resumable:
             postings = postings.drop("shard")
             from tsidx.resume import read_manifest
@@ -112,14 +116,14 @@ class InvertedIndex:
         else:
             manifest_path = os.path.join(path, "manifest")
             manifest = (
-                spark.read.parquet(manifest_path)
+                read_table(spark, manifest_path)
                 if os.path.isdir(manifest_path)
                 else None
             )
         return cls(
-            docs=spark.read.parquet(os.path.join(path, "docs")),
+            docs=read_table(spark, os.path.join(path, "docs")),
             postings=postings,
-            terms=spark.read.parquet(os.path.join(path, "terms")),
+            terms=read_table(spark, os.path.join(path, "terms")),
             meta=meta,
             manifest=manifest,
             pinned=pinned,

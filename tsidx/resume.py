@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from tsidx.build import DEFAULT_BLOCK_SIZE, make_fused_block_builder
 from tsidx.docids import assign_doc_ids, check_unique_keys
 from tsidx.index import InvertedIndex
+from tsidx.io import read_table, write_table
 from tsidx.oracle import B, K1
 from tsidx.ship import ensure_shipped
 
@@ -112,13 +113,11 @@ def _prepare(
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    (
-        docs.repartitionByRange(n_parts, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "docs"))
+    write_table(
+        docs.repartitionByRange(n_parts, "doc_id").sortWithinPartitions("doc_id"),
+        os.path.join(path, "docs"),
     )
-    n_docs = spark.read.parquet(os.path.join(path, "docs")).count()
+    n_docs = read_table(spark, os.path.join(path, "docs")).count()
     cfg = {
         "order_cols": list(order_cols),
         "block_size": int(block_size),
@@ -137,7 +136,7 @@ def _prepare(
 
 def _build_shard(spark: SparkSession, path: str, cfg: dict, shard: int) -> None:
     lo, hi = shard * cfg["shard_size"], (shard + 1) * cfg["shard_size"]
-    docs = spark.read.parquet(os.path.join(path, "docs"))
+    docs = read_table(spark, os.path.join(path, "docs"))
     # doc_id range predicate prunes the range-partitioned docs scan
     shard_docs = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
     from tsidx.index import POSTINGS_ARRAY_SCHEMA, POSTINGS_VARBYTE_SCHEMA
@@ -156,9 +155,9 @@ def _build_shard(spark: SparkSession, path: str, cfg: dict, shard: int) -> None:
         .applyInPandas(make_fused_block_builder(cfg["codec"]), schema=schema)
     )
     out_dir = os.path.join(path, "postings", f"shard={shard}")
-    postings.write.mode("overwrite").parquet(out_dir)
+    write_table(postings, out_dir)
 
-    built = spark.read.parquet(out_dir)
+    built = read_table(spark, out_dir)
     stats = built.agg(
         F.count("*").alias("n_blocks"),
         F.sum("block_df").alias("n_postings"),
@@ -196,16 +195,18 @@ def _build_shard(spark: SparkSession, path: str, cfg: dict, shard: int) -> None:
 
 
 def _finalize(spark: SparkSession, path: str, cfg: dict) -> InvertedIndex:
-    postings = spark.read.option("basePath", os.path.join(path, "postings")).parquet(
-        os.path.join(path, "postings")
+    postings = read_table(
+        spark, os.path.join(path, "postings"),
+        base_path=os.path.join(path, "postings"),
     ).drop("shard")
     terms_dir = os.path.join(path, "terms")
     meta_path = os.path.join(path, "meta.json")
     if not os.path.exists(meta_path):
         terms = postings.groupBy("term").agg(F.sum("block_df").alias("df"))
-        terms.repartitionByRange(4, "term").sortWithinPartitions("term").write.mode(
-            "overwrite"
-        ).parquet(terms_dir)
+        write_table(
+            terms.repartitionByRange(4, "term").sortWithinPartitions("term"),
+            terms_dir,
+        )
         manifest = read_manifest(path)
         total_tokens = sum(r["token_count"] for r in manifest)
         meta = {
@@ -231,9 +232,9 @@ def _finalize(spark: SparkSession, path: str, cfg: dict) -> InvertedIndex:
         spark.createDataFrame(manifest_rows) if manifest_rows else None
     )
     return InvertedIndex(
-        docs=spark.read.parquet(os.path.join(path, "docs")),
+        docs=read_table(spark, os.path.join(path, "docs")),
         postings=postings,
-        terms=spark.read.parquet(terms_dir),
+        terms=read_table(spark, terms_dir),
         meta=meta,
         manifest=manifest_df,
         pinned=pinned,

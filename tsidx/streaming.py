@@ -41,6 +41,7 @@ from tsidx.index import (
     POSTINGS_VARBYTE_SCHEMA,
     InvertedIndex,
 )
+from tsidx.io import read_table, write_table
 from tsidx.oracle import B, K1
 from tsidx.resume import read_manifest
 from tsidx.ship import ensure_shipped
@@ -112,14 +113,10 @@ def append_batch(
         .applyInPandas(make_fused_block_builder(codec), schema=schema)
     )
     out_dir = os.path.join(path, "postings", f"shard={batch_id}")
-    postings.write.mode("overwrite").parquet(out_dir)
-    (
-        docs.write.mode("overwrite").parquet(
-            os.path.join(path, "docs", f"shard={batch_id}")
-        )
-    )
+    write_table(postings, out_dir)
+    write_table(docs, os.path.join(path, "docs", f"shard={batch_id}"))
 
-    built = spark.read.parquet(out_dir)
+    built = read_table(spark, out_dir)
     stats = built.agg(
         F.count("*").alias("n_blocks"),
         F.sum("block_df").alias("n_postings"),
@@ -152,11 +149,12 @@ def append_batch(
     os.replace(_state_path(path) + ".tmp", _state_path(path))
 
     # refresh queryable metadata (terms table + meta.json)
-    all_postings = spark.read.option(
-        "basePath", os.path.join(path, "postings")
-    ).parquet(os.path.join(path, "postings")).drop("shard")
+    all_postings = read_table(
+        spark, os.path.join(path, "postings"),
+        base_path=os.path.join(path, "postings"),
+    ).drop("shard")
     terms = all_postings.groupBy("term").agg(F.sum("block_df").alias("df"))
-    terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
+    write_table(terms, os.path.join(path, "terms"))
     meta = {
         "n_docs": state["n_docs"],
         "total_tokens": state["total_tokens"],
@@ -208,13 +206,15 @@ def read_stream_index(spark, path: str) -> InvertedIndex:
     pinned = set(meta.pop("pinned", []))
     rows = read_manifest(path)
     return InvertedIndex(
-        docs=spark.read.option("basePath", os.path.join(path, "docs"))
-        .parquet(os.path.join(path, "docs"))
-        .drop("shard"),
-        postings=spark.read.option("basePath", os.path.join(path, "postings"))
-        .parquet(os.path.join(path, "postings"))
-        .drop("shard"),
-        terms=spark.read.parquet(os.path.join(path, "terms")),
+        docs=read_table(
+            spark, os.path.join(path, "docs"),
+            base_path=os.path.join(path, "docs"),
+        ).drop("shard"),
+        postings=read_table(
+            spark, os.path.join(path, "postings"),
+            base_path=os.path.join(path, "postings"),
+        ).drop("shard"),
+        terms=read_table(spark, os.path.join(path, "terms")),
         meta=meta,
         manifest=spark.createDataFrame(rows) if rows else None,
         pinned=pinned,

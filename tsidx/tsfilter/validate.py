@@ -4,8 +4,10 @@
   ``Callable[[Any], bool]`` (reference ``validator2.py:18-266``). This is
   the dependency-free path and the one the reference test suite exercises.
 - :func:`create_validator` — pydantic-model compiler (reference
-  ``validator.py:50-260``); available only when pydantic is installed
-  (it is not in this sandbox), import-gated.
+  ``validator.py:50-260``): returns a dynamic pydantic model class with a
+  ``value`` field, ``strict`` + ``extra="forbid"``. Import-gated on
+  pydantic; both validators share the semantics below and pass the same
+  reference acceptance tables (tests/test_tsfilter_validate.py).
 
 Semantics mirrored from the reference:
 
@@ -181,17 +183,131 @@ def create_validator2(type_defs, root_name: str) -> ValidatorFn:
 
 
 def create_validator(type_defs, root_name: str):
-    """Pydantic-model validator (reference ``validator.py``); requires
-    pydantic, which this sandbox does not ship — raises ImportError with a
-    clear message when absent."""
+    """Compile the type graph into a dynamic **pydantic model** — the
+    reference's ``create_validator`` API (``validator.py:50-73``): returns a
+    model class ``Validator`` with a single ``value`` field;
+    ``Validator.model_validate({"value": x})`` raises ``ValidationError``
+    for non-conforming values.
+
+    Semantics are identical to :func:`create_validator2` (the reference's
+    own acceptance tables, ``tests/test_validator.py``): every leaf is an
+    ``Annotated[Any, BeforeValidator]`` exact-type check (so ``1`` rejects
+    ``True``/``1.0`` and ``number`` accepts int/float but not bool —
+    stricter than the reference's ``number -> float`` shortcut, matching
+    its validator2 and test tables instead), structs are nested
+    ``create_model`` classes with ``extra="forbid"``, generic defines bind
+    compiled argument types to parameter names positionally, and symbol
+    names shadow generic parameter names on lookup. Recursive types raise
+    ``ValueError`` (as in reference ``validator.py:231-233``).
+    """
     try:
-        import pydantic  # noqa: F401
+        from pydantic import BeforeValidator, ConfigDict, Field, create_model
     except ImportError as e:
         raise ImportError(
             "create_validator requires pydantic; use create_validator2 for "
             "the dependency-free closure validator"
         ) from e
-    raise NotImplementedError(
-        "pydantic validator compiler is gated out in this environment; "
-        "create_validator2 covers the reference validation semantics"
+    import itertools
+    from typing import Annotated
+    from typing import Any as TAny
+    from typing import List as TList
+    from typing import Union as TUnion
+
+    symbols = {d.name: d for d in type_defs if isinstance(d, Define)}
+    root = symbols.get(root_name)
+    if root is None:
+        raise ValueError(f"root type {root_name!r} not found")
+    if root.params:
+        raise ValueError("root type must not have type parameters")
+
+    model_cache: dict[str, object] = {}
+    compiling: set[str] = set()
+    counter = itertools.count()
+
+    def leaf(check, label: str):
+        def validate(v):
+            if not check(v):
+                raise ValueError(f"value does not match {label}")
+            return v
+
+        return Annotated[TAny, BeforeValidator(validate)]
+
+    builtins = {
+        "string": lambda: leaf(lambda v: type(v) is str, "string"),
+        "number": lambda: leaf(lambda v: type(v) in (int, float), "number"),
+        "boolean": lambda: leaf(lambda v: type(v) is bool, "boolean"),
+        "any": lambda: TAny,
+        "never": lambda: leaf(lambda v: False, "never"),
+    }
+
+    def conv(node, bindings: dict):
+        if isinstance(node, Define):
+            return conv_define(node, [])
+        if isinstance(node, Literal):
+            text = node.text
+            return leaf(lambda v: _strict_eq(v, text), repr(text))
+        if isinstance(node, Array):
+            return TList[conv(node.type, bindings)]
+        if isinstance(node, Union):
+            arms = tuple(conv(t, bindings) for t in node.types)
+            return arms[0] if len(arms) == 1 else TUnion[arms]
+        if isinstance(node, Struct):
+            fields = {}
+            for name, ftype in node.obj.items():
+                optional = name.endswith("?")
+                fields[name.rstrip("?")] = (
+                    conv(ftype, bindings),
+                    # absent-optional is allowed and its default is NOT
+                    # validated; an explicitly-present None still runs the
+                    # field validator (validator2 parity)
+                    Field(default=None) if optional else Field(...),
+                )
+            return create_model(
+                f"TsStruct_{next(counter)}",
+                __config__=ConfigDict(strict=True, extra="forbid"),
+                **fields,
+            )
+        if isinstance(node, Type):
+            return conv_ref(node, bindings)
+        if isinstance(node, AnyNode):
+            return TAny
+        if isinstance(node, Never):
+            return leaf(lambda v: False, "never")
+        raise ValueError(f"unsupported node in validator: {node!r}")
+
+    def conv_define(d: Define, arg_types: list):
+        if len(arg_types) != len(d.params):
+            raise ValueError(
+                f"expected {len(d.params)} type arguments, got {len(arg_types)}"
+            )
+        if not d.params:
+            if d.name in compiling:
+                raise ValueError(f"recursive type detected: {d.name}")
+            if d.name not in model_cache:
+                compiling.add(d.name)
+                try:
+                    model_cache[d.name] = conv(d.type, {})
+                finally:
+                    compiling.discard(d.name)
+            return model_cache[d.name]
+        return conv(d.type, {p.name: t for p, t in zip(d.params, arg_types)})
+
+    def conv_ref(node: Type, bindings: dict):
+        target = symbols.get(node.name)
+        if target is not None:  # symbols shadow generic parameter names
+            return conv_define(
+                target, [conv(p, bindings) for p in (node.params or [])]
+            )
+        if node.name in bindings:
+            return bindings[node.name]
+        make = builtins.get(node.name)
+        if make is not None:
+            return make()
+        raise ValueError(f"unknown type: {node.name}")
+
+    root_type = conv_define(root, [])
+    return create_model(
+        "Validator",
+        value=(root_type, Field(...)),
+        __config__=ConfigDict(strict=True, extra="forbid"),
     )
