@@ -562,6 +562,31 @@ def _q_multistream_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.terms.select("term", F.col("df").cast("long").alias("df"))
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked: documents become media rows with
+    an opaque ``binary`` payload (the text's UTF-8 bytes — deterministic, so
+    DuckDB can replay it), metadata attaches as a typed struct, and feature
+    extraction runs as the real ``mapInPandas`` Arrow-batched stage
+    (tsidx/multimodal.py). The decode step itself stays the documented
+    deterministic stub (no codec libs in this container); n_bytes/digest
+    verify the bytes flowed through the batch pipeline intact."""
+    from tsidx.multimodal import attach_media_metadata, extract_features
+
+    docs = load_documents(spark, sf_dir)
+    raw = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    media = attach_media_metadata(raw, kind="image")
+    feats = extract_features(media)
+    return feats.select(
+        F.col("media_id").cast("long"),
+        "kind",
+        F.col("n_bytes").cast("long"),
+        "digest",
+    )
+
+
 LSH_ANN_RECALL_BOUND = 0.5
 LSH_DEDUP_RECALL_BOUND = 0.5
 
@@ -631,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_term_df": _q_streaming_term_df,
         "multistream_term_df": _q_multistream_term_df,
         "lsh_ann_recall": _q_lsh_ann_recall,
+        "media_features": _q_media_features,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -765,6 +791,14 @@ tf AS (
 SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term""",
         "lsh_ann_recall": f"""
 SELECT {ANN_NQ}::BIGINT AS n_queries, true AS recall_ok""",
+        # payload = UTF-8 bytes of text; sha256(VARCHAR) hashes those same
+        # bytes, so the digest replays exactly
+        "media_features": """
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       substr(sha256(text), 1, 16) AS digest
+FROM documents""",
         "lsh_dedup_recall": """
 SELECT true AS recall_ok""",
         "match_or": f"""

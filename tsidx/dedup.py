@@ -108,7 +108,8 @@ def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text",
     toks_df = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
-    ).repartition(p)
+    ).repartition(p, F.col("doc_id"))  # hash, not round-robin: no
+    # sort-before-repartition pass, deterministic placement on retries
     m = F.size(F.col("toks"))
     shingles = F.array_distinct(
         F.transform(

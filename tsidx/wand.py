@@ -154,11 +154,15 @@ def wand_topk(index: InvertedIndex, query: str | list[str], k: int,
         max_tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * min_dl) / F.lit(avgdl))
     )
     # per-block upper bounds — a metadata-only DataFrame (payload columns are
-    # pruned from the scan); never collected in full
+    # pruned from the scan); never collected in full. Eagerly checkpointed:
+    # both the seed selection and the survivor filter read it, and the
+    # checkpoint (~24 B/block, <= ~10^6 blocks at 10^12 docs) avoids
+    # re-scanning the candidate metadata per consumer; blocks are freed by
+    # the context cleaner when the frame is garbage-collected.
     ub_df = cand.groupBy("block_id").agg(
         F.sum(idf_map[F.col("term")] * bound_wtf).alias("ub"),
         F.sum("block_df").alias("cand_count"),
-    )
+    ).localCheckpoint()
     # bounded seed collect: every block carries >= 1 candidate posting, so
     # the seed_factor*k highest-UB blocks always cover the seed quota
     seed_rows = (
