@@ -562,6 +562,52 @@ def _q_multistream_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.terms.select("term", F.col("df").cast("long").alias("df"))
 
 
+IVF_CENTROIDS = 16
+IVF_PROBES = 8
+
+
+def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (approximate, rows-only): deterministic
+    spherical k-means + map-only assignment + probe join; the exact
+    ``ann_cosine_topk`` is the ground truth (gated by ivf_ann_recall)."""
+    from tsidx.ann import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    topk = ivf_topk(
+        emb, queries_df, k=ANN_K, n_centroids=IVF_CENTROIDS,
+        n_probes=IVF_PROBES, n_iters=2,
+    )
+    return topk.select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.round("sim", 4).alias("sim_r"),
+    )
+
+
+IVF_ANN_RECALL_BOUND = 0.5
+
+
+def _q_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable recall gate for the IVF path (same shape as
+    lsh_ann_recall)."""
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in _q_ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in _q_ivf_ann_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact) if exact else 1.0
+    return spark.createDataFrame(
+        [(ANN_NQ, bool(recall >= IVF_ANN_RECALL_BOUND))],
+        "n_queries long, recall_ok boolean",
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked: documents become media rows with
     an opaque ``binary`` payload (the text's UTF-8 bytes — deterministic, so
@@ -657,6 +703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multistream_term_df": _q_multistream_term_df,
         "lsh_ann_recall": _q_lsh_ann_recall,
         "media_features": _q_media_features,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "ivf_ann_recall": _q_ivf_ann_recall,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -790,6 +838,8 @@ tf AS (
 )
 SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term""",
         "lsh_ann_recall": f"""
+SELECT {ANN_NQ}::BIGINT AS n_queries, true AS recall_ok""",
+        "ivf_ann_recall": f"""
 SELECT {ANN_NQ}::BIGINT AS n_queries, true AS recall_ok""",
         # payload = UTF-8 bytes of text; sha256(VARCHAR) hashes those same
         # bytes, so the digest replays exactly

@@ -90,3 +90,74 @@ def test_dup_pairs_lsh_subset_of_exact(emb):
     assert lsh <= exact
     if exact:
         assert len(lsh) / len(exact) >= 0.3  # candidate recall sanity
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_assign_covers_corpus(emb):
+    from tsidx.ann import ivf_assign, ivf_train_centroids
+
+    cents = ivf_train_centroids(emb, n_centroids=8, n_iters=1)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    assigned = ivf_assign(emb, cents)
+    rows = assigned.collect()
+    assert len(rows) == emb.count()  # map-only: every vector exactly once
+    assert all(0 <= r["cid"] < 8 for r in rows)
+
+
+def test_ivf_recall_bound(emb, queries):
+    """Probing half the centroid lists must recover a solid fraction of the
+    exact top-k even on an unclustered random corpus."""
+    from tsidx.ann import cosine_topk, ivf_topk
+
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = ivf_topk(
+        emb, queries, k=10, n_centroids=16, n_probes=8, n_iters=2
+    ).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every returned sim is a true cosine (exact scoring of candidates)
+    exact_sims = {(r["query_id"], r["vec_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_sims:
+            assert abs(r["sim"] - exact_sims[key]) < 1e-9
+
+
+def test_ivf_deterministic_and_amortizable(emb, queries):
+    from tsidx.ann import ivf_assign, ivf_topk, ivf_train_centroids
+
+    a = sorted(map(tuple, ivf_topk(emb, queries, k=5, n_centroids=8).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, queries, k=5, n_centroids=8).collect()))
+    assert a == b
+    # precomputed centroids + assignment (the persistent-index path) give
+    # the identical result
+    cents = ivf_train_centroids(emb, n_centroids=8, n_iters=2)
+    assigned = ivf_assign(emb, cents)
+    c = sorted(map(tuple, ivf_topk(
+        emb, queries, k=5, centroids=cents, assigned=assigned
+    ).collect()))
+    assert a == c
+
+
+def test_ivf_full_probe_equals_exact(emb, queries):
+    """Probing every centroid degrades to exact brute force — rank and sims
+    must match cosine_topk exactly."""
+    from tsidx.ann import cosine_topk, ivf_topk
+
+    exact = sorted(
+        (r["query_id"], r["vec_id"], round(r["sim"], 9))
+        for r in cosine_topk(emb, queries, k=10).collect()
+    )
+    full = sorted(
+        (r["query_id"], r["vec_id"], round(r["sim"], 9))
+        for r in ivf_topk(
+            emb, queries, k=10, n_centroids=8, n_probes=8
+        ).collect()
+    )
+    assert exact == full

@@ -26,6 +26,9 @@ __all__ = [
     "cosine_dup_pairs_exact",
     "lsh_bucketed_topk",
     "embedding_dup_pairs",
+    "ivf_train_centroids",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
@@ -167,6 +170,183 @@ def lsh_bucketed_topk(
         corpus_buckets.join(F.broadcast(query_buckets), ["_tbl", "_bkt"])
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col, "_e", "_n", "_qe", "_qn")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    sim = (_dot(F.col("_e"), F.col("_qe")) / (F.col("_n") * F.col("_qn"))).alias("sim")
+    scored = cand.select(query_id_col, id_col, sim)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+#
+# LSH above needs no training; IVF trades a short spherical-k-means training
+# pass for much better candidate selectivity on clustered corpora. Shape at
+# 100 TB: centroids (C ~ sqrt(N), a few MB) broadcast everywhere; the
+# corpus is assigned once in a map-only pass (no shuffle of the vectors)
+# and would be written partitioned by cid; a query scans only its n_probes
+# nearest centroid lists — the probe join shuffles candidates on cid, C
+# keys, bounded per-list by the cluster balance the k-means pass creates.
+# The C x dim x batch scoring is a dense matmul, which is exactly what an
+# Arrow-vectorized pandas UDF does 10-100x faster than per-element codegen
+# expressions — the documented "drop to pandas UDF when built-ins can't
+# express it" case.
+
+
+def _normalize_rows(mat):
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def _assign_map(centroids, id_col, emb_col, top: int = 1,
+                passthrough: bool = False):
+    """mapInPandas factory: append argmax-cosine centroid id(s) as ``cid``.
+    With *passthrough* the embedding column rides along, so corpus
+    assignment is map-only — no join back, no shuffle of the vectors."""
+    top = min(top, len(centroids))
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cmat = _normalize_rows(np.asarray(centroids, dtype=np.float64)).T
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = _normalize_rows(
+                np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            )
+            sims = emb @ cmat  # (batch, C)
+            if top == 1:
+                out = {id_col: pdf[id_col],
+                       "cid": sims.argmax(axis=1).astype("int32")}
+                if passthrough:
+                    out[emb_col] = pdf[emb_col]
+            else:
+                # ties broken toward lower cid: argsort is stable on the
+                # negated sims
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+                out = {
+                    id_col: pdf[id_col].to_numpy().repeat(top),
+                    "cid": order.reshape(-1).astype("int32"),
+                }
+                if passthrough:
+                    out[emb_col] = pdf[emb_col].to_numpy().repeat(top)
+            yield pd.DataFrame(out)
+
+    return assign
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 64,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Spherical-k-means centroids, deterministic end to end.
+
+    Init: the *n_centroids* corpus vectors with the smallest md5(id) — a
+    hash-spread sample with no RNG state (TakeOrdered, no full sort). Each
+    Lloyd iteration is one map-only assignment (broadcast centroids,
+    vectorized matmul) plus one groupBy(cid) of per-dimension means —
+    ``dim`` avg aggregates, JVM-side. Returns plain lists (broadcastable).
+    """
+    if dim is None:
+        dim = len(corpus.select(emb_col).first()[0])
+    seed_rows = (
+        corpus.select(id_col, emb_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[emb_col]] for r in seed_rows]
+    src = corpus.select(id_col, emb_col)
+    emb_type = dict(src.dtypes)[emb_col]
+    for _ in range(n_iters):
+        assigned = src.mapInPandas(
+            _assign_map(centroids, id_col, emb_col, passthrough=True),
+            schema=f"{id_col} long, cid int, {emb_col} {emb_type}",
+        )
+        e = _as_double(F.col(emb_col))
+        means = assigned.groupBy("cid").agg(
+            *[F.avg(e[i]).alias(f"m{i}") for i in range(dim)]
+        )
+        new = {
+            r["cid"]: [r[f"m{i}"] for i in range(dim)] for r in means.collect()
+        }
+        # empty clusters keep their previous centroid (deterministic)
+        centroids = [new.get(c, centroids[c]) for c in range(len(centroids))]
+    return centroids
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, embedding): map-only nearest-centroid assignment — the IVF
+    index build. At scale, write the result partitioned by cid."""
+    src = corpus.select(id_col, emb_col)
+    emb_type = dict(src.dtypes)[emb_col]
+    return src.mapInPandas(
+        _assign_map(centroids, id_col, emb_col, passthrough=True),
+        schema=f"{id_col} long, cid int, {emb_col} {emb_type}",
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 64,
+    n_probes: int = 8,
+    n_iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    assigned: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF probing: each query exactly scores
+    only the vectors assigned to its *n_probes* nearest centroids.
+
+    Recall < 1 by design (the exact :func:`cosine_topk` is the oracle);
+    raise ``n_probes`` toward ``n_centroids`` to trade latency for recall.
+    Pass precomputed *centroids*/*assigned* to amortize training across
+    queries (the persistent-index usage).
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, n_centroids, n_iters, id_col, emb_col
+        )
+    if assigned is None:
+        assigned = ivf_assign(corpus, centroids, id_col, emb_col)
+    c = _with_norm(assigned.select(id_col, emb_col, "cid"), emb_col, "_n")
+    probes = queries.select(query_id_col, query_emb_col).mapInPandas(
+        _assign_map(centroids, query_id_col, query_emb_col, top=n_probes),
+        schema=f"{query_id_col} long, cid int",
+    )
+    q = _with_norm(
+        queries.select(query_id_col, query_emb_col), query_emb_col, "_qn"
+    ).select(query_id_col, F.col("_e").alias("_qe"), "_qn")
+    probe_q = probes.join(q, query_id_col)
+    cand = (
+        c.join(F.broadcast(probe_q), "cid")
+        .filter(F.col(id_col) != F.col(query_id_col))
         .dropDuplicates([query_id_col, id_col])
     )
     sim = (_dot(F.col("_e"), F.col("_qe")) / (F.col("_n") * F.col("_qn"))).alias("sim")
