@@ -562,6 +562,71 @@ def _q_multistream_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.terms.select("term", F.col("df").cast("long").alias("df"))
 
 
+# Fixed parameters of the boolean / phrase / prefix / filtered query set.
+Q_BOOL = "customer AND (query OR merge) NOT window"
+Q_PHRASE = "table hash"
+Q_PHRASE3 = "row column sort"
+Q_PREFIX = "s"
+Q_ROLE = "user"  # docs with doc_id % 4 == 0 (documents_as_transcripts)
+
+
+def get_positional(spark: SparkSession, sf_dir: str):
+    """Positional posting blocks over the same docID space as the index."""
+    key = (id(spark), os.path.normpath(sf_dir), "positional")
+    pos = _INDEX_CACHE.get(key)
+    if pos is None:
+        from pyspark import StorageLevel
+
+        from tsidx.positions import positional_postings
+
+        idx = get_index(spark, sf_dir)
+        pos = positional_postings(idx.docs, block_size=1024)
+        pos.persist(StorageLevel.MEMORY_AND_DISK)
+        _INDEX_CACHE[key] = pos
+    return pos
+
+
+def _phrase_df(spark: SparkSession, sf_dir: str, phrase: str) -> DataFrame:
+    from tsidx.positions import phrase_counts
+
+    return phrase_counts(get_positional(spark, sf_dir), phrase).select(
+        F.col("doc_id").cast("long"), F.col("n_occ").cast("long")
+    )
+
+
+def _q_phrase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search (positional postings): docs containing the
+    consecutive stemmed bigram Q_PHRASE, with occurrence counts."""
+    return _phrase_df(spark, sf_dir, Q_PHRASE)
+
+
+def _q_phrase_counts3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram phrase search — exercises >2 alignment offsets."""
+    return _phrase_df(spark, sf_dir, Q_PHRASE3)
+
+
+def _q_bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean query-tree retrieval: AND / OR / NOT over posting doc sets."""
+    eng = get_engine(spark, sf_dir)
+    return eng.search(Q_BOOL).select(F.col("doc_id").cast("long"))
+
+
+def _q_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard ``s*`` retrieval — StringStartsWith pushed to the posting
+    scan; no term-dictionary materialization."""
+    eng = get_engine(spark, sf_dir)
+    return eng.match_prefix(Q_PREFIX).select(F.col("doc_id").cast("long"))
+
+
+def _q_bm25_topk_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered BM25 top-k: scores restricted to role='user' turns
+    (predicate pushed to the docs scan, semi-join before TakeOrdered)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.bm25_topk_where(
+        Q_BM25, Q_BM25_K, F.col("role") == Q_ROLE
+    ).select(F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r"))
+
+
 IVF_CENTROIDS = 16
 IVF_PROBES = 8
 
@@ -705,6 +770,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "ivf_ann_recall": _q_ivf_ann_recall,
+        "phrase_counts": _q_phrase_counts,
+        "phrase_counts3": _q_phrase_counts3,
+        "bool_search": _q_bool_search,
+        "prefix_match": _q_prefix_match,
+        "bm25_topk_role": _q_bm25_topk_role,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -796,6 +866,43 @@ SELECT doc_id,
 FROM h"""
 
 
+def _positions_cte() -> str:
+    """CTE ``pos`` — (doc_id, term, pos): stemmed token stream with 0-based
+    positions (DuckDB zips parallel unnests in one SELECT)."""
+    return f"""
+tp AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) - 1 AS p
+  FROM (SELECT doc_id, {_toks_sql()} AS toks FROM documents
+        WHERE trim(text) <> '')
+),
+pos AS (
+  SELECT doc_id, {_stem_case_sql()} AS term, p FROM tp
+)"""
+
+
+def _phrase_sql(phrase: str) -> str:
+    """Occurrence-counting phrase oracle: align each phrase offset's stem
+    positions on ``p - off`` and keep bases where every offset is present —
+    the same alignment plan the engine runs."""
+    from tsidx.tokenize import stem_tokens
+
+    stems = stem_tokens(phrase)  # order-preserving, pre-dedup
+    offs = ", ".join(f"('{t}', {i})" for i, t in enumerate(stems))
+    return f"""
+WITH {_positions_cte()},
+offs(term, off) AS (VALUES {offs}),
+hits AS (
+  SELECT pos.doc_id, pos.p - offs.off AS base, offs.off
+  FROM pos JOIN offs ON pos.term = offs.term
+),
+occ AS (
+  SELECT doc_id, base FROM hits
+  GROUP BY doc_id, base HAVING count(DISTINCT off) = {len(stems)}
+)
+SELECT doc_id, count(*)::BIGINT AS n_occ FROM occ GROUP BY doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     from tsidx.textstats import BPE_PIECE_RE, LANG_PROFILES
 
@@ -869,6 +976,26 @@ ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
 SELECT * FROM ({_bm25_scores_sql(Q_BM25)})
 ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "bm25_scores_rare": _bm25_scores_sql(Q_RARE),
+        "phrase_counts": _phrase_sql(Q_PHRASE),
+        "phrase_counts3": _phrase_sql(Q_PHRASE3),
+        # Q_BOOL = "customer AND (query OR merge) NOT window"; INTERSECT
+        # binds tighter than EXCEPT (SQL standard), so this reads
+        # (customer ∩ (query ∪ merge)) ∖ window
+        "bool_search": f"""
+WITH {terms_cte}
+SELECT DISTINCT doc_id FROM trm WHERE term IN ({_terms_in("customer")})
+INTERSECT
+SELECT DISTINCT doc_id FROM trm WHERE term IN ({_terms_in("query merge")})
+EXCEPT
+SELECT DISTINCT doc_id FROM trm WHERE term IN ({_terms_in("window")})""",
+        "prefix_match": f"""
+WITH {terms_cte}
+SELECT DISTINCT doc_id FROM trm WHERE term LIKE '{Q_PREFIX}%'""",
+        # role = ROLES[doc_id % 4]; Q_ROLE='user' ⇔ doc_id % 4 = 0
+        "bm25_topk_role": f"""
+SELECT * FROM ({_bm25_scores_sql(Q_BM25)})
+WHERE doc_id % 4 = {_ROLES.index(Q_ROLE)}
+ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "doc_length": f"""
 WITH {terms_cte}
 SELECT doc_id, dl FROM dl""",

@@ -1,0 +1,135 @@
+"""Positional postings + phrase queries (tsidx/positions.py).
+
+Ground truth: a pure-Python phrase scanner over the same stemmed token
+streams (reference tokenization semantics — whitespace split + Porter2).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tsidx.porter2 import stem
+
+
+def _stems(text: str) -> list[str]:
+    return [stem(t) for t in text.split()]
+
+
+def _py_phrase_occurrences(docs: list[tuple[int, str]], phrase: str):
+    """doc_id -> occurrence count of the exact consecutive stemmed phrase."""
+    p = _stems(phrase)
+    out = {}
+    for doc_id, text in docs:
+        toks = _stems(text)
+        n = sum(
+            1
+            for i in range(len(toks) - len(p) + 1)
+            if toks[i : i + len(p)] == p
+        )
+        if n:
+            out[doc_id] = n
+    return out
+
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "quick brown foxes are jumping over lazy dogs"),  # stems align
+    (2, "brown quick fox"),  # words present, order wrong
+    (3, "the quick   brown\tfox"),  # whitespace runs
+    (4, "quick brown quick brown quick brown"),  # overlapping repeats
+    (5, "big big big"),  # repeated-term phrase
+    (6, ""),
+    (7, "quick"),
+    (8, "nothing relevant here"),
+    (9, "wrapping quick brown fox quick brown fox twice"),
+]
+
+
+@pytest.fixture(scope="module")
+def positional(spark):
+    from tsidx.positions import positional_postings
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    return positional_postings(docs, block_size=4).cache()
+
+
+def _match_ids(positional, phrase):
+    from tsidx.positions import phrase_match
+
+    return [r["doc_id"] for r in phrase_match(positional, phrase).collect()]
+
+
+def test_phrase_counts_vs_python_oracle(positional):
+    from tsidx.positions import phrase_counts
+
+    for phrase in [
+        "quick brown",
+        "quick brown fox",
+        "the quick brown fox",
+        "lazy dog",
+        "big big",
+        "brown quick",
+        "absent words",
+        "quick",
+    ]:
+        exp = _py_phrase_occurrences(CORPUS, phrase)
+        got = {
+            r["doc_id"]: r["n_occ"]
+            for r in phrase_counts(positional, phrase).collect()
+        }
+        assert got == exp, f"phrase {phrase!r}: {got} != {exp}"
+
+
+def test_phrase_match_order_and_stemming(positional):
+    # "jumping over" stems to "jump over" — matches docs 0 and 1
+    assert _match_ids(positional, "jumps over") == [0, 1]
+    assert _match_ids(positional, "jumping over") == [0, 1]
+
+
+def test_overlapping_occurrences(positional):
+    from tsidx.positions import phrase_counts
+
+    got = {
+        r["doc_id"]: r["n_occ"]
+        for r in phrase_counts(positional, "quick brown").collect()
+    }
+    assert got[4] == 3 and got[9] == 2
+
+
+def test_repeated_term_phrase(positional):
+    from tsidx.positions import phrase_counts
+
+    got = {
+        r["doc_id"]: r["n_occ"]
+        for r in phrase_counts(positional, "big big").collect()
+    }
+    assert got == {5: 2}  # overlapping at positions 0 and 1
+
+
+def test_empty_phrase(positional):
+    from tsidx.positions import phrase_counts
+
+    assert phrase_counts(positional, "   ").count() == 0
+
+
+def test_blocks_decode_roundtrip(spark, positional):
+    """Decoded (term, doc_id, pos) rows == direct tokenization."""
+    from tsidx.positions import decode_positional
+
+    exp = set()
+    for doc_id, text in CORPUS:
+        for pos, s in enumerate(_stems(text)):
+            exp.add((s, doc_id, pos))
+    got = {
+        (r["term"], r["doc_id"], r["pos"])
+        for r in decode_positional(positional).collect()
+    }
+    assert got == exp
+
+
+def test_block_partitioning(positional):
+    """block_id = doc_id // block_size; blocks stay docID-contiguous."""
+    rows = positional.collect()
+    assert {r["block_id"] for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert r["block_df"] >= 1

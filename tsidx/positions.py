@@ -1,0 +1,231 @@
+"""Positional postings + phrase queries.
+
+The core index (tsidx/build.py) stores (doc_id, tf, dl) per posting — enough
+for boolean retrieval and BM25 but not for phrase ("exact consecutive
+tokens") queries, which the reference's whitespace/stem tokenization makes
+well-defined: a phrase matches where the *stems* of consecutive tokens equal
+the stemmed phrase (reference tokenization semantics:
+/root/reference/ts_type_filter/inverted_index.py:26-45; phrase search itself
+is a standard fulltext-index extension the reference does not ship).
+
+Positions are a SEPARATE build artifact, not a third stream bolted onto the
+core posting blocks: at 10^12 turns the positional payload is ~avgdl/1.5x
+larger than the docID+tf index, and only phrase workloads pay for it.
+Layout mirrors the core index so every scale property carries over:
+
+- one wide shuffle of raw docs hashed by uniform ``block_id`` (not term —
+  Zipf-hot terms never skew the exchange),
+- per (term, block): varbyte docID gaps + per-doc occurrence counts +
+  a single concatenated position-gap stream (first position of each doc
+  absolute, then within-doc gaps — cross-doc boundaries recovered from the
+  counts stream, so no per-doc framing bytes),
+- blocks are docID-contiguous -> global posting list = concat of blocks.
+
+Query plan (``phrase_match`` / ``phrase_counts``): pushed ``term IN`` scan
+of the phrase's terms only -> Arrow-batched decode -> broadcast join with
+the (term, offset) table -> ONE shuffle on (doc_id, pos - offset) counting
+distinct offsets -> docs where some base position aligns every offset.
+Candidate volume is bounded by the phrase terms' postings, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsidx.compress import varbyte_decode, varbyte_encode
+
+__all__ = [
+    "positional_postings",
+    "decode_positional",
+    "phrase_match",
+    "phrase_counts",
+]
+
+POSITIONS_SCHEMA = (
+    "term string, block_id long, block_df long, "
+    "doc_gaps binary, counts binary, pos_gaps binary"
+)
+_DECODED_SCHEMA = "term string, doc_id long, pos int"
+
+
+def _make_positional_builder():
+    """applyInPandas factory: one group = one block's (doc_id, text) docs ->
+    that block's positional posting rows (same fused single-Arrow-pass shape
+    as tsidx.build.make_fused_block_builder)."""
+    from tsidx.porter2 import stem
+
+    def build_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cache = build_block._stem_cache
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        doc_ids = pdf["doc_id"].to_numpy()
+        token_lists = pdf["text"].str.split()
+        block_id = int(pdf["block_id"].iloc[0])
+        # term -> ([doc_id], [count], [pos...flat])
+        acc: dict[str, tuple[list, list, list]] = {}
+        for doc_id, tokens in zip(doc_ids, token_lists):
+            if tokens is None:
+                continue
+            per_doc: dict[str, list[int]] = {}
+            for pos, tok in enumerate(tokens):
+                s = cache.get(tok)
+                if s is None:
+                    s = stem(tok)
+                    cache[tok] = s
+                per_doc.setdefault(s, []).append(pos)
+            for term, plist in per_doc.items():
+                entry = acc.get(term)
+                if entry is None:
+                    acc[term] = entry = ([], [], [])
+                entry[0].append(doc_id)
+                entry[1].append(len(plist))
+                # first position absolute, then within-doc gaps
+                prev = 0
+                for i, p in enumerate(plist):
+                    entry[2].append(p if i == 0 else p - prev)
+                    prev = p
+        out = {
+            "term": [], "block_id": [], "block_df": [],
+            "doc_gaps": [], "counts": [], "pos_gaps": [],
+        }
+        for term in sorted(acc):
+            d, c, p = acc[term]
+            darr = np.asarray(d, dtype=np.uint64)
+            gaps = np.empty_like(darr)
+            if len(darr):
+                gaps[0] = darr[0]
+                np.subtract(darr[1:], darr[:-1], out=gaps[1:])
+            out["term"].append(term)
+            out["block_id"].append(block_id)
+            out["block_df"].append(len(d))
+            out["doc_gaps"].append(varbyte_encode(gaps))
+            out["counts"].append(varbyte_encode(np.asarray(c, dtype=np.uint64)))
+            out["pos_gaps"].append(varbyte_encode(np.asarray(p, dtype=np.uint64)))
+        return pd.DataFrame(out)
+
+    build_block._stem_cache = {}
+    return build_block
+
+
+def positional_postings(
+    docs: DataFrame, block_size: int = 1 << 20
+) -> DataFrame:
+    """(doc_id, text) -> positional posting blocks (POSITIONS_SCHEMA).
+
+    *docs* is the ``InvertedIndex.docs`` frame (docIDs already assigned), so
+    the positional artifact shares the core index's docID space and can be
+    built lazily/afterwards without re-running docID assignment.
+    """
+    from tsidx.ship import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    return (
+        docs.select(
+            "doc_id", "text",
+            F.expr(f"doc_id DIV {int(block_size)}").alias("block_id"),
+        )
+        .groupBy("block_id")
+        .applyInPandas(_make_positional_builder(), schema=POSITIONS_SCHEMA)
+    )
+
+
+def _decode_positional_map(batches):
+    """Arrow-batched decoder: positional blocks -> (term, doc_id, pos) rows.
+
+    Fully vectorized: the concatenated position-gap stream is recovered with
+    one segmented cumsum (cumsum of all gaps minus each doc-segment's prefix
+    offset) — no per-posting Python loop.
+    """
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        t_chunks, d_chunks, p_chunks = [], [], []
+        for term, g, c, p in zip(
+            pdf["term"], pdf["doc_gaps"], pdf["counts"], pdf["pos_gaps"]
+        ):
+            doc_ids = np.cumsum(varbyte_decode(bytes(g)), dtype=np.uint64)
+            counts = varbyte_decode(bytes(c)).astype(np.int64)
+            gaps = varbyte_decode(bytes(p)).astype(np.int64)
+            n = int(counts.sum())
+            if n == 0:
+                continue
+            # segmented cumsum: absolute positions within each doc segment
+            cs = np.cumsum(gaps)
+            starts = np.zeros(len(counts), dtype=np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            seg_base = np.zeros(len(counts), dtype=np.int64)
+            seg_base[1:] = cs[starts[1:] - 1]
+            pos = cs - np.repeat(seg_base, counts)
+            t_chunks.append(np.full(n, term, dtype=object))
+            d_chunks.append(np.repeat(doc_ids.astype(np.int64), counts))
+            p_chunks.append(pos.astype(np.int32))
+        if not d_chunks:
+            yield pd.DataFrame(
+                {
+                    "term": pd.Series(dtype=object),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "pos": pd.Series(dtype="int32"),
+                }
+            )
+            continue
+        yield pd.DataFrame(
+            {
+                "term": np.concatenate(t_chunks),
+                "doc_id": np.concatenate(d_chunks),
+                "pos": np.concatenate(p_chunks),
+            }
+        )
+
+
+def decode_positional(blocks: DataFrame) -> DataFrame:
+    """Positional blocks -> (term, doc_id, pos) rows."""
+    return blocks.mapInPandas(_decode_positional_map, schema=_DECODED_SCHEMA)
+
+
+def _phrase_offsets(phrase: str | list[str]) -> list[tuple[str, int]]:
+    from tsidx.tokenize import stem_tokens
+
+    text = phrase if isinstance(phrase, str) else " ".join(phrase)
+    return [(t, i) for i, t in enumerate(stem_tokens(text))]
+
+
+def phrase_counts(
+    positional: DataFrame, phrase: str | list[str]
+) -> DataFrame:
+    """(doc_id, n_occ): docs containing the exact consecutive stemmed
+    phrase, with occurrence counts.
+
+    A doc position ``base`` is an occurrence iff for every phrase offset
+    ``i`` the i-th stem occurs at ``base + i`` — detected by counting
+    distinct offsets per (doc_id, pos - offset) group. Repeated stems in the
+    phrase ("big big") are handled naturally: one posting row joins every
+    offset the stem occupies.
+    """
+    offsets = _phrase_offsets(phrase)
+    spark = positional.sparkSession
+    if not offsets:
+        return spark.createDataFrame([], "doc_id long, n_occ long")
+    m = len(offsets)
+    terms = sorted({t for t, _ in offsets})
+    offs = spark.createDataFrame(offsets, "term string, off int")
+    rows = decode_positional(positional.filter(F.col("term").isin(terms)))
+    aligned = rows.join(F.broadcast(offs), "term").select(
+        "doc_id", (F.col("pos") - F.col("off")).alias("base"), "off"
+    )
+    occurrences = (
+        aligned.groupBy("doc_id", "base")
+        .agg(F.count_distinct("off").alias("n_off"))
+        .filter(F.col("n_off") == m)
+    )
+    return occurrences.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_occ")
+    )
+
+
+def phrase_match(positional: DataFrame, phrase: str | list[str]) -> DataFrame:
+    """doc_ids containing the exact phrase, ascending (insertion) order."""
+    return phrase_counts(positional, phrase).select("doc_id").orderBy("doc_id")

@@ -188,6 +188,42 @@ class QueryEngine:
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
 
+    def match_prefix(self, prefix: str) -> DataFrame:
+        """Docs containing any term with the given (stem-space) prefix —
+        wildcard search ``prefix*``. The ``startswith`` predicate pushes to
+        the posting scan as ``StringStartsWith`` (blocks are written sorted
+        by term, so row-group pruning applies); no term dictionary collect.
+        """
+        blocks = self.index.postings.filter(F.col("term").startswith(prefix))
+        return self._decode(blocks).select("doc_id").distinct().orderBy("doc_id")
+
+    def search(self, query: str) -> DataFrame:
+        """Boolean query-string retrieval (``"a AND (b OR c) NOT d"``) —
+        see :mod:`tsidx.boolquery`."""
+        from tsidx.boolquery import BooleanEngine
+
+        return BooleanEngine(self).search(query)
+
+    def bm25_topk_where(
+        self, query: str | list[str], k: int, predicate
+    ) -> DataFrame:
+        """Top-k BM25 restricted to docs satisfying *predicate* (a Column
+        over the docs table, e.g. ``F.col("role") == "user"``).
+
+        Plan: the predicate is pushed to the docs scan (metadata columns
+        only — the text column is pruned), and candidate scores are
+        semi-joined against the qualifying doc_ids before the TakeOrdered.
+        Scoring still reads only the query terms' posting blocks, so the
+        filter never widens the scored set — it only shrinks it.
+        """
+        keep = self.index.docs.filter(predicate).select("doc_id")
+        return (
+            self.bm25_scores(query)
+            .join(keep, "doc_id", "semi")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def wand_topk(self, query: str | list[str], k: int) -> DataFrame:
         """Block-max WAND top-k (tsidx.wand) — rank- and score-identical to
         :meth:`bm25_topk`, prunes non-competitive posting blocks."""
