@@ -9,7 +9,12 @@ import pytest
 
 from tsidx.oracle import OracleIndex
 from tsidx.query import QueryEngine
-from tsidx.streaming import append_batch, read_stream_index, stream_build
+from tsidx.streaming import (
+    append_batch,
+    compact_stream_index,
+    read_stream_index,
+    stream_build,
+)
 
 BASE = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
 SCHEMA = (
@@ -75,6 +80,61 @@ def test_append_replay_is_idempotent(spark, halves, tmp_path):
     assert idx2.meta["n_docs"] == 154
     t2 = sorted(tuple(r) for r in idx2.terms.collect())
     assert t1 == t2
+
+
+def _index_fingerprint(spark, path):
+    idx = read_stream_index(spark, path)
+    stats = idx.statistics()
+    eng = QueryEngine(idx)
+    topk = [
+        (r["doc_id"], r["score"]) for r in eng.bm25_topk("fire heat love", 10).collect()
+    ]
+    terms = sorted(tuple(r) for r in idx.terms.collect())
+    return stats, topk, terms
+
+
+def _posting_files(path):
+    out = []
+    for root, _, files in os.walk(os.path.join(path, "postings")):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_compaction_preserves_index(spark, sonnets, tmp_path):
+    """Many-batch ingest -> compact -> logical index is identical, the
+    shard/file layout collapses, and ingestion can continue afterwards."""
+    path = str(tmp_path / "sidx")
+    chunks = [sonnets[i : i + 20] for i in range(0, 140, 20)]  # 7 batches
+    for bid, chunk in enumerate(chunks):
+        append_batch(
+            spark.createDataFrame(rows_for(chunk, f"c{bid}"), SCHEMA),
+            path, bid, block_size=32,
+        )
+    before = _index_fingerprint(spark, path)
+    files_before = _posting_files(path)
+
+    row = compact_stream_index(spark, path, num_files=2)
+    assert row["doc_count"] == 140
+    assert row["compacted_from"] == "0,1,2,3,4,5,6"
+    files_after = _posting_files(path)
+    assert len(files_after) < len(files_before)
+    assert _index_fingerprint(spark, path) == before
+
+    # replay of an already-compacted batch is a no-op, not a duplicate
+    append_batch(
+        spark.createDataFrame(rows_for(chunks[3], "c3"), SCHEMA),
+        path, 3, block_size=32,
+    )
+    assert _index_fingerprint(spark, path) == before
+
+    # ingestion continues against the compacted layout
+    append_batch(
+        spark.createDataFrame(rows_for(sonnets[140:], "c7"), SCHEMA),
+        path, 7, block_size=32,
+    )
+    idx = read_stream_index(spark, path)
+    assert idx.meta["n_docs"] == 154
+    assert idx.statistics()["num_documents"] == 154
 
 
 def test_stream_build_file_source(spark, halves, tmp_path):

@@ -46,7 +46,12 @@ from tsidx.oracle import B, K1
 from tsidx.resume import read_manifest
 from tsidx.ship import ensure_shipped
 
-__all__ = ["append_batch", "stream_build", "read_stream_index"]
+__all__ = [
+    "append_batch",
+    "stream_build",
+    "read_stream_index",
+    "compact_stream_index",
+]
 
 
 def _state_path(path: str) -> str:
@@ -93,6 +98,11 @@ def append_batch(
         raise ValueError("batch parameters differ from the index's")
     key = str(batch_id)
     replay = state["batches"].get(key)
+    if replay is not None and batch_id <= state.get("compacted_through", -1):
+        # exactly-once across compaction: this batch's rows already live in
+        # the compacted shard — a crash-window replay must not re-write a
+        # per-batch shard that no longer exists (it would duplicate postings)
+        return
     base = (
         replay["doc_lo"]
         if replay is not None
@@ -132,6 +142,7 @@ def append_batch(
         "n_blocks": int(stats["n_blocks"] or 0),
         "n_postings": int(stats["n_postings"] or 0),
         "max_block_df": int(stats["max_block_df"] or 0),
+        "compacted_from": "",  # keeps manifest rows schema-uniform
     }
     os.makedirs(os.path.join(path, "manifest"), exist_ok=True)
     marker = os.path.join(path, "manifest", f"shard-{batch_id}.json")
@@ -199,12 +210,113 @@ def stream_build(
     return writer.start()
 
 
+def compact_stream_index(
+    spark, path: str, num_files: int | None = None
+) -> dict:
+    """Collapse a streaming index's per-batch shards into one compacted
+    shard — the small-file maintenance pass every streaming ingest needs.
+
+    Every micro-batch leaves its own ``shard=<batch_id>`` directory; after
+    hours of ingest a term's posting blocks are scattered across thousands
+    of small parquet files and the ``term IN`` scan pays one file open per
+    shard. Compaction rewrites postings range-partitioned and sorted by
+    ``(term, block_id)`` — restoring row-group pruning locality — and docs
+    sorted by ``doc_id``. Posting *blocks* are never merged or re-encoded:
+    ``block_id = doc_id DIV block_size`` is a structural invariant (WAND's
+    one-group-per-block pruning and shard mergeability depend on it), and
+    batch id ranges start at block boundaries so blocks never span shards;
+    compaction is purely a physical-layout rewrite — the logical index is
+    bit-identical before and after.
+
+    Lineage: the per-batch manifest rows are replaced by one compacted row
+    carrying ``compacted_from`` (the source shard ids) and the summed
+    metrics; ``stream_state.json`` keeps the per-batch docID watermarks and
+    gains ``compacted_through`` so a crash-window replay of an
+    already-compacted batch is a no-op instead of a duplicate shard
+    (see :func:`append_batch`). The stream must be stopped while
+    compacting; ingestion resumes against the compacted layout afterwards.
+
+    Returns the new manifest row.
+    """
+    import shutil
+
+    ensure_shipped(spark)
+    state_p = _state_path(path)
+    if not os.path.exists(state_p):
+        raise FileNotFoundError(f"not a streaming index: {state_p}")
+    with open(state_p) as f:
+        state = json.load(f)
+    rows = read_manifest(path)
+    if not rows:
+        raise ValueError(f"no committed shards under {path}")
+    shard_ids = sorted(int(r["shard_id"]) for r in rows)
+    if num_files is None:
+        num_files = max(1, spark.sparkContext.defaultParallelism // 2)
+
+    post_dir = os.path.join(path, "postings")
+    docs_dir = os.path.join(path, "docs")
+    postings = read_table(spark, post_dir, base_path=post_dir).drop("shard")
+    docs = read_table(spark, docs_dir, base_path=docs_dir).drop("shard")
+
+    tmp_post = os.path.join(path, "postings._compact")
+    tmp_docs = os.path.join(path, "docs._compact")
+    write_table(
+        postings.repartitionByRange(num_files, "term", "block_id")
+        .sortWithinPartitions("term", "block_id"),
+        os.path.join(tmp_post, "shard=0"),
+    )
+    write_table(
+        docs.repartitionByRange(num_files, "doc_id")
+        .sortWithinPartitions("doc_id"),
+        os.path.join(tmp_docs, "shard=0"),
+    )
+
+    row = {
+        "shard_id": 0,
+        "doc_lo": min(int(r["doc_lo"]) for r in rows),
+        "doc_hi": max(int(r["doc_hi"]) for r in rows),
+        "doc_count": sum(int(r["doc_count"]) for r in rows),
+        "token_count": sum(int(r["token_count"]) for r in rows),
+        "n_blocks": sum(int(r["n_blocks"]) for r in rows),
+        "n_postings": sum(int(r["n_postings"]) for r in rows),
+        "max_block_df": max(int(r["max_block_df"]) for r in rows),
+        # flat string so manifest rows stay schema-uniform with per-batch
+        # rows when loaded into a DataFrame
+        "compacted_from": ",".join(map(str, shard_ids)),
+    }
+
+    # swap in the compacted layout (local-FS rename; on object stores this
+    # would be the catalog-swap step of the table format behind tsidx.io)
+    for final, tmp in ((post_dir, tmp_post), (docs_dir, tmp_docs)):
+        bak = final + "._old"
+        os.replace(final, bak)
+        os.replace(tmp, final)
+        shutil.rmtree(bak)
+    man_dir = os.path.join(path, "manifest")
+    for sid in shard_ids:
+        old = os.path.join(man_dir, f"shard-{sid}.json")
+        if sid != 0 and os.path.exists(old):
+            os.remove(old)
+    marker = os.path.join(man_dir, "shard-0.json")
+    with open(marker + ".tmp", "w") as f:
+        json.dump(row, f, indent=2, sort_keys=True)
+    os.replace(marker + ".tmp", marker)
+
+    state["compacted_through"] = max(shard_ids)
+    with open(state_p + ".tmp", "w") as f:
+        json.dump(state, f, indent=2, sort_keys=True)
+    os.replace(state_p + ".tmp", state_p)
+    return row
+
+
 def read_stream_index(spark, path: str) -> InvertedIndex:
     """Load a streaming-built index (shard-partitioned docs + postings)."""
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     pinned = set(meta.pop("pinned", []))
-    rows = read_manifest(path)
+    rows = [
+        {"compacted_from": "", **r} for r in read_manifest(path)
+    ]  # uniform schema across pre-/post-compaction manifest rows
     return InvertedIndex(
         docs=read_table(
             spark, os.path.join(path, "docs"),
