@@ -117,6 +117,28 @@ def main():
         lambda: eng.wand_topk("vector stream dup small batch", 100).collect(),
     )
 
+    p50(
+        "bool_search",
+        lambda: eng.search("customer AND (query OR merge) NOT window").count(),
+    )
+    p50("prefix_match", lambda: eng.match_prefix("s").count())
+    p50(
+        "bm25_topk_role",
+        lambda: eng.bm25_topk_where(
+            "customer query merge", 25, F.col("role") == "user"
+        ).collect(),
+    )
+
+    # positional artifact: build once (same fused one-shuffle shape as the
+    # core index), then phrase queries against it
+    from tsidx.positions import phrase_counts, positional_postings
+
+    t0 = time.time()
+    positional = positional_postings(idx.docs, block_size=8192).persist()
+    positional.count()
+    timings["positional_build"] = time.time() - t0
+    p50("phrase_counts", lambda: phrase_counts(positional, "table hash").count())
+
     t0 = time.time()
     stats = idx.statistics()
     timings["index_stats"] = time.time() - t0
@@ -153,6 +175,12 @@ def main():
     t0 = time.time()
     cosine_topk(emb, queries, k=10).count()
     timings["ann_cosine_topk"] = time.time() - t0
+
+    from tsidx.ann import ivf_topk
+
+    t0 = time.time()
+    ivf_topk(emb, queries, k=10, n_centroids=32, n_probes=8).count()
+    timings["ivf_ann_topk"] = time.time() - t0
 
     total = sum(timings.values())
     print(

@@ -216,9 +216,14 @@ def phrase_counts(
     aligned = rows.join(F.broadcast(offs), "term").select(
         "doc_id", (F.col("pos") - F.col("off")).alias("base"), "off"
     )
+    # (doc_id, base, off) rows are unique by construction — each offset
+    # carries one term and a term occupies a position at most once — so a
+    # plain count equals count_distinct(off) while saving the dedup
+    # Exchange Catalyst plans for COUNT(DISTINCT) (one full shuffle of the
+    # aligned rows, verified with explain("formatted"))
     occurrences = (
         aligned.groupBy("doc_id", "base")
-        .agg(F.count_distinct("off").alias("n_off"))
+        .agg(F.count("*").alias("n_off"))
         .filter(F.col("n_off") == m)
     )
     return occurrences.groupBy("doc_id").agg(
