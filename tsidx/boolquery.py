@@ -136,11 +136,9 @@ class BooleanEngine:
 
     def _eval(self, node) -> DataFrame:
         if isinstance(node, Term):
-            return (
-                self.engine.posting_rows(self.engine.terms_of([node.word]))
-                .select("doc_id")
-                .distinct()
-            )
+            eng = self.engine
+            blocks = eng._blocks_for(eng.terms_of([node.word]))
+            return eng.posting_doc_ids(blocks).select("doc_id").distinct()
         if isinstance(node, Or):
             out = self._eval(node.children[0])
             for child in node.children[1:]:
