@@ -142,12 +142,14 @@ def _stem_case_sql() -> str:
     return _stem_case_cache
 
 
-def _terms_cte() -> str:
-    """CTEs: toks (doc_id, tok), trm (doc_id, term), tf, dl."""
+def _terms_cte(doc_where: str = "") -> str:
+    """CTEs: toks (doc_id, tok), trm (doc_id, term), tf, dl.
+    *doc_where*: extra corpus predicate (e.g. the delete-survivor filter)."""
+    extra = f" AND ({doc_where})" if doc_where else ""
     return f"""
 toks AS (
   SELECT doc_id, unnest({_toks_sql()}) AS tok
-  FROM documents WHERE trim(text) <> ''
+  FROM documents WHERE trim(text) <> ''{extra}
 ),
 trm AS (
   SELECT doc_id, {_stem_case_sql()} AS term FROM toks
@@ -188,10 +190,10 @@ JACCARD_MAX_DF = 64
 K1, B = 1.2, 0.75
 
 
-def _bm25_scores_sql(query: str, round_to: int = 4) -> str:
+def _bm25_scores_sql(query: str, round_to: int = 4, doc_where: str = "") -> str:
     terms = _terms_in(query)
     return f"""
-WITH {_terms_cte()},
+WITH {_terms_cte(doc_where)},
 stats AS (
   SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
 ),
@@ -627,6 +629,51 @@ def _q_bm25_topk_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r"))
 
 
+DELETE_MOD = 7  # doc_id % DELETE_MOD == DELETE_REM is tombstoned
+DELETE_REM = 3
+
+
+def get_applied_deleted_index(spark: SparkSession, sf_dir: str):
+    """Index with doc_id % 7 == 3 deleted and physically applied (cached)."""
+    key = (id(spark), os.path.normpath(sf_dir), "deleted")
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        from tsidx.deletes import apply_deletes, delete_docs
+
+        base = get_index(spark, sf_dir)
+        ids = base.docs.filter(
+            F.col("doc_id") % DELETE_MOD == DELETE_REM
+        ).select("doc_id")
+        idx = apply_deletes(delete_docs(base, ids))
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _q_match_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical delete: tombstoned docs vanish from match immediately
+    (anti-join; stats untouched until the physical apply)."""
+    from tsidx.deletes import delete_docs
+    from tsidx.query import QueryEngine
+
+    base = get_index(spark, sf_dir)
+    ids = base.docs.filter(
+        F.col("doc_id") % DELETE_MOD == DELETE_REM
+    ).select("doc_id")
+    eng = QueryEngine(delete_docs(base, ids))
+    return eng.match(Q_OR).select(F.col("doc_id").cast("long"))
+
+
+def _q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical delete: after apply_deletes, scores equal a fresh build
+    over the surviving corpus (df/avgdl/n_docs recomputed)."""
+    from tsidx.query import QueryEngine
+
+    eng = QueryEngine(get_applied_deleted_index(spark, sf_dir))
+    return eng.bm25_topk(Q_BM25, Q_BM25_K).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
+
+
 IVF_CENTROIDS = 16
 IVF_PROBES = 8
 
@@ -775,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_search": _q_bool_search,
         "prefix_match": _q_prefix_match,
         "bm25_topk_role": _q_bm25_topk_role,
+        "match_deleted": _q_match_deleted,
+        "bm25_topk_deleted": _q_bm25_topk_deleted,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -976,6 +1025,16 @@ ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
 SELECT * FROM ({_bm25_scores_sql(Q_BM25)})
 ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "bm25_scores_rare": _bm25_scores_sql(Q_RARE),
+        "match_deleted": f"""
+WITH {terms_cte}
+SELECT DISTINCT doc_id FROM trm
+WHERE term IN ({_terms_in(Q_OR)})
+  AND doc_id % {DELETE_MOD} <> {DELETE_REM}""",
+        "bm25_topk_deleted": f"""
+SELECT * FROM (
+  {_bm25_scores_sql(Q_BM25, doc_where=f"doc_id % {DELETE_MOD} <> {DELETE_REM}")}
+)
+ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "phrase_counts": _phrase_sql(Q_PHRASE),
         "phrase_counts3": _phrase_sql(Q_PHRASE3),
         # Q_BOOL = "customer AND (query OR merge) NOT window"; INTERSECT

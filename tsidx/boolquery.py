@@ -132,13 +132,15 @@ class BooleanEngine:
         self.engine = engine
 
     def _universe(self) -> DataFrame:
-        return self.engine.index.docs.select("doc_id")
+        return self.engine._live(self.engine.index.docs.select("doc_id"))
 
     def _eval(self, node) -> DataFrame:
         if isinstance(node, Term):
             eng = self.engine
             blocks = eng._blocks_for(eng.terms_of([node.word]))
-            return eng.posting_doc_ids(blocks).select("doc_id").distinct()
+            return eng._live(
+                eng.posting_doc_ids(blocks).select("doc_id").distinct()
+            )
         if isinstance(node, Or):
             out = self._eval(node.children[0])
             for child in node.children[1:]:

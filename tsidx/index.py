@@ -63,6 +63,9 @@ class InvertedIndex:
     meta: dict
     manifest: DataFrame | None = None
     pinned: set[int] = field(default_factory=set)
+    # logical deletes (tsidx.deletes): small doc_id table anti-joined by
+    # every query path; physically applied by apply_deletes
+    tombstones: DataFrame | None = None
 
     # ------------------------------------------------------------------ io
 
@@ -86,6 +89,10 @@ class InvertedIndex:
         )
         if self.manifest is not None:
             write_table(self.manifest.coalesce(1), os.path.join(path, "manifest"))
+        if self.tombstones is not None:
+            write_table(
+                self.tombstones.coalesce(1), os.path.join(path, "tombstones")
+            )
         meta = dict(self.meta)
         meta["pinned"] = sorted(self.pinned)
         with open(os.path.join(path, "meta.json"), "w") as f:
@@ -120,6 +127,7 @@ class InvertedIndex:
                 if os.path.isdir(manifest_path)
                 else None
             )
+        tomb_path = os.path.join(path, "tombstones")
         return cls(
             docs=read_table(spark, os.path.join(path, "docs")),
             postings=postings,
@@ -127,6 +135,9 @@ class InvertedIndex:
             meta=meta,
             manifest=manifest,
             pinned=pinned,
+            tombstones=(
+                read_table(spark, tomb_path) if os.path.isdir(tomb_path) else None
+            ),
         )
 
     # ------------------------------------------------------------- operators
@@ -197,6 +208,10 @@ def merge_indexes(a: "InvertedIndex", b: "InvertedIndex") -> "InvertedIndex":
         manifest = a.manifest.unionByName(b.manifest, allowMissingColumns=True)
     elif a.manifest is not None or b.manifest is not None:
         manifest = a.manifest or b.manifest
+    if a.tombstones is not None and b.tombstones is not None:
+        tombstones = a.tombstones.unionByName(b.tombstones).distinct()
+    else:
+        tombstones = a.tombstones if a.tombstones is not None else b.tombstones
     return InvertedIndex(
         docs=a.docs.unionByName(b.docs),
         postings=postings,
@@ -204,4 +219,5 @@ def merge_indexes(a: "InvertedIndex", b: "InvertedIndex") -> "InvertedIndex":
         meta=meta,
         manifest=manifest,
         pinned=a.pinned | b.pinned,
+        tombstones=tombstones,
     )

@@ -154,6 +154,15 @@ class QueryEngine:
             F.explode("plist").alias("p"),
         ).select("term", "p.doc_id", "p.tf", "p.dl")
 
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Exclude tombstoned doc_ids (logical deletes, tsidx.deletes).
+        No-op when the index has no tombstones; otherwise an anti-join AQE
+        broadcasts while the tombstone table is small."""
+        tomb = self.index.tombstones
+        if tomb is None:
+            return df
+        return df.join(tomb.select("doc_id"), "doc_id", "anti")
+
     def query_idfs(self, terms: list[str]) -> dict[str, float]:
         """Driver-side idf for the query's terms (bit-identical to oracle)."""
         if not terms:
@@ -178,7 +187,7 @@ class QueryEngine:
                 [(d,) for d in sorted(self.index.pinned)], "doc_id long"
             )
             hits = hits.unionByName(pinned).distinct()
-        return hits.orderBy("doc_id")
+        return self._live(hits).orderBy("doc_id")
 
     def match_all(self, query: str | list[str]) -> DataFrame:
         """Conjunctive match (posting-list intersection): docs containing
@@ -187,7 +196,7 @@ class QueryEngine:
         spark = self.index.docs.sparkSession
         if not terms:
             return spark.range(0).select(F.col("id").alias("doc_id"))
-        rows = self.posting_doc_ids(self._blocks_for(terms))
+        rows = self._live(self.posting_doc_ids(self._blocks_for(terms)))
         return (
             rows.groupBy("doc_id")
             .agg(F.count_distinct("term").alias("nt"))
@@ -206,7 +215,7 @@ class QueryEngine:
         k1 = float(self.index.meta["k1"])
         b = float(self.index.meta["b"])
         avgdl = float(self.index.meta["avgdl"])
-        rows = self.posting_rows(sorted(idfs))
+        rows = self._live(self.posting_rows(sorted(idfs)))
         idf_map = F.create_map(
             *[F.lit(x) for t in sorted(idfs) for x in (t, idfs[t])]
         )
@@ -244,7 +253,8 @@ class QueryEngine:
         """
         blocks = self.index.postings.filter(F.col("term").startswith(prefix))
         return (
-            self.posting_doc_ids(blocks).select("doc_id").distinct().orderBy("doc_id")
+            self._live(self.posting_doc_ids(blocks).select("doc_id").distinct())
+            .orderBy("doc_id")
         )
 
     def search(self, query: str) -> DataFrame:

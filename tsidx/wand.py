@@ -90,6 +90,14 @@ def _make_group_scorer(idfs: dict[str, float], k: int, k1: float, b: float,
             contrib = idfs[term] * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * dl) / avgdl)))
             dense[off] += contrib
             touched[off] = True
+        if "_dead" in pdf.columns:
+            # tombstoned docs are masked BEFORE the local top-k: they must
+            # neither seed θ nor crowd live docs out of a group's k rows
+            dead = pdf["_dead"].iloc[0]
+            if dead is not None and len(dead):
+                doff = np.asarray(dead, dtype=np.int64) - base
+                doff = doff[(doff >= 0) & (doff < block_size)]
+                touched[doff] = False
         idx = np.nonzero(touched)[0]
         scores = dense[idx]
         if len(idx) > k:
@@ -134,6 +142,18 @@ def wand_topk(index: InvertedIndex, query: str | list[str], k: int,
     codec = index.meta["codec"]
 
     cand = index.postings.filter(F.col("term").isin(sorted(idfs)))
+    if index.tombstones is not None:
+        # per-block deleted-id lists ride along with the candidate blocks;
+        # the scorer masks them before its local top-k. UBs stay valid
+        # upper bounds (removing docs only lowers block scores).
+        dead_by_block = (
+            index.tombstones.select(
+                "doc_id", F.expr(f"doc_id DIV {block_size}").alias("block_id")
+            )
+            .groupBy("block_id")
+            .agg(F.collect_list("doc_id").alias("_dead"))
+        )
+        cand = cand.join(dead_by_block, "block_id", "left")
     scorer = _make_group_scorer(idfs, k, k1, b, avgdl, block_size, codec)
     # total candidate postings = Σ df over the query terms — already on the
     # driver from the (|q|-row) terms fetch above; no extra job
