@@ -620,6 +620,20 @@ def _q_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.match_prefix(Q_PREFIX).select(F.col("doc_id").cast("long"))
 
 
+GROUP_K = 2
+
+
+def _q_bm25_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best GROUP_K turns of every matching conversation (window top-k over
+    the candidate scores — one extra shuffle on the group key)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.bm25_topk_per_group(Q_BM25, GROUP_K, "conv_id").select(
+        "conv_id",
+        F.col("doc_id").cast("long"),
+        F.round("score", 4).alias("score_r"),
+    )
+
+
 def _q_bm25_topk_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered BM25 top-k: scores restricted to role='user' turns
     (predicate pushed to the docs scan, semi-join before TakeOrdered)."""
@@ -824,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_role": _q_bm25_topk_role,
         "match_deleted": _q_match_deleted,
         "bm25_topk_deleted": _q_bm25_topk_deleted,
+        "bm25_topk_grouped": _q_bm25_topk_grouped,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1035,6 +1050,17 @@ SELECT * FROM (
   {_bm25_scores_sql(Q_BM25, doc_where=f"doc_id % {DELETE_MOD} <> {DELETE_REM}")}
 )
 ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
+        # conv_id derives from doc_id exactly as documents_as_transcripts
+        "bm25_topk_grouped": f"""
+SELECT printf('c%06d', doc_id // {_TURNS_PER_CONV}) AS conv_id, doc_id, score_r
+FROM (
+  SELECT doc_id, score_r,
+         row_number() OVER (
+           PARTITION BY doc_id // {_TURNS_PER_CONV}
+           ORDER BY score_r DESC, doc_id
+         ) AS rn
+  FROM ({_bm25_scores_sql(Q_BM25)})
+) WHERE rn <= {GROUP_K}""",
         "phrase_counts": _phrase_sql(Q_PHRASE),
         "phrase_counts3": _phrase_sql(Q_PHRASE3),
         # Q_BOOL = "customer AND (query OR merge) NOT window"; INTERSECT

@@ -121,6 +121,30 @@ def test_match_prefix(engine, sonnets):
 # ---------------------------------------------------------------- filtered
 
 
+def test_bm25_topk_per_group(engine, built):
+    """Per-group top-k == a pure-Python window over the exact scores."""
+    q = "fire heat love"
+    k = 2
+    groups = {
+        r["doc_id"]: r["conv_id"] for r in built.docs.select("doc_id", "conv_id").collect()
+    }
+    all_scores = {
+        r["doc_id"]: r["score"] for r in engine.bm25_scores(q).collect()
+    }
+    by_group: dict = {}
+    for d, s in all_scores.items():
+        by_group.setdefault(groups[d], []).append((d, s))
+    exp = set()
+    for g, ds in by_group.items():
+        for d, s in sorted(ds, key=lambda x: (-x[1], x[0]))[:k]:
+            exp.add((g, d, s))
+    got = {
+        (r["conv_id"], r["doc_id"], r["score"])
+        for r in engine.bm25_topk_per_group(q, k, "conv_id").collect()
+    }
+    assert got == exp
+
+
 def test_bm25_topk_where(engine, built):
     """Filtered top-k == unfiltered scores restricted to qualifying docs."""
     pred = F.col("doc_id") % 2 == 0

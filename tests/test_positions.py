@@ -127,6 +127,23 @@ def test_blocks_decode_roundtrip(spark, positional):
     assert got == exp
 
 
+def test_write_read_roundtrip(spark, positional, tmp_path):
+    from tsidx.positions import phrase_counts, read_positional, write_positional
+
+    path = str(tmp_path / "pos")
+    write_positional(positional, path, num_partitions=2)
+    loaded = read_positional(spark, path)
+    exp = {
+        (r["doc_id"], r["n_occ"])
+        for r in phrase_counts(positional, "quick brown").collect()
+    }
+    got = {
+        (r["doc_id"], r["n_occ"])
+        for r in phrase_counts(loaded, "quick brown").collect()
+    }
+    assert got == exp and exp
+
+
 def test_block_partitioning(positional):
     """block_id = doc_id // block_size; blocks stay docID-contiguous."""
     rows = positional.collect()

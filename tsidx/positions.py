@@ -40,6 +40,8 @@ __all__ = [
     "decode_positional",
     "phrase_match",
     "phrase_counts",
+    "write_positional",
+    "read_positional",
 ]
 
 POSITIONS_SCHEMA = (
@@ -130,6 +132,30 @@ def positional_postings(
         .groupBy("block_id")
         .applyInPandas(_make_positional_builder(), schema=POSITIONS_SCHEMA)
     )
+
+
+def write_positional(
+    positional: DataFrame, path: str, num_partitions: int | None = None
+) -> None:
+    """Persist the positional artifact term-sorted (same layout contract as
+    the core postings: ``term IN`` predicates prune parquet row groups)."""
+    from tsidx.io import write_table
+
+    spark = positional.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    write_table(
+        positional.repartitionByRange(n, "term", "block_id")
+        .sortWithinPartitions("term", "block_id"),
+        path,
+    )
+
+
+def read_positional(spark, path: str) -> DataFrame:
+    from tsidx.io import read_table
+
+    return read_table(spark, path)
 
 
 def _decode_positional_map(batches):

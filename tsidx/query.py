@@ -284,6 +284,31 @@ class QueryEngine:
             .limit(k)
         )
 
+    def bm25_topk_per_group(
+        self, query: str | list[str], k: int, group_col: str = "conv_id"
+    ) -> DataFrame:
+        """Top-k BM25 *per group* (default: per conversation) — the
+        "best k turns of every matching conversation" query.
+
+        One extra shuffle over the candidate scores (window partitioned by
+        the group key); candidates stay bounded by the query terms'
+        postings, and groups with no candidate never appear. Deterministic
+        within groups: (-score, doc_id) ordering.
+        """
+        from pyspark.sql import Window
+
+        meta = self.index.docs.select("doc_id", group_col)
+        scored = self.bm25_scores(query).join(meta, "doc_id")
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+            .select(group_col, "doc_id", "score")
+        )
+
     def wand_topk(self, query: str | list[str], k: int) -> DataFrame:
         """Block-max WAND top-k (tsidx.wand) — rank- and score-identical to
         :meth:`bm25_topk`, prunes non-competitive posting blocks."""
