@@ -1,0 +1,86 @@
+"""spark-submit entry point: index maintenance — delete, apply, compact.
+
+    # logical delete (tombstones; queries exclude the docs immediately)
+    python jobs/maintain_index.py delete --index /tmp/idx --doc-ids 3 17 99
+
+    # physical apply (rewrite touched blocks, refresh df/avgdl/n_docs)
+    python jobs/maintain_index.py apply-deletes --index /tmp/idx
+
+    # streaming-index small-file compaction (stop the stream first)
+    python jobs/maintain_index.py compact --index /tmp/sidx --num-files 16
+
+``delete`` and ``apply-deletes`` rewrite the one-shot index layout in place
+via a temp-dir swap; ``compact`` operates on streaming-built indexes
+(tsidx/streaming.py) and preserves the resume/replay guarantees.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from build_index import make_spark  # noqa: E402
+
+
+def _swap_rewrite(idx, path: str) -> None:
+    """Write *idx* beside *path* then swap directories (local-FS rename; the
+    catalog-swap step of a table format on object stores)."""
+    tmp = path.rstrip("/") + "._rewrite"
+    shutil.rmtree(tmp, ignore_errors=True)
+    idx.write(tmp)
+    bak = path.rstrip("/") + "._old"
+    os.replace(path, bak)
+    os.replace(tmp, path)
+    shutil.rmtree(bak)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("action", choices=["delete", "apply-deletes", "compact"])
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--doc-ids", type=int, nargs="*", default=[])
+    ap.add_argument("--num-files", type=int, default=None)
+    ap.add_argument("--parallelism", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = make_spark(args.parallelism, "tsidx-maintain")
+    t0 = time.time()
+
+    if args.action == "compact":
+        from tsidx.streaming import compact_stream_index
+
+        row = compact_stream_index(spark, args.index, num_files=args.num_files)
+        out = {"job": "compact", "manifest_row": row}
+    else:
+        from tsidx.deletes import apply_deletes, delete_docs
+        from tsidx.index import InvertedIndex
+
+        idx = InvertedIndex.read(spark, args.index)
+        if args.action == "delete":
+            if not args.doc_ids:
+                raise SystemExit("delete requires --doc-ids")
+            idx = delete_docs(idx, args.doc_ids)
+            n_tomb = idx.tombstones.count()
+            _swap_rewrite(idx, args.index)
+            out = {"job": "delete", "n_tombstones": int(n_tomb)}
+        else:
+            if idx.tombstones is None:
+                raise SystemExit("no tombstones to apply")
+            idx = apply_deletes(idx)
+            _swap_rewrite(idx, args.index)
+            out = {"job": "apply-deletes", "n_docs": int(idx.meta["n_docs"])}
+
+    out["sec"] = round(time.time() - t0, 3)
+    out["index"] = args.index
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -127,6 +127,37 @@ def test_blocks_decode_roundtrip(spark, positional):
     assert got == exp
 
 
+def test_random_corpora_vs_python_oracle(spark):
+    """Deterministic pseudo-random corpora (seeded — SURVEY §7.2 bans
+    wall-clock/RNG in engine code, not in test data) across block
+    boundaries; every 1-3-gram phrase from a fixed probe set must match the
+    pure-Python scanner exactly."""
+    import random
+
+    from tsidx.positions import phrase_counts, positional_postings
+
+    rng = random.Random(20260817)
+    vocab = ["red", "blue", "green", "red's", "blues", "a", "b"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25))))
+        for i in range(60)
+    ]
+    positional = positional_postings(
+        spark.createDataFrame(docs, "doc_id long, text string"), block_size=7
+    ).cache()
+    probes = [
+        "red", "red blue", "blue red", "red red", "a b a",
+        "red's blues", "green green green", "b", "blue green red",
+    ]
+    for phrase in probes:
+        exp = _py_phrase_occurrences(docs, phrase)
+        got = {
+            r["doc_id"]: r["n_occ"]
+            for r in phrase_counts(positional, phrase).collect()
+        }
+        assert got == exp, phrase
+
+
 def test_write_read_roundtrip(spark, positional, tmp_path):
     from tsidx.positions import phrase_counts, read_positional, write_positional
 
