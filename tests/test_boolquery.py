@@ -97,6 +97,20 @@ def test_boolean_vs_python_oracle(engine, doc_stems, query):
     assert got == exp, query
 
 
+@pytest.mark.parametrize(
+    "query", ["fire -heat", "love AND (fire OR heat)", "(a OR fire) AND NOT heat"]
+)
+def test_anchored_and_join_evaluators_agree(engine, query):
+    from tsidx.boolquery import BooleanEngine, _anchored, parse_bool_query
+
+    node = parse_bool_query(query)
+    assert _anchored(node)
+    be = BooleanEngine(engine)
+    fast = [r["doc_id"] for r in be._search_anchored(node).orderBy("doc_id").collect()]
+    slow = [r["doc_id"] for r in be._eval(node).orderBy("doc_id").collect()]
+    assert fast == slow
+
+
 def test_or_matches_reference_match(engine, doc_stems):
     """A pure-OR tree must agree with the reference-semantics match()."""
     got = [r["doc_id"] for r in engine.search("fire OR heat").collect()]

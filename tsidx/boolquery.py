@@ -125,11 +125,78 @@ def parse_bool_query(query: str):
     return node
 
 
+def _leaf_words(node) -> list[str]:
+    if isinstance(node, Term):
+        return [node.word]
+    if isinstance(node, (And, Or)):
+        out = []
+        for c in node.children:
+            out += _leaf_words(c)
+        return out
+    if isinstance(node, Not):
+        return _leaf_words(node.child)
+    raise TypeError(node)
+
+
+def _anchored(node) -> bool:
+    """True if every result doc provably contains >= 1 of the tree's terms:
+    Term yes; And if any child is; Or if all children are; Not never.
+    Anchored trees evaluate on the candidate set (docs with >= 1 leaf term)
+    with full knowledge of each doc's leaf-term membership — so Not is
+    correct *within* that set."""
+    if isinstance(node, Term):
+        return True
+    if isinstance(node, And):
+        return any(_anchored(c) for c in node.children)
+    if isinstance(node, Or):
+        return all(_anchored(c) for c in node.children)
+    return False
+
+
 class BooleanEngine:
-    """Evaluates boolean ASTs against a :class:`tsidx.query.QueryEngine`."""
+    """Evaluates boolean ASTs against a :class:`tsidx.query.QueryEngine`.
+
+    Anchored trees (see :func:`_anchored` — the overwhelmingly common case)
+    run as ONE decode of all leaf terms' posting blocks + ONE shuffle
+    (``groupBy(doc_id).agg(collect_set(term))``), then the whole tree folds
+    into a boolean column over each doc's term set — no per-term joins.
+    Unanchored trees (top-level negation) fall back to the recursive
+    join/anti-join evaluator, which is the only case that may touch the
+    docID universe.
+    """
 
     def __init__(self, engine):
         self.engine = engine
+
+    def _mask_eval(self, node, stems: dict):
+        if isinstance(node, Term):
+            return F.array_contains(F.col("_terms"), stems[node.word])
+        if isinstance(node, And):
+            out = self._mask_eval(node.children[0], stems)
+            for c in node.children[1:]:
+                out = out & self._mask_eval(c, stems)
+            return out
+        if isinstance(node, Or):
+            out = self._mask_eval(node.children[0], stems)
+            for c in node.children[1:]:
+                out = out | self._mask_eval(c, stems)
+            return out
+        if isinstance(node, Not):
+            return ~self._mask_eval(node.child, stems)
+        raise TypeError(node)
+
+    def _search_anchored(self, node) -> DataFrame:
+        eng = self.engine
+        words = sorted(set(_leaf_words(node)))
+        stems = {w: eng.terms_of([w])[0] for w in words}
+        blocks = eng._blocks_for(sorted(set(stems.values())))
+        rows = eng.posting_doc_ids(blocks)
+        cand = rows.groupBy("doc_id").agg(
+            F.collect_set("term").alias("_terms")
+        )
+        return eng._live(
+            cand.filter(self._mask_eval(node, stems)).select("doc_id")
+        )
 
     def _universe(self) -> DataFrame:
         return self.engine._live(self.engine.index.docs.select("doc_id"))
@@ -166,4 +233,6 @@ class BooleanEngine:
         """Evaluate a query string or AST -> ``doc_id`` rows in ascending
         (insertion) order, matching the reference's result ordering."""
         node = parse_bool_query(query) if isinstance(query, str) else query
+        if _anchored(node):
+            return self._search_anchored(node).orderBy("doc_id")
         return self._eval(node).orderBy("doc_id")
