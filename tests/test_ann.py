@@ -145,6 +145,29 @@ def test_ivf_deterministic_and_amortizable(emb, queries):
     assert a == c
 
 
+def test_ivf_write_read_roundtrip(spark, emb, queries, tmp_path):
+    """Persisted IVF index gives identical results; probing reads only the
+    probed cid partitions (partition pruning on the lists directory)."""
+    from tsidx.ann import ivf_assign, ivf_read, ivf_topk, ivf_train_centroids, ivf_write
+
+    cents = ivf_train_centroids(emb, n_centroids=8, n_iters=2)
+    assigned = ivf_assign(emb, cents)
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, cents, path)
+    loaded, cents2 = ivf_read(spark, path)
+    assert cents2 == cents
+    a = sorted(map(tuple, ivf_topk(
+        emb, queries, k=5, centroids=cents, assigned=assigned
+    ).collect()))
+    b = sorted(map(tuple, ivf_topk(
+        emb, queries, k=5, centroids=cents2, assigned=loaded
+    ).collect()))
+    assert a == b
+    import os
+
+    assert any(d.startswith("cid=") for d in os.listdir(os.path.join(path, "lists")))
+
+
 def test_ivf_full_probe_equals_exact(emb, queries):
     """Probing every centroid degrades to exact brute force — rank and sims
     must match cosine_topk exactly."""

@@ -29,6 +29,8 @@ __all__ = [
     "ivf_train_centroids",
     "ivf_assign",
     "ivf_topk",
+    "ivf_write",
+    "ivf_read",
 ]
 
 
@@ -357,6 +359,40 @@ def ivf_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_write(
+    assigned: DataFrame, centroids: list[list[float]], path: str
+) -> None:
+    """Persist an IVF index: centroids as JSON (a few MB at C ~ sqrt(N) —
+    driver/broadcast-sized by design), assignment parquet partitioned by
+    ``cid`` so a query's probe set prunes to its n_probes directories and
+    never scans the other lists."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(path, "lists")
+    )
+    tmp = os.path.join(path, "centroids.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"centroids": centroids}, f)
+    os.replace(tmp, os.path.join(path, "centroids.json"))
+
+
+def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Load (assigned, centroids) written by :func:`ivf_write`; pass both
+    to :func:`ivf_topk` to amortize training/assignment across queries."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        centroids = json.load(f)["centroids"]
+    assigned = spark.read.parquet(os.path.join(path, "lists")).withColumn(
+        "cid", F.col("cid").cast("int")
+    )
+    return assigned, centroids
 
 
 def embedding_dup_pairs(
