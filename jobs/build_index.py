@@ -109,6 +109,9 @@ def main() -> None:
     ap.add_argument("--no-write", action="store_true",
                     help="materialize the build but skip the index write "
                          "(pure build-throughput measurement)")
+    ap.add_argument("--positional", action="store_true",
+                    help="also build + write the positional artifact "
+                         "(<output>/positional) for phrase queries")
     args = ap.parse_args()
 
     spark = make_spark(args.parallelism, "tsidx-build")
@@ -152,6 +155,15 @@ def main() -> None:
             idx.write(args.output)
         build_sec = time.time() - t0
         out = {"job": "build_index", "mode": "oneshot", "complete": True}
+        if args.positional and not args.no_write:
+            from tsidx.positions import positional_postings, write_positional
+
+            t1 = time.time()
+            write_positional(
+                positional_postings(idx.docs, block_size=args.block_size),
+                os.path.join(args.output, "positional"),
+            )
+            out["positional_sec"] = round(time.time() - t1, 3)
 
     out.update(
         {

@@ -28,7 +28,11 @@ def main() -> None:
     ap.add_argument("--query", required=True, nargs="+")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--engine", default="wand", choices=["naive", "wand"])
-    ap.add_argument("--mode", default="topk", choices=["topk", "match", "match_all"])
+    ap.add_argument(
+        "--mode",
+        default="topk",
+        choices=["topk", "match", "match_all", "phrase", "bool"],
+    )
     ap.add_argument("--parallelism", type=int, default=None)
     ap.add_argument("--repeat", type=int, default=1)
     args = ap.parse_args()
@@ -49,6 +53,20 @@ def main() -> None:
             rows = eng.match(query).collect()
         elif args.mode == "match_all":
             rows = eng.match_all(query).collect()
+        elif args.mode == "phrase":
+            # needs the positional artifact (build_index.py --positional)
+            from tsidx.positions import phrase_counts, read_positional
+
+            positional = read_positional(
+                spark, os.path.join(args.index, "positional")
+            )
+            rows = (
+                phrase_counts(positional, " ".join(query))
+                .orderBy("doc_id")
+                .collect()
+            )
+        elif args.mode == "bool":
+            rows = eng.search(" ".join(query)).collect()
         elif args.engine == "wand":
             rows = eng.wand_topk(query, args.k).collect()
         else:
