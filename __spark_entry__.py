@@ -607,6 +607,24 @@ def _q_phrase_counts3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phrase_df(spark, sf_dir, Q_PHRASE3)
 
 
+SNIPPET_WIDTH = 5
+
+
+def _q_best_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best snippet window per matching doc: the SNIPPET_WIDTH-token window
+    with the most distinct Q_BM25 stems (ties: hits, then lowest start)."""
+    from tsidx.positions import best_window
+
+    return best_window(
+        get_positional(spark, sf_dir), Q_BM25, SNIPPET_WIDTH
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.col("start").cast("long"),
+        F.col("n_terms").cast("long"),
+        F.col("n_hits").cast("long"),
+    )
+
+
 def _q_bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean query-tree retrieval: AND / OR / NOT over posting doc sets."""
     eng = get_engine(spark, sf_dir)
@@ -833,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_recall": _q_ivf_ann_recall,
         "phrase_counts": _q_phrase_counts,
         "phrase_counts3": _q_phrase_counts3,
+        "best_window": _q_best_window,
         "bool_search": _q_bool_search,
         "prefix_match": _q_prefix_match,
         "bm25_topk_role": _q_bm25_topk_role,
@@ -1063,6 +1082,31 @@ FROM (
 ) WHERE rn <= {GROUP_K}""",
         "phrase_counts": _phrase_sql(Q_PHRASE),
         "phrase_counts3": _phrase_sql(Q_PHRASE3),
+        # hit-anchored sliding window: count hits/distinct stems in
+        # [anchor, anchor+W) per anchor, then argmin (-n_terms, -n_hits,
+        # start) per doc — same semantics as tsidx.positions.best_window
+        "best_window": f"""
+WITH {_positions_cte()},
+hits AS (
+  SELECT doc_id, p, term FROM pos
+  WHERE term IN ({_terms_in(Q_BM25)})
+),
+win AS (
+  SELECT a.doc_id, a.p AS start,
+         count(DISTINCT b.term)::BIGINT AS n_terms,
+         count(*)::BIGINT AS n_hits
+  FROM hits a JOIN hits b
+    ON a.doc_id = b.doc_id AND b.p >= a.p AND b.p < a.p + {SNIPPET_WIDTH}
+  GROUP BY a.doc_id, a.p
+),
+ranked AS (
+  SELECT doc_id, start, n_terms, n_hits,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY n_terms DESC, n_hits DESC, start
+         ) AS rn
+  FROM win
+)
+SELECT doc_id, start, n_terms, n_hits FROM ranked WHERE rn = 1""",
         # Q_BOOL = "customer AND (query OR merge) NOT window"; INTERSECT
         # binds tighter than EXCEPT (SQL standard), so this reads
         # (customer ∩ (query ∪ merge)) ∖ window

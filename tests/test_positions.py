@@ -175,6 +175,66 @@ def test_write_read_roundtrip(spark, positional, tmp_path):
     assert got == exp and exp
 
 
+def _py_best_window(docs, query, width):
+    qstems = set(_stems(query))
+    out = {}
+    for doc_id, text in docs:
+        hits = [(p, s) for p, s in enumerate(_stems(text)) if s in qstems]
+        best = None
+        lo = 0
+        for hi in range(len(hits)):
+            while hits[hi][0] - hits[lo][0] >= width:
+                lo += 1
+            win = hits[lo : hi + 1]
+            key = (-len({s for _, s in win}), -len(win), win[0][0])
+            if best is None or key < best:
+                best = key
+        if best is not None:
+            out[doc_id] = (best[2], -best[0], -best[1])
+    return out
+
+
+def test_best_window_vs_python_oracle(spark, positional):
+    from tsidx.positions import best_window
+
+    for query, width in [
+        ("quick fox", 3),
+        ("quick fox", 10),
+        ("the lazy dog", 4),
+        ("brown", 1),
+        ("zzzunknown", 5),
+    ]:
+        exp = _py_best_window(CORPUS, query, width)
+        got = {
+            r["doc_id"]: (r["start"], r["n_terms"], r["n_hits"])
+            for r in best_window(positional, query, width).collect()
+        }
+        assert got == exp, (query, width)
+
+
+def test_best_window_randomized(spark):
+    import random
+
+    from tsidx.positions import best_window, positional_postings
+
+    rng = random.Random(7)
+    vocab = ["x", "y", "z", "w", "v"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30))))
+        for i in range(40)
+    ]
+    pos = positional_postings(
+        spark.createDataFrame(docs, "doc_id long, text string"), block_size=16
+    )
+    for query, width in [("x y", 4), ("x y z", 6), ("w", 2)]:
+        exp = _py_best_window(docs, query, width)
+        got = {
+            r["doc_id"]: (r["start"], r["n_terms"], r["n_hits"])
+            for r in best_window(pos, query, width).collect()
+        }
+        assert got == exp, (query, width)
+
+
 def test_block_partitioning(positional):
     """block_id = doc_id // block_size; blocks stay docID-contiguous."""
     rows = positional.collect()

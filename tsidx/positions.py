@@ -42,6 +42,7 @@ __all__ = [
     "phrase_counts",
     "write_positional",
     "read_positional",
+    "best_window",
 ]
 
 POSITIONS_SCHEMA = (
@@ -260,3 +261,61 @@ def phrase_counts(
 def phrase_match(positional: DataFrame, phrase: str | list[str]) -> DataFrame:
     """doc_ids containing the exact phrase, ascending (insertion) order."""
     return phrase_counts(positional, phrase).select("doc_id").orderBy("doc_id")
+
+
+def best_window(
+    positional: DataFrame, query: str | list[str], width: int = 10
+) -> DataFrame:
+    """(doc_id, start, n_terms, n_hits): the best snippet window per doc —
+    the *width*-token window containing the most distinct query stems
+    (ties: more total hits, then lowest start). ``start`` is the position
+    of the window's first query-term hit (an optimal window can always be
+    shifted to open on a hit, so hit-anchored windows are exhaustive).
+
+    The result-page "show the most relevant excerpt" operator. Plan: pushed
+    ``term IN`` scan of the query stems' position blocks -> decode -> one
+    shuffle grouping each doc's query-term hits (bounded by the doc's hit
+    count, NOT its length) -> per-doc sliding window over the sorted hit
+    positions inside an Arrow batch.
+    """
+    from tsidx.tokenize import query_terms
+
+    spark = positional.sparkSession
+    terms = query_terms(query)
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id long, start int, n_terms int, n_hits int"
+        )
+    rows = decode_positional(positional.filter(F.col("term").isin(terms)))
+
+    def scan(pdf):
+        import pandas as pd
+
+        out = []
+        for doc_id, g in pdf.groupby("doc_id", sort=False):
+            hits = sorted(zip(g["pos"], g["term"]))
+            best = None  # (-n_terms, -n_hits, start)
+            lo = 0
+            for hi in range(len(hits)):
+                while hits[hi][0] - hits[lo][0] >= width:
+                    lo += 1
+                win = hits[lo : hi + 1]
+                key = (-len({t for _, t in win}), -len(win), win[0][0])
+                if best is None or key < best:
+                    best = key
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "start": int(best[2]),
+                    "n_terms": int(-best[0]),
+                    "n_hits": int(-best[1]),
+                }
+            )
+        cols = ["doc_id", "start", "n_terms", "n_hits"]
+        if not out:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.DataFrame(out)[cols]
+
+    return rows.groupBy("doc_id").applyInPandas(
+        scan, schema="doc_id long, start int, n_terms int, n_hits int"
+    )
