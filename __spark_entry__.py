@@ -661,6 +661,30 @@ def _q_bm25_topk_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r"))
 
 
+HYBRID_K = 20
+HYBRID_POOL = 50
+RRF_C = 60
+HYBRID_VEC_ID = 0
+
+
+def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25(Q_BM25) ⊕ cosine-NN(vec 0), RRF-fused.
+    embeddings.vec_id shares the docID space of documents.doc_id."""
+    from tsidx.hybrid import hybrid_topk
+
+    eng = get_engine(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = hybrid_topk(
+        eng, emb, Q_BM25, HYBRID_VEC_ID, HYBRID_K, pool=HYBRID_POOL, c=RRF_C
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.round("rrf", 6).alias("rrf_r"),
+        F.col("r_text").cast("long"),
+        F.col("r_vec").cast("long"),
+    )
+
+
 DELETE_MOD = 7  # doc_id % DELETE_MOD == DELETE_REM is tombstoned
 DELETE_REM = 3
 
@@ -858,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_deleted": _q_match_deleted,
         "bm25_topk_deleted": _q_bm25_topk_deleted,
         "bm25_topk_grouped": _q_bm25_topk_grouped,
+        "hybrid_topk": _q_hybrid_topk,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1069,6 +1094,44 @@ SELECT * FROM (
   {_bm25_scores_sql(Q_BM25, doc_where=f"doc_id % {DELETE_MOD} <> {DELETE_REM}")}
 )
 ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
+        # RRF = 1/(60+rank) per side; ranks tie-break by ascending id; the
+        # two-term float64 sum is order-fixed so it replays bit-identically
+        "hybrid_topk": f"""
+WITH tr AS (
+  -- rank on 12-decimal scores: the engine ranks on exact doubles, and
+  -- 4-decimal rounding collides distinct neighbors at pool depth
+  SELECT doc_id, row_number() OVER (ORDER BY score_r DESC, doc_id) AS r_text
+  FROM ({_bm25_scores_sql(Q_BM25, round_to=12)})
+  QUALIFY r_text <= {HYBRID_POOL}
+),
+qv AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id = {HYBRID_VEC_ID}
+),
+sims AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(qv.qe, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(qv.qe, qv.qe)) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS sim
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> {HYBRID_VEC_ID}
+),
+vr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r_vec
+  FROM sims
+  QUALIFY r_vec <= {HYBRID_POOL}
+),
+fused AS (
+  SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+         coalesce(1.0 / ({RRF_C}.0 + tr.r_text), 0.0)
+           + coalesce(1.0 / ({RRF_C}.0 + vr.r_vec), 0.0) AS rrf,
+         coalesce(tr.r_text, 0)::BIGINT AS r_text,
+         coalesce(vr.r_vec, 0)::BIGINT AS r_vec
+  FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf_r, r_text, r_vec
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {HYBRID_K}""",
         # conv_id derives from doc_id exactly as documents_as_transcripts
         "bm25_topk_grouped": f"""
 SELECT printf('c%06d', doc_id // {_TURNS_PER_CONV}) AS conv_id, doc_id, score_r
