@@ -652,6 +652,14 @@ def _q_bm25_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet sidebar: per-role doc counts over the Q_OR match result."""
+    eng = get_engine(spark, sf_dir)
+    return eng.facet_counts(Q_OR, "role").select(
+        "role", F.col("n_docs").cast("long")
+    )
+
+
 def _q_bm25_topk_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered BM25 top-k: scores restricted to role='user' turns
     (predicate pushed to the docs scan, semi-join before TakeOrdered)."""
@@ -883,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_deleted": _q_bm25_topk_deleted,
         "bm25_topk_grouped": _q_bm25_topk_grouped,
         "hybrid_topk": _q_hybrid_topk,
+        "facet_counts": _q_facet_counts,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1183,6 +1192,15 @@ SELECT DISTINCT doc_id FROM trm WHERE term IN ({_terms_in("window")})""",
         "prefix_match": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm WHERE term LIKE '{Q_PREFIX}%'""",
+        # role = ROLES[doc_id % 4] as in documents_as_transcripts
+        "facet_counts": f"""
+WITH {terms_cte},
+hits AS (
+  SELECT DISTINCT doc_id FROM trm WHERE term IN ({_terms_in(Q_OR)})
+)
+SELECT (['user','assistant','system','tool'])[(doc_id % 4)::INT + 1] AS role,
+       count(*)::BIGINT AS n_docs
+FROM hits GROUP BY 1""",
         # role = ROLES[doc_id % 4]; Q_ROLE='user' ⇔ doc_id % 4 = 0
         "bm25_topk_role": f"""
 SELECT * FROM ({_bm25_scores_sql(Q_BM25)})

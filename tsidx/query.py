@@ -284,6 +284,21 @@ class QueryEngine:
             .limit(k)
         )
 
+    def facet_counts(
+        self, query: str | list[str], facet_col: str
+    ) -> DataFrame:
+        """(facet_value, n_docs) over the disjunctive match result — the
+        result-page facet sidebar. Plan: match doc set (gaps-only decode)
+        semi-joined into the docs scan (facet column + doc_id only — text
+        pruned), then one small aggregation keyed by facet value."""
+        hits = self.match(query).select("doc_id")
+        meta = self.index.docs.select("doc_id", facet_col)
+        return (
+            meta.join(hits, "doc_id", "semi")
+            .groupBy(facet_col)
+            .agg(F.count("*").alias("n_docs"))
+        )
+
     def bm25_topk_per_group(
         self, query: str | list[str], k: int, group_col: str = "conv_id"
     ) -> DataFrame:
