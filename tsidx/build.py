@@ -115,57 +115,106 @@ def make_fused_block_builder(codec: str):
         doc_ids = pdf["doc_id"].to_numpy()
         token_lists = pdf["text"].str.split()
         block_id = int(pdf["block_id"].iloc[0])
-        # term -> ([doc_id], [tf], [dl]) with doc_ids ascending by iteration
-        acc: dict[str, list] = {}
-        for doc_id, tokens in zip(doc_ids, token_lists):
-            if tokens is None:
+
+        # Vectorized tokenize+count (measured ~2x over per-token Python
+        # dicts): flatten all docs' tokens, stem only the batch-unique
+        # surface forms (worker-lifetime memo), then factorize to integer
+        # term codes and count (doc, term) pairs with one np.unique pass.
+        # Ordering invariants preserved: terms emit in sorted-stem order,
+        # postings within a term in ascending doc order.
+        lens = np.asarray(
+            [0 if t is None else len(t) for t in token_lists], dtype=np.int64
+        )
+        n_tok = int(lens.sum())
+        empty = pd.DataFrame(
+            {
+                "term": pd.Series(dtype=object),
+                "block_id": pd.Series(dtype="int64"),
+                "block_df": pd.Series(dtype="int64"),
+                "min_doc": pd.Series(dtype="int64"),
+                "max_doc": pd.Series(dtype="int64"),
+                "max_tf": pd.Series(dtype="int32"),
+                "min_dl": pd.Series(dtype="int32"),
+                "sum_tf": pd.Series(dtype="int64"),
+                **(
+                    {"plist": pd.Series(dtype=object)}
+                    if codec == "array"
+                    else {
+                        "doc_gaps": pd.Series(dtype=object),
+                        "tfs": pd.Series(dtype=object),
+                        "dls": pd.Series(dtype=object),
+                    }
+                ),
+            }
+        )
+        if n_tok == 0:
+            return empty
+        flat = np.empty(n_tok, dtype=object)
+        pos = 0
+        for t in token_lists:
+            if t is None:
                 continue
-            counts: dict[str, int] = {}
-            for tok in tokens:
-                s = cache.get(tok)
-                if s is None:
-                    s = stem(tok)
-                    cache[tok] = s
-                counts[s] = counts.get(s, 0) + 1
-            dl = len(tokens)
-            for term, tf in counts.items():
-                entry = acc.get(term)
-                if entry is None:
-                    acc[term] = entry = ([], [], [])
-                entry[0].append(doc_id)
-                entry[1].append(tf)
-                entry[2].append(dl)
+            flat[pos : pos + len(t)] = t
+            pos += len(t)
+        doc_row = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+
+        surf, surf_inv = np.unique(flat, return_inverse=True)
+        stems_of_surf = np.empty(len(surf), dtype=object)
+        for i, tok in enumerate(surf):
+            s = cache.get(tok)
+            if s is None:
+                s = stem(tok)
+                cache[tok] = s
+            stems_of_surf[i] = s
+        terms, term_of_surf = np.unique(stems_of_surf, return_inverse=True)
+        tok_term = term_of_surf[surf_inv]
+
+        # (doc, term) -> tf via one sort-based unique over packed keys
+        key = doc_row * np.int64(len(terms)) + tok_term
+        ukey, tf = np.unique(key, return_counts=True)
+        d_i = (ukey // len(terms)).astype(np.int64)
+        t_i = (ukey % len(terms)).astype(np.int64)
+        # per-term segments with ascending doc order inside each
+        order = np.lexsort((d_i, t_i))
+        d_i, t_i, tf = d_i[order], t_i[order], tf[order]
+        post_docs = doc_ids[d_i].astype(np.uint64)
+        post_dls = lens[d_i].astype(np.uint64)
+        used_terms, starts = np.unique(t_i, return_index=True)
+        ends = np.append(starts[1:], len(t_i))
+
+        tf64 = tf.astype(np.uint64)
         out = {
-            "term": [], "block_id": [], "block_df": [], "min_doc": [],
-            "max_doc": [], "max_tf": [], "min_dl": [], "sum_tf": [],
+            "term": terms[used_terms],
+            "block_id": np.full(len(starts), block_id, dtype=np.int64),
+            "block_df": (ends - starts).astype(np.int64),
+            "min_doc": post_docs[starts].astype(np.int64),
+            "max_doc": post_docs[ends - 1].astype(np.int64),
+            "max_tf": np.maximum.reduceat(tf, starts).astype(np.int32),
+            "min_dl": np.minimum.reduceat(post_dls, starts).astype(np.int32),
+            "sum_tf": np.add.reduceat(tf, starts).astype(np.int64),
         }
-        payload = {"plist": []} if codec == "array" else {
-            "doc_gaps": [], "tfs": [], "dls": []
-        }
-        for term in sorted(acc):  # deterministic row order
-            d, t, l = acc[term]
-            out["term"].append(term)
-            out["block_id"].append(block_id)
-            out["block_df"].append(len(d))
-            out["min_doc"].append(d[0])
-            out["max_doc"].append(d[-1])
-            out["max_tf"].append(max(t))
-            out["min_dl"].append(min(l))
-            out["sum_tf"].append(sum(t))
-            if codec == "array":
-                payload["plist"].append(
-                    [{"doc_id": x, "tf": y, "dl": z} for x, y, z in zip(d, t, l)]
-                )
-            else:
-                g, tb, lb = encode_posting_block(
-                    np.asarray(d, dtype=np.uint64),
-                    np.asarray(t, dtype=np.uint64),
-                    np.asarray(l, dtype=np.uint64),
-                )
-                payload["doc_gaps"].append(g)
-                payload["tfs"].append(tb)
-                payload["dls"].append(lb)
-        return pd.DataFrame({**out, **payload})
+        if codec == "array":
+            plists = [
+                [
+                    {"doc_id": int(d), "tf": int(t), "dl": int(l)}
+                    for d, t, l in zip(
+                        post_docs[s:e], tf[s:e], post_dls[s:e]
+                    )
+                ]
+                for s, e in zip(starts, ends)
+            ]
+            return pd.DataFrame({**out, "plist": plists})
+        gaps_col, tfs_col, dls_col = [], [], []
+        for s, e in zip(starts, ends):
+            g, tb, lb = encode_posting_block(
+                post_docs[s:e], tf64[s:e], post_dls[s:e]
+            )
+            gaps_col.append(g)
+            tfs_col.append(tb)
+            dls_col.append(lb)
+        return pd.DataFrame(
+            {**out, "doc_gaps": gaps_col, "tfs": tfs_col, "dls": dls_col}
+        )
 
     build_block._stem_cache = {}
     return build_block

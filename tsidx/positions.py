@@ -67,46 +67,80 @@ def _make_positional_builder():
         doc_ids = pdf["doc_id"].to_numpy()
         token_lists = pdf["text"].str.split()
         block_id = int(pdf["block_id"].iloc[0])
-        # term -> ([doc_id], [count], [pos...flat])
-        acc: dict[str, tuple[list, list, list]] = {}
-        for doc_id, tokens in zip(doc_ids, token_lists):
-            if tokens is None:
+
+        # Vectorized (same shape as tsidx.build's fused builder): flatten,
+        # stem batch-unique surface forms only, factorize to term codes,
+        # then ONE lexsort by (term, doc, pos) yields every per-term stream:
+        # doc gaps, per-doc counts, and boundary-reset position gaps.
+        cols = ["term", "block_id", "block_df", "doc_gaps", "counts", "pos_gaps"]
+        lens = np.asarray(
+            [0 if t is None else len(t) for t in token_lists], dtype=np.int64
+        )
+        n_tok = int(lens.sum())
+        if n_tok == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        flat = np.empty(n_tok, dtype=object)
+        pos = 0
+        for t in token_lists:
+            if t is None:
                 continue
-            per_doc: dict[str, list[int]] = {}
-            for pos, tok in enumerate(tokens):
-                s = cache.get(tok)
-                if s is None:
-                    s = stem(tok)
-                    cache[tok] = s
-                per_doc.setdefault(s, []).append(pos)
-            for term, plist in per_doc.items():
-                entry = acc.get(term)
-                if entry is None:
-                    acc[term] = entry = ([], [], [])
-                entry[0].append(doc_id)
-                entry[1].append(len(plist))
-                # first position absolute, then within-doc gaps
-                prev = 0
-                for i, p in enumerate(plist):
-                    entry[2].append(p if i == 0 else p - prev)
-                    prev = p
-        out = {
-            "term": [], "block_id": [], "block_df": [],
-            "doc_gaps": [], "counts": [], "pos_gaps": [],
-        }
-        for term in sorted(acc):
-            d, c, p = acc[term]
-            darr = np.asarray(d, dtype=np.uint64)
-            gaps = np.empty_like(darr)
-            if len(darr):
-                gaps[0] = darr[0]
-                np.subtract(darr[1:], darr[:-1], out=gaps[1:])
-            out["term"].append(term)
+            flat[pos : pos + len(t)] = t
+            pos += len(t)
+        doc_row = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+        doc_starts = np.zeros(len(doc_ids), dtype=np.int64)
+        doc_starts[1:] = np.cumsum(lens)[:-1]
+        tok_pos = np.arange(n_tok, dtype=np.int64) - doc_starts[doc_row]
+
+        surf, surf_inv = np.unique(flat, return_inverse=True)
+        stems_of_surf = np.empty(len(surf), dtype=object)
+        for i, tok in enumerate(surf):
+            s = cache.get(tok)
+            if s is None:
+                s = stem(tok)
+                cache[tok] = s
+            stems_of_surf[i] = s
+        terms, term_of_surf = np.unique(stems_of_surf, return_inverse=True)
+        tok_term = term_of_surf[surf_inv]
+
+        order = np.lexsort((tok_pos, doc_row, tok_term))
+        t_s, d_s, p_s = tok_term[order], doc_row[order], tok_pos[order]
+
+        # (term, doc) posting boundaries; position gaps reset per posting
+        new_post = np.ones(n_tok, dtype=bool)
+        new_post[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+        pos_gaps = p_s.copy()
+        pos_gaps[1:] -= p_s[:-1]
+        pos_gaps[new_post] = p_s[new_post]  # absolute at posting start
+
+        post_idx = np.nonzero(new_post)[0]  # one entry per (term, doc)
+        counts = np.append(post_idx[1:], n_tok) - post_idx
+        post_term = t_s[post_idx]
+        post_doc = doc_ids[d_s[post_idx]].astype(np.uint64)
+
+        # per-term row boundaries over the postings
+        new_term = np.ones(len(post_idx), dtype=bool)
+        new_term[1:] = post_term[1:] != post_term[:-1]
+        row_starts = np.nonzero(new_term)[0]
+        row_ends = np.append(row_starts[1:], len(post_idx))
+        tok_starts = post_idx[row_starts]
+        tok_ends = np.append(tok_starts[1:], n_tok)
+
+        doc_gaps = post_doc.copy()
+        doc_gaps[1:] -= post_doc[:-1]
+        doc_gaps[row_starts] = post_doc[row_starts]  # absolute per term row
+
+        out = {c: [] for c in cols}
+        counts64 = counts.astype(np.uint64)
+        pos_gaps64 = pos_gaps.astype(np.uint64)
+        for i, (rs, re) in enumerate(zip(row_starts, row_ends)):
+            out["term"].append(terms[post_term[rs]])
             out["block_id"].append(block_id)
-            out["block_df"].append(len(d))
-            out["doc_gaps"].append(varbyte_encode(gaps))
-            out["counts"].append(varbyte_encode(np.asarray(c, dtype=np.uint64)))
-            out["pos_gaps"].append(varbyte_encode(np.asarray(p, dtype=np.uint64)))
+            out["block_df"].append(int(re - rs))
+            out["doc_gaps"].append(varbyte_encode(doc_gaps[rs:re]))
+            out["counts"].append(varbyte_encode(counts64[rs:re]))
+            out["pos_gaps"].append(
+                varbyte_encode(pos_gaps64[tok_starts[i] : tok_ends[i]])
+            )
         return pd.DataFrame(out)
 
     build_block._stem_cache = {}
