@@ -395,6 +395,29 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = 4
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via banded Hamming-LSH (exact by pigeonhole:
+    hamming <= 3 < 4 bands ⇒ the pair shares a band chunk)."""
+    from tsidx.dedup import simhash_pairs
+
+    docs = load_documents(spark, sf_dir)
+    pairs = simhash_pairs(
+        docs,
+        bits=SIMHASH_BITS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        n_bands=SIMHASH_BANDS,
+    )
+    return pairs.select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.col("hamming").cast("long"),
+    )
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling token hash: fp = fold (fp*31 + h(tok)) mod p."""
     docs = load_documents(spark, sf_dir)
@@ -892,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_grouped": _q_bm25_topk_grouped,
         "hybrid_topk": _q_hybrid_topk,
         "facet_counts": _q_facet_counts,
+        "simhash_pairs": _q_simhash_pairs,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1279,6 +1303,14 @@ SELECT query_id, vec_id, round(sim, 4) AS sim_r
 FROM ranked WHERE rn <= {ANN_K}""",
         "minhash_sigs": _minhash_sql(),
         "simhash": _simhash_sql(),
+        # exact brute-force twin of the banded-LSH plan (banding is exact
+        # for hamming <= 3 < 4 bands, so all-pairs IS the same answer)
+        "simhash_pairs": f"""
+WITH sigs AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}""",
         "doc_fingerprint": f"""
 SELECT doc_id,
        list_reduce(

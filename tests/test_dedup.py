@@ -113,3 +113,36 @@ def test_simhash_deterministic(docs):
     a = sorted(map(tuple, simhash(docs).collect()))
     b = sorted(map(tuple, simhash(docs).collect()))
     assert a == b
+
+
+def test_simhash_pairs_banding_is_exact(spark):
+    """Banded Hamming-LSH pairs == brute-force all-pairs at hamming<=3
+    (pigeonhole: 3 differing bits cannot touch all 4 bands)."""
+    import itertools
+
+    from tsidx.dedup import simhash, simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, bits=32, max_hamming=3, n_bands=4).collect()
+    }
+    assert got == brute and brute
+
+
+def test_simhash_pairs_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from tsidx.dedup import simhash_pairs
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        simhash_pairs(docs, bits=32, max_hamming=4, n_bands=4)
+    with _pytest.raises(ValueError):
+        simhash_pairs(docs, bits=30, max_hamming=2, n_bands=4)

@@ -31,6 +31,7 @@ __all__ = [
     "minhash_params",
     "lsh_candidate_pairs",
     "simhash",
+    "simhash_pairs",
 ]
 
 # MinHash permutations live in the Mersenne-31 field: h is reduced to
@@ -311,3 +312,72 @@ def simhash(
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-dup pairs by SimHash Hamming distance,
+    via banded Hamming-LSH candidate generation.
+
+    Pigeonhole guarantee: with the fingerprint split into *n_bands*
+    contiguous chunks and ``max_hamming < n_bands``, any qualifying pair
+    differs in at most max_hamming chunks, so it SHARES at least one chunk
+    — banding is exact (100% recall), not approximate. At scale the
+    (band_id, chunk) shuffle keys bound the join: each bucket holds the
+    docs agreeing on one fingerprint chunk, and candidates are verified
+    with one ``bit_count(xor)`` before emitting.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("exact banding needs max_hamming < n_bands")
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sig = simhash(docs, bits=bits, text_col=text_col, id_col=id_col)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(
+        F.col("sa").bitwiseXOR(F.col("sb"))
+    ).cast("int").alias("hamming")
+    return (
+        cand.select("doc_a", "doc_b", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+    )
