@@ -675,6 +675,19 @@ def _q_bm25_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUGGEST_TOKEN = "querry"  # misspelling of "query" (stem "queri")
+SUGGEST_DIST = 2
+
+
+def _q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean: dictionary terms within edit distance SUGGEST_DIST of
+    the stemmed misspelling, ranked by (dist, -df)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.suggest_terms(SUGGEST_TOKEN, SUGGEST_DIST).select(
+        "term", F.col("df").cast("long"), F.col("dist").cast("long")
+    )
+
+
 def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet sidebar: per-role doc counts over the Q_OR match result."""
     eng = get_engine(spark, sf_dir)
@@ -916,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": _q_hybrid_topk,
         "facet_counts": _q_facet_counts,
         "simhash_pairs": _q_simhash_pairs,
+        "suggest_terms": _q_suggest_terms,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1216,6 +1230,12 @@ SELECT DISTINCT doc_id FROM trm WHERE term IN ({_terms_in("window")})""",
         "prefix_match": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm WHERE term LIKE '{Q_PREFIX}%'""",
+        "suggest_terms": f"""
+WITH {terms_cte},
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df, levenshtein(term, '{_sql_query_terms(SUGGEST_TOKEN)[0]}')::BIGINT AS dist
+FROM dfreq
+WHERE levenshtein(term, '{_sql_query_terms(SUGGEST_TOKEN)[0]}') <= {SUGGEST_DIST}""",
         # role = ROLES[doc_id % 4] as in documents_as_transcripts
         "facet_counts": f"""
 WITH {terms_cte},

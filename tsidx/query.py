@@ -284,6 +284,26 @@ class QueryEngine:
             .limit(k)
         )
 
+    def suggest_terms(self, token: str, max_dist: int = 1) -> DataFrame:
+        """(term, df, dist): dictionary terms within *max_dist* edits of the
+        (stemmed) token — did-you-mean suggestions ranked by (dist, -df).
+
+        One scan of the (term, df) dictionary with a JVM ``levenshtein``
+        filter — embarrassingly parallel; no posting bytes touched. (An
+        indexed deletion-neighborhood variant would replace the scan at
+        billion-term dictionaries; the dictionary is ~10^6 rows even at
+        10^12 docs, so the scan is already cheap.)
+        """
+        q = self.terms_of([token])
+        lit = q[0] if q else token
+        dist = F.levenshtein(F.col("term"), F.lit(lit))
+        return (
+            self.index.terms.withColumn("dist", dist)
+            .filter(F.col("dist") <= max_dist)
+            .select("term", "df", "dist")
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        )
+
     def facet_counts(
         self, query: str | list[str], facet_col: str
     ) -> DataFrame:
