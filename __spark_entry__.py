@@ -354,6 +354,27 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the Jaccard near-dup
+    pairs (cluster_id = component-minimum doc_id).
+
+    Near-dups chain (A~B, B~C without A~C), so the dedup keep/drop unit is
+    the component, not the pair. Spark plan: iterative min-label
+    propagation over the symmetric edge table — two bounded shuffles per
+    round, localCheckpoint-flattened lineage, O(diameter) rounds
+    (tsidx/dedup.py::connected_components). The oracle is a DuckDB
+    recursive CTE computing min reachable doc_id per vertex.
+    """
+    from tsidx.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_documents(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, tau=JACCARD_TAU, max_key_df=JACCARD_MAX_DF)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("doc_id").cast("long"), F.col("cluster_id").cast("long")
+    )
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k neighbors for the first ANN_NQ vectors."""
     from tsidx.ann import cosine_topk
@@ -903,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_stats": _q_lang_stats,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "dup_clusters": _q_dup_clusters,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "minhash_sigs": _q_minhash_sigs,
         "simhash": _q_simhash,
@@ -1299,6 +1321,45 @@ FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*))
        >= {JACCARD_TAU}""",
+        "dup_clusters": f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, len(toks) - 1)]) AS shingles
+  FROM t WHERE len(toks) >= 3
+),
+ex AS (
+  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+),
+sdf AS (
+  SELECT s, count(*) AS c FROM ex GROUP BY s
+),
+exc AS (
+  SELECT ex.* FROM ex JOIN sdf USING (s) WHERE sdf.c <= {JACCARD_MAX_DF}
+),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*))
+         >= {JACCARD_TAU}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pr
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pr
+),
+verts AS (SELECT DISTINCT s AS v FROM edges),
+reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.d AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
+)
+SELECT v::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id
+FROM reach GROUP BY v""",
         "ann_cosine_topk": f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

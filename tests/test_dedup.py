@@ -146,3 +146,59 @@ def test_simhash_pairs_rejects_bad_params(spark):
         simhash_pairs(docs, bits=32, max_hamming=4, n_bands=4)
     with _pytest.raises(ValueError):
         simhash_pairs(docs, bits=30, max_hamming=2, n_bands=4)
+
+
+def test_connected_components_chain_and_stars(spark):
+    """Components over a chain (0-1-2-3), a pair (10-11), a triangle
+    (20-21-22), and a star (30-31,30-32,30-33): every vertex labels with
+    its component minimum, regardless of edge direction/order."""
+    from tsidx.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 0), (1, 2), (3, 2),            # chain, mixed directions
+            (11, 10),                           # pair
+            (20, 21), (21, 22), (20, 22),       # triangle
+            (30, 31), (30, 32), (30, 33),       # star
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        0: 0, 1: 0, 2: 0, 3: 0,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30, 32: 30, 33: 30,
+    }
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 40-vertex path needs ~diameter rounds of propagation — exercises
+    the iteration/convergence logic well past one round."""
+    from tsidx.dedup import connected_components
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    rows = connected_components(pairs).collect()
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_connected_components_matches_jaccard_pairs(docs):
+    """End-to-end: clusters over the test corpus's Jaccard pairs."""
+    from tsidx.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(docs, n=3, tau=0.3, max_key_df=16)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    # docs 0/1/2 chain through shared shingles; 4/5 pair up
+    assert got[0] == got[1] == got[2] == 0
+    assert got[4] == got[5] == 4
+    assert 3 not in got  # no pair -> not a vertex

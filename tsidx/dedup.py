@@ -32,6 +32,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "simhash",
     "simhash_pairs",
+    "connected_components",
 ]
 
 # MinHash permutations live in the Mersenne-31 field: h is reduced to
@@ -199,6 +200,72 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= tau)
     )
     return pairs.select("doc_a", "doc_b", "jaccard")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-dup pairs —
+    ``cluster_id`` is the minimum doc_id of the component.
+
+    This is the step that turns pairwise near-dup evidence (Jaccard /
+    MinHash-LSH / SimHash pairs) into keep/drop decisions: duplicates chain
+    (A~B, B~C but not A~C), so clusters — not pairs — are the dedup unit.
+
+    Algorithm: iterative min-label propagation. Each round every vertex
+    takes the minimum label among itself and its neighbors; convergence in
+    O(diameter) rounds. Near-dup graphs are overwhelmingly tiny star/chain
+    components (diameter rarely exceeds a handful), so this beats the
+    O(log n)-round star-contraction variants in practice while staying a
+    pure DataFrame plan: per round, one join of the (symmetric) edge table
+    against the labels on the src key + one min-aggregate on the dst key —
+    two bounded shuffles over |E| rows, never a collect. Labels are
+    ``localCheckpoint``-ed each round so the plan/lineage stays flat, and
+    the loop exits when a round changes no label (counted with one small
+    aggregate, not a row fetch).
+    """
+    # symmetric edge table; self-loops keep isolated-pair endpoints stable
+    a = F.col(a_col).cast("long")
+    b = F.col(b_col).cast("long")
+    fwd = pairs.select(a.alias("src"), b.alias("dst"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # label(v) <- min(label(v), min over neighbors u of label(u))
+        msgs = edges.join(
+            labels.withColumnRenamed("v", "src"), "src"
+        ).select(F.col("dst").alias("v"), "label")
+        new_labels = (
+            msgs.unionByName(labels)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "v"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 def _shingle_hash64() -> "F.Column":
