@@ -651,6 +651,26 @@ def _q_phrase_counts3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phrase_df(spark, sf_dir, Q_PHRASE3)
 
 
+PROX_A, PROX_B, PROX_SLOP = "query", "table", 4
+
+
+def _q_proximity_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/slop proximity search: docs where PROX_A and PROX_B occur
+    within PROX_SLOP tokens, with qualifying-pair counts and the closest
+    distance. Plan: bucketed pair join over the two stems' position blocks
+    (tsidx/positions.py::proximity_counts) — the per-doc tf_a x tf_b cross
+    product is never materialized."""
+    from tsidx.positions import proximity_counts
+
+    return proximity_counts(
+        get_positional(spark, sf_dir), PROX_A, PROX_B, PROX_SLOP
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_pairs").cast("long"),
+        F.col("min_dist").cast("long"),
+    )
+
+
 SNIPPET_WIDTH = 5
 
 
@@ -940,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _q_ivf_ann_topk,
         "ivf_ann_recall": _q_ivf_ann_recall,
         "phrase_counts": _q_phrase_counts,
+        "proximity_within": _q_proximity_within,
         "phrase_counts3": _q_phrase_counts3,
         "best_window": _q_best_window,
         "bool_search": _q_bool_search,
@@ -1080,6 +1101,25 @@ occ AS (
 SELECT doc_id, count(*)::BIGINT AS n_occ FROM occ GROUP BY doc_id"""
 
 
+def _proximity_sql(term_a: str, term_b: str, slop: int) -> str:
+    """NEAR/slop oracle: all-pairs distances per doc (fine at oracle scale;
+    the engine's bucketed join avoids exactly this cross product)."""
+    from tsidx.tokenize import stem_tokens
+
+    sa, sb = stem_tokens(term_a)[0], stem_tokens(term_b)[0]
+    same = "WHERE pa.p < pb.p" if sa == sb else ""
+    return f"""
+WITH {_positions_cte()},
+pa AS (SELECT doc_id, p FROM pos WHERE term = '{sa}'),
+pb AS (SELECT doc_id, p FROM pos WHERE term = '{sb}'),
+pairs AS (
+  SELECT pa.doc_id, abs(pa.p - pb.p) AS dist
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id {same}
+)
+SELECT doc_id, count(*)::BIGINT AS n_pairs, min(dist)::BIGINT AS min_dist
+FROM pairs WHERE dist <= {slop} GROUP BY doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     from tsidx.textstats import BPE_PIECE_RE, LANG_PROFILES
 
@@ -1214,6 +1254,7 @@ FROM (
 ) WHERE rn <= {GROUP_K}""",
         "phrase_counts": _phrase_sql(Q_PHRASE),
         "phrase_counts3": _phrase_sql(Q_PHRASE3),
+        "proximity_within": _proximity_sql(PROX_A, PROX_B, PROX_SLOP),
         # hit-anchored sliding window: count hits/distinct stems in
         # [anchor, anchor+W) per anchor, then argmin (-n_terms, -n_hits,
         # start) per doc — same semantics as tsidx.positions.best_window

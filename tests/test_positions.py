@@ -241,3 +241,69 @@ def test_block_partitioning(positional):
     assert {r["block_id"] for r in rows} == {0, 1, 2}
     for r in rows:
         assert r["block_df"] >= 1
+
+
+def _py_proximity(docs, ta, tb, slop):
+    """doc_id -> (n_pairs, min_dist) ground truth by brute force."""
+    sa, sb = _stems(ta)[0], _stems(tb)[0]
+    out = {}
+    for doc_id, text in docs:
+        toks = _stems(text)
+        pa = [i for i, t in enumerate(toks) if t == sa]
+        pb = [i for i, t in enumerate(toks) if t == sb]
+        if sa == sb:
+            pairs = [(x, y) for x in pa for y in pb
+                     if x < y and abs(x - y) <= slop]
+        else:
+            pairs = [(x, y) for x in pa for y in pb if abs(x - y) <= slop]
+        if pairs:
+            out[doc_id] = (len(pairs), min(abs(x - y) for x, y in pairs))
+    return out
+
+
+@pytest.mark.parametrize(
+    "ta,tb,slop",
+    [
+        ("quick", "dog", 5),
+        ("quick", "dog", 2),
+        ("quick", "fox", 1),
+        ("brown", "brown", 2),   # same stem both sides
+        ("quick", "missing", 3),
+        ("big", "big", 1),
+    ],
+)
+def test_proximity_counts_matches_bruteforce(positional, ta, tb, slop):
+    from tsidx.positions import proximity_counts
+
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_counts(positional, ta, tb, slop).collect()
+    }
+    assert got == _py_proximity(CORPUS, ta, tb, slop)
+
+
+def test_proximity_counts_bucket_boundaries(spark):
+    """Distances straddling the slop+1 bucket width must still pair up
+    (the adjacent-bucket replication), and dist == slop is inclusive."""
+    from tsidx.positions import positional_postings, proximity_counts
+
+    # positions of 'a': 0; 'b': exactly slop and slop+1 away
+    docs = spark.createDataFrame(
+        [(0, "alpha x x x beta"), (1, "alpha x x x x beta")],
+        "doc_id long, text string",
+    )
+    pos = positional_postings(docs, block_size=4)
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_counts(pos, "alpha", "beta", slop=4).collect()
+    }
+    assert got == {0: (1, 4)}
+
+
+def test_proximity_counts_rejects_multiword(positional):
+    import pytest as _pytest
+
+    from tsidx.positions import proximity_counts
+
+    with _pytest.raises(ValueError):
+        proximity_counts(positional, "two words", "x", 3)

@@ -43,6 +43,7 @@ __all__ = [
     "write_positional",
     "read_positional",
     "best_window",
+    "proximity_counts",
 ]
 
 POSITIONS_SCHEMA = (
@@ -295,6 +296,65 @@ def phrase_counts(
 def phrase_match(positional: DataFrame, phrase: str | list[str]) -> DataFrame:
     """doc_ids containing the exact phrase, ascending (insertion) order."""
     return phrase_counts(positional, phrase).select("doc_id").orderBy("doc_id")
+
+
+def proximity_counts(
+    positional: DataFrame,
+    term_a: str,
+    term_b: str,
+    slop: int = 5,
+) -> DataFrame:
+    """(doc_id, n_pairs, min_dist): docs where the two (stemmed) terms
+    co-occur within *slop* tokens — NEAR/*slop* proximity search.
+
+    ``n_pairs`` counts occurrence pairs with ``|pos_a - pos_b| <= slop``;
+    ``min_dist`` is the closest such pair. When both terms stem identically
+    the pairs are unordered distinct occurrences (``pos_a < pos_b``).
+
+    Plan: pushed ``term IN`` scan of the two stems' position blocks ->
+    decode -> *bucketed* pair join: positions are keyed by
+    ``pos DIV (slop+1)`` and the b-side is replicated to its three
+    neighboring buckets, so any pair within *slop* shares a join key while
+    the join never widens beyond 3x the b-side rows — the per-doc cross
+    product (tf_a x tf_b, quadratic for hot docs) is never materialized.
+    One (doc_id, bucket) shuffle, then a per-doc aggregate. Each
+    qualifying pair matches on exactly one key (the a-side's own bucket),
+    so counts are exact, not deduplicated.
+    """
+    from tsidx.tokenize import stem_tokens
+
+    sa = stem_tokens(term_a)
+    sb = stem_tokens(term_b)
+    if len(sa) != 1 or len(sb) != 1:
+        raise ValueError("proximity_counts takes exactly one term per side")
+    sa, sb = sa[0], sb[0]
+    w = int(slop) + 1
+    rows = decode_positional(
+        positional.filter(F.col("term").isin(sorted({sa, sb})))
+    )
+    pa = rows.filter(F.col("term") == sa).select(
+        "doc_id", F.col("pos").alias("pa"), (F.col("pos") / w).cast("long").alias("bk")
+    )
+    pb = rows.filter(F.col("term") == sb).select(
+        "doc_id",
+        F.col("pos").alias("pb"),
+        F.explode(
+            F.array(
+                (F.col("pos") / w).cast("long") - 1,
+                (F.col("pos") / w).cast("long"),
+                (F.col("pos") / w).cast("long") + 1,
+            )
+        ).alias("bk"),
+    )
+    cand = pa.join(pb, ["doc_id", "bk"])
+    dist = F.abs(F.col("pa") - F.col("pb"))
+    if sa == sb:
+        cand = cand.filter(F.col("pa") < F.col("pb"))
+    qual = cand.filter(dist <= slop)
+    return qual.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min(dist).cast("int").alias("min_dist"),
+    )
 
 
 def best_window(
