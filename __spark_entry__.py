@@ -275,6 +275,28 @@ def _q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTI_QUERIES = {
+    "m_bm25": Q_BM25,
+    "m_rare": Q_RARE,
+    "m_and": Q_AND,
+    "m_win": "window sort stream",
+}
+MULTI_K = 10
+
+
+def _q_bm25_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query BM25 top-k: one pushed term-IN scan + one
+    decode for the union of all four queries' terms, broadcast
+    (query_id, term, idf) fan-out, one (query_id, doc_id) shuffle, then
+    two-phase per-query top-k (tsidx/query.py::bm25_topk_batch)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.bm25_topk_batch(MULTI_QUERIES, MULTI_K).select(
+        "query_id",
+        F.col("doc_id").cast("long"),
+        F.round("score", 4).alias("score_r"),
+    )
+
+
 def _q_bm25_scores_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = get_engine(spark, sf_dir)
     return eng.bm25_scores(Q_RARE).select(
@@ -938,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "wand_topk": _q_wand_topk,
         "bm25_scores_rare": _q_bm25_scores_rare,
+        "bm25_topk_multi": _q_bm25_topk_multi,
         "doc_length": _q_doc_length,
         "tf_rows": _q_tf_rows,
         "dedup_exact": _q_dedup_exact,
@@ -1120,6 +1143,22 @@ SELECT doc_id, count(*)::BIGINT AS n_pairs, min(dist)::BIGINT AS min_dist
 FROM pairs WHERE dist <= {slop} GROUP BY doc_id"""
 
 
+def _bm25_multi_sql(queries: dict[str, str], k: int) -> str:
+    """Per-query top-k over a batch: one ranked subquery per query_id,
+    unioned. Ranks on 12-decimal scores (the engine ranks exact doubles;
+    4-decimal rounding collides distinct neighbors), outputs 4-decimal
+    score_r like the other BM25 oracles."""
+    parts = []
+    for qid in sorted(queries):
+        parts.append(f"""
+SELECT query_id, doc_id, score_r FROM (
+  SELECT '{qid}' AS query_id, t.doc_id, round(t.s, 4) AS score_r,
+         row_number() OVER (ORDER BY t.s DESC, t.doc_id) AS rn
+  FROM ({_bm25_scores_sql(queries[qid], round_to=12)}) t(doc_id, s)
+) WHERE rn <= {k}""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     from tsidx.textstats import BPE_PIECE_RE, LANG_PROFILES
 
@@ -1193,6 +1232,7 @@ ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
 SELECT * FROM ({_bm25_scores_sql(Q_BM25)})
 ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "bm25_scores_rare": _bm25_scores_sql(Q_RARE),
+        "bm25_topk_multi": _bm25_multi_sql(MULTI_QUERIES, MULTI_K),
         "match_deleted": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm

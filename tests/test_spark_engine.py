@@ -89,6 +89,46 @@ def test_bm25_bit_identical_to_oracle(built, oracle, query):
         assert gs == ws, (gd, gs, ws)
 
 
+def test_bm25_batch_bit_identical_to_per_query(built, oracle):
+    """One-scan batched scoring must equal the per-query plan bit-for-bit
+    — including a query with no known terms (absent from the result) and
+    overlapping term sets (the shared-scan case the batch exists for)."""
+    engine = QueryEngine(built)
+    k = 10
+    batch = {
+        "q_same": "same",
+        "q_tq": "thrall quench",
+        "q_fh": "fire heat",
+        "q_love_fire": "love fire",  # overlaps q_fh's scan
+        "q_unknown": "zzzunknown",
+    }
+    got = {}
+    for r in engine.bm25_topk_batch(batch, k).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    assert "q_unknown" not in got
+    for qid, q in batch.items():
+        if qid == "q_unknown":
+            continue
+        want = oracle.bm25_topk(q, k)
+        rows = sorted(got[qid], key=lambda t: (-t[1], t[0]))
+        assert [d for d, _ in rows] == [d for d, _ in want], qid
+        for (gd, gs), (wd, ws) in zip(rows, want):
+            assert gs == ws, (qid, gd, gs, ws)
+
+
+def test_bm25_batch_small_k_ties(built, oracle):
+    """k=1 and k smaller than the candidate set exercise the two-phase
+    partial-topk cut."""
+    engine = QueryEngine(built)
+    for k in (1, 3):
+        rows = engine.bm25_topk_batch({"q": "fire heat"}, k).collect()
+        got = sorted(
+            [(r["doc_id"], r["score"]) for r in rows],
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == [(d, s) for d, s in oracle.bm25_topk("fire heat", k)]
+
+
 def test_match_all_intersection(built, oracle):
     engine = QueryEngine(built)
     got = [r["doc_id"] for r in engine.match_all("fire heat").collect()]

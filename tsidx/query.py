@@ -245,6 +245,107 @@ class QueryEngine:
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
 
+    def bm25_scores_batch(
+        self, queries: dict[str, str | list[str]]
+    ) -> DataFrame:
+        """(query_id, doc_id, score) for a *batch* of queries in one job.
+
+        The training-data-retrieval shape: thousands of queries against one
+        corpus. Running them one at a time costs one posting scan each;
+        this plan reads the posting blocks of the *union* of all query
+        terms once (single pushed ``term IN`` scan + one decode), fans each
+        posting row out to the queries containing its term via a broadcast
+        (query_id, term, idf) join — |Q|·|q| rows, driver-built — and
+        aggregates per (query_id, doc_id) in one shuffle.
+
+        Scores are bit-identical to per-query :meth:`bm25_scores`: the
+        contribution expression has the same double-precision shape
+        (idf × wtf, one multiply) and per-doc sums accumulate in
+        sorted-term order, so batching never changes a score.
+        """
+        per_q = {qid: set(self.terms_of(q)) for qid, q in queries.items()}
+        all_terms = sorted(set().union(*per_q.values())) if per_q else []
+        idfs = self.query_idfs(all_terms)
+        spark = self.index.docs.sparkSession
+        if not idfs:
+            return spark.createDataFrame(
+                [], "query_id string, doc_id long, score double"
+            )
+        k1 = float(self.index.meta["k1"])
+        b = float(self.index.meta["b"])
+        avgdl = float(self.index.meta["avgdl"])
+        fan = spark.createDataFrame(
+            [
+                (qid, t, idfs[t])
+                for qid, ts in per_q.items()
+                for t in sorted(ts)
+                if t in idfs
+            ],
+            "query_id string, term string, idf double",
+        )
+        rows = self._live(self.posting_rows(sorted(idfs)))
+        tf = F.col("tf").cast("double")
+        dl = F.col("dl").cast("double")
+        wtf = (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl) / F.lit(avgdl))
+        )
+        return (
+            rows.join(F.broadcast(fan), "term")
+            .withColumn("contrib", F.col("idf") * wtf)
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score")
+            )
+        )
+
+    def bm25_topk_batch(
+        self, queries: dict[str, str | list[str]], k: int
+    ) -> DataFrame:
+        """Deterministic top-k per query for a batch of queries.
+
+        Two-phase top-k so the per-query shuffle never sees the full score
+        set: each Arrow batch keeps its local k best per query (any global
+        top-k row survives every such cut), then one window over the
+        ≤ k·batches survivors finalizes ranks. The final exchange is keyed
+        by query_id but carries only the pruned survivors, so a hot query
+        cannot skew it.
+        """
+        from pyspark.sql import Window
+
+        import pandas as pd
+
+        kk = int(k)
+
+        def partial_topk(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "score", "doc_id"],
+                        ascending=[True, False, True],
+                        kind="mergesort",
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(kk)
+                )
+
+        partial = self.bm25_scores_batch(queries).mapInPandas(
+            partial_topk, schema="query_id string, doc_id long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            partial.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= kk)
+            .drop("rn")
+        )
+
     def match_prefix(self, prefix: str) -> DataFrame:
         """Docs containing any term with the given (stem-space) prefix —
         wildcard search ``prefix*``. The ``startswith`` predicate pushes to
