@@ -304,6 +304,18 @@ def _q_bm25_scores_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MLT_DOC, MLT_M, MLT_K = 17, 10, 10
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: BM25 over the source doc's top-m tf·idf stems,
+    source excluded (tsidx/query.py::more_like_this)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.more_like_this(MLT_DOC, MLT_K, m=MLT_M).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
+
+
 def _q_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token count (pre-dedup document length |d|)."""
     eng = get_engine(spark, sf_dir)
@@ -961,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": _q_wand_topk,
         "bm25_scores_rare": _q_bm25_scores_rare,
         "bm25_topk_multi": _q_bm25_topk_multi,
+        "more_like_this": _q_more_like_this,
         "doc_length": _q_doc_length,
         "tf_rows": _q_tf_rows,
         "dedup_exact": _q_dedup_exact,
@@ -1143,6 +1156,47 @@ SELECT doc_id, count(*)::BIGINT AS n_pairs, min(dist)::BIGINT AS min_dist
 FROM pairs WHERE dist <= {slop} GROUP BY doc_id"""
 
 
+def _mlt_sql(doc_id: int, m: int, k: int) -> str:
+    """More-like-this oracle: select the source doc's top-m terms by
+    (tf·idf desc, term asc), score BM25 over that term set excluding the
+    source, rank on 12-decimal scores, emit 4-decimal score_r."""
+    idf = "ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)"
+    return f"""
+WITH {_terms_cte()},
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+sel AS (
+  SELECT tf.term
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+  WHERE tf.doc_id = {doc_id}
+  ORDER BY tf.tf * {idf} DESC, tf.term
+  LIMIT {m}
+),
+contrib AS (
+  SELECT tf.doc_id,
+         {idf}
+         * ((tf.tf * {K1 + 1.0}) /
+            (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl))) AS c
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN (SELECT term FROM sel) AND tf.doc_id <> {doc_id}
+),
+sc AS (
+  SELECT doc_id, round(sum(c), 12) AS s FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, score_r FROM (
+  SELECT doc_id, round(s, 4) AS score_r,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+  FROM sc
+) WHERE rn <= {k}"""
+
+
 def _bm25_multi_sql(queries: dict[str, str], k: int) -> str:
     """Per-query top-k over a batch: one ranked subquery per query_id,
     unioned. Ranks on 12-decimal scores (the engine ranks exact doubles;
@@ -1233,6 +1287,7 @@ SELECT * FROM ({_bm25_scores_sql(Q_BM25)})
 ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "bm25_scores_rare": _bm25_scores_sql(Q_RARE),
         "bm25_topk_multi": _bm25_multi_sql(MULTI_QUERIES, MULTI_K),
+        "more_like_this": _mlt_sql(MLT_DOC, MLT_M, MLT_K),
         "match_deleted": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm

@@ -129,6 +129,52 @@ def test_bm25_batch_small_k_ties(built, oracle):
         assert got == [(d, s) for d, s in oracle.bm25_topk("fire heat", k)]
 
 
+def _mlt_bruteforce(oracle, sonnets, doc_id, k, m):
+    from tsidx.oracle import K1, B, bm25_idf
+    from tsidx.tokenize import term_freqs
+
+    tfs, _dl = term_freqs(sonnets[doc_id])
+    n = oracle.n_docs
+    avgdl = sum(oracle.doc_lengths.values()) / n
+    idfs = {
+        t: bm25_idf(n, len(oracle.postings[t]))
+        for t in tfs
+        if t in oracle.postings
+    }
+    ranked = sorted(
+        ((t, tfs[t] * idfs[t]) for t in idfs), key=lambda x: (-x[1], x[0])
+    )
+    sel = sorted(t for t, _ in ranked[:m])
+    scores = {}
+    for t in sel:
+        idf = idfs[t]
+        for d, tf in oracle.postings[t]:
+            dl = oracle.doc_lengths[d]
+            c = idf * ((tf * (K1 + 1.0)) / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl)))
+            scores[d] = scores.get(d, 0.0) + c
+    scores.pop(doc_id, None)
+    out = sorted(scores.items(), key=lambda p: (-p[1], p[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("doc_id,m", [(17, 10), (0, 5), (153, 25)])
+def test_more_like_this_matches_bruteforce(built, oracle, sonnets, doc_id, m):
+    engine = QueryEngine(built)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.more_like_this(doc_id, k=10, m=m).collect()
+    ]
+    want = _mlt_bruteforce(oracle, sonnets, doc_id, 10, m)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert gs == ws, (gd, gs, ws)
+
+
+def test_more_like_this_missing_doc(built):
+    engine = QueryEngine(built)
+    assert engine.more_like_this(10_000, k=5).count() == 0
+
+
 def test_match_all_intersection(built, oracle):
     engine = QueryEngine(built)
     got = [r["doc_id"] for r in engine.match_all("fire heat").collect()]

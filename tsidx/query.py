@@ -207,7 +207,12 @@ class QueryEngine:
 
     def bm25_scores(self, query: str | list[str]) -> DataFrame:
         """(doc_id, score) for all candidate docs (disjunctive semantics)."""
-        terms = self.terms_of(query)
+        return self._bm25_scores_terms(self.terms_of(query))
+
+    def _bm25_scores_terms(self, terms: list[str]) -> DataFrame:
+        """Scores for already-stemmed terms (internal: bypasses query
+        normalization — stemming is not idempotent, so pre-stemmed term
+        lists must not pass through ``terms_of`` again)."""
         idfs = self.query_idfs(terms)
         spark = self.index.docs.sparkSession
         if not idfs:
@@ -244,6 +249,39 @@ class QueryEngine:
         return self.bm25_scores(query).orderBy(
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
+
+    def more_like_this(self, doc_id: int, k: int, m: int = 10) -> DataFrame:
+        """Top-k docs most similar to *doc_id*: BM25 over the source doc's
+        top-*m* tf·idf stems, the source itself excluded.
+
+        Plan: one pushed ``doc_id =`` filter fetches the source text (a
+        single bounded row); term selection runs on the driver over the
+        doc's own vocabulary (≤ doc length — not data-scale); scoring is
+        the standard pushed term-IN posting scan. Selection ranks by
+        (tf·idf desc, term asc) — deterministic.
+        """
+        from tsidx.tokenize import term_freqs
+
+        src = (
+            self.index.docs.filter(F.col("doc_id") == doc_id)
+            .select("text")
+            .collect()
+        )
+        spark = self.index.docs.sparkSession
+        if not src:
+            return spark.createDataFrame([], "doc_id long, score double")
+        tfs, _dl = term_freqs(src[0]["text"], self._stem_cache)
+        idfs = self.query_idfs(sorted(tfs))
+        ranked = sorted(
+            ((t, tfs[t] * idfs[t]) for t in idfs), key=lambda x: (-x[1], x[0])
+        )
+        sel = [t for t, _ in ranked[: int(m)]]
+        return (
+            self._bm25_scores_terms(sel)
+            .filter(F.col("doc_id") != doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def bm25_scores_batch(
         self, queries: dict[str, str | list[str]]
