@@ -305,6 +305,23 @@ def _q_bm25_scores_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MLT_DOC, MLT_M, MLT_K = 17, 10, 10
+COOC_MIN_DF, COOC_MAX_DF, COOC_MIN_PAIR = 2, 390, 5
+
+
+def _q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term co-occurrence PMI over the mid-df dictionary band — the df cap
+    is the quadratic-self-join safety valve (tsidx/cooccur.py)."""
+    from tsidx.cooccur import cooccurrence_pmi
+
+    eng = get_engine(spark, sf_dir)
+    return cooccurrence_pmi(
+        eng, min_df=COOC_MIN_DF, max_df=COOC_MAX_DF, min_pair=COOC_MIN_PAIR
+    ).select(
+        "term_a",
+        "term_b",
+        F.col("df_ab").cast("long"),
+        F.round("pmi", 4).alias("pmi_r"),
+    )
 
 
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -974,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores_rare": _q_bm25_scores_rare,
         "bm25_topk_multi": _q_bm25_topk_multi,
         "more_like_this": _q_more_like_this,
+        "cooccur_pmi": _q_cooccur_pmi,
         "doc_length": _q_doc_length,
         "tf_rows": _q_tf_rows,
         "dedup_exact": _q_dedup_exact,
@@ -1197,6 +1215,30 @@ SELECT doc_id, score_r FROM (
 ) WHERE rn <= {k}"""
 
 
+def _cooccur_sql(min_df: int, max_df: int, min_pair: int) -> str:
+    """PMI oracle: distinct (doc_id, term) incidence restricted to the df
+    band, doc_id self-join for unordered pairs, marginals from the band."""
+    return f"""
+WITH {_terms_cte()},
+stats AS (SELECT count(*)::BIGINT AS n_docs FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+band AS (SELECT term, df FROM dfreq WHERE df BETWEEN {min_df} AND {max_df}),
+r AS (SELECT tf.doc_id, tf.term FROM tf JOIN band ON tf.term = band.term),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS df_ab
+  FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT term_a, term_b, df_ab,
+       round(ln((df_ab * stats.n_docs)::DOUBLE / (da.df * db.df)::DOUBLE), 4)
+         AS pmi_r
+FROM pairs
+JOIN band da ON pairs.term_a = da.term
+JOIN band db ON pairs.term_b = db.term
+CROSS JOIN stats
+WHERE df_ab >= {min_pair}"""
+
+
 def _bm25_multi_sql(queries: dict[str, str], k: int) -> str:
     """Per-query top-k over a batch: one ranked subquery per query_id,
     unioned. Ranks on 12-decimal scores (the engine ranks exact doubles;
@@ -1288,6 +1330,7 @@ ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "bm25_scores_rare": _bm25_scores_sql(Q_RARE),
         "bm25_topk_multi": _bm25_multi_sql(MULTI_QUERIES, MULTI_K),
         "more_like_this": _mlt_sql(MLT_DOC, MLT_M, MLT_K),
+        "cooccur_pmi": _cooccur_sql(COOC_MIN_DF, COOC_MAX_DF, COOC_MIN_PAIR),
         "match_deleted": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm
