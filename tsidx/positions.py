@@ -329,13 +329,14 @@ def proximity_counts(
         raise ValueError("proximity_counts takes exactly one term per side")
     sa, sb = sa[0], sb[0]
     w = int(slop) + 1
-    rows = decode_positional(
-        positional.filter(F.col("term").isin(sorted({sa, sb})))
-    )
-    pa = rows.filter(F.col("term") == sa).select(
+    # per-side single-term pushed scans: filtering BEFORE the decode means
+    # each side decodes only its own term's blocks (a shared two-term
+    # decode followed by post-decode filters would decode both streams on
+    # both sides of the join — twice the Arrow work for hot terms)
+    pa = decode_positional(positional.filter(F.col("term") == sa)).select(
         "doc_id", F.col("pos").alias("pa"), (F.col("pos") / w).cast("long").alias("bk")
     )
-    pb = rows.filter(F.col("term") == sb).select(
+    pb = decode_positional(positional.filter(F.col("term") == sb)).select(
         "doc_id",
         F.col("pos").alias("pb"),
         F.explode(
