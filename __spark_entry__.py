@@ -306,6 +306,32 @@ def _q_bm25_scores_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MLT_DOC, MLT_M, MLT_K = 17, 10, 10
 COOC_MIN_DF, COOC_MAX_DF, COOC_MIN_PAIR = 2, 390, 5
+PAGE_K = 10
+DECAY_NOW, DECAY_HALF_DAYS, DECAY_K = "2026-02-01 00:00:00", 1.0, 15
+
+
+def _q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-after pagination: rows 11-20 of Q_BM25's ranking via the
+    (doc_id, score) cursor of row 10 — stateless deep paging."""
+    eng = get_engine(spark, sf_dir)
+    cur = eng.bm25_topk(Q_BM25, PAGE_K).collect()[-1]
+    return eng.bm25_topk_after(
+        Q_BM25, PAGE_K, (cur["doc_id"], cur["score"])
+    ).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
+
+
+def _q_bm25_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed BM25: score · 2^(-age/half_life) with age from a
+    fixed literal instant (ts = 2026-01-01 + doc_id minutes, so the decay
+    is a pure function of doc_id and the oracle replays it)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.bm25_topk_decayed(
+        Q_BM25, DECAY_K, DECAY_NOW, half_life_days=DECAY_HALF_DAYS
+    ).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
 
 
 def _q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -992,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_multi": _q_bm25_topk_multi,
         "more_like_this": _q_more_like_this,
         "cooccur_pmi": _q_cooccur_pmi,
+        "bm25_page2": _q_bm25_page2,
+        "bm25_decayed": _q_bm25_decayed,
         "doc_length": _q_doc_length,
         "tf_rows": _q_tf_rows,
         "dedup_exact": _q_dedup_exact,
@@ -1239,6 +1267,39 @@ CROSS JOIN stats
 WHERE df_ab >= {min_pair}"""
 
 
+def _page2_sql(query: str, page_k: int) -> str:
+    """Rows page_k+1 .. 2·page_k of the ranking — the search-after page."""
+    return f"""
+SELECT doc_id, score_r FROM (
+  SELECT t.doc_id, round(t.s, 4) AS score_r,
+         row_number() OVER (ORDER BY t.s DESC, t.doc_id) AS rn
+  FROM ({_bm25_scores_sql(query, round_to=12)}) t(doc_id, s)
+) WHERE rn BETWEEN {page_k + 1} AND {2 * page_k}"""
+
+
+def _decay_sql(query: str, now: str, half_days: float, k: int) -> str:
+    """Recency-decay oracle: ts replays as epoch(2026-01-01) + 60·doc_id
+    (documents_as_transcripts), so the decay factor is computed from
+    doc_id with the same double constants the engine uses."""
+    import datetime as _dt
+    import math
+
+    e0 = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc).timestamp()
+    now_epoch = (
+        _dt.datetime.fromisoformat(now)
+        .replace(tzinfo=_dt.timezone.utc)
+        .timestamp()
+    )
+    lam = math.log(2.0) / (half_days * 86400.0)
+    decay = f"exp({-lam!r} * ({now_epoch!r} - ({e0!r} + 60.0 * t.doc_id)))"
+    return f"""
+SELECT doc_id, score_r FROM (
+  SELECT t.doc_id, round(t.s * {decay}, 4) AS score_r,
+         row_number() OVER (ORDER BY t.s * {decay} DESC, t.doc_id) AS rn
+  FROM ({_bm25_scores_sql(query, round_to=12)}) t(doc_id, s)
+) WHERE rn <= {k}"""
+
+
 def _bm25_multi_sql(queries: dict[str, str], k: int) -> str:
     """Per-query top-k over a batch: one ranked subquery per query_id,
     unioned. Ranks on 12-decimal scores (the engine ranks exact doubles;
@@ -1331,6 +1392,10 @@ ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "bm25_topk_multi": _bm25_multi_sql(MULTI_QUERIES, MULTI_K),
         "more_like_this": _mlt_sql(MLT_DOC, MLT_M, MLT_K),
         "cooccur_pmi": _cooccur_sql(COOC_MIN_DF, COOC_MAX_DF, COOC_MIN_PAIR),
+        "bm25_page2": _page2_sql(Q_BM25, PAGE_K),
+        "bm25_decayed": _decay_sql(
+            Q_BM25, DECAY_NOW, DECAY_HALF_DAYS, DECAY_K
+        ),
         "match_deleted": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm

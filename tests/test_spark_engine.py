@@ -129,6 +129,68 @@ def test_bm25_batch_small_k_ties(built, oracle):
         assert got == [(d, s) for d, s in oracle.bm25_topk("fire heat", k)]
 
 
+@pytest.mark.parametrize("query", ["fire heat", "love", "summer day"])
+def test_bm25_search_after_pages_compose(built, oracle, query):
+    """page1 (top-10) + search_after(cursor@10, 10) == top-20, bit-identical."""
+    engine = QueryEngine(built)
+    top20 = [(d, s) for d, s in oracle.bm25_topk(query, 20)]
+    if len(top20) < 11:
+        pytest.skip("not enough candidates for two pages")
+    cursor = top20[9]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.bm25_topk_after(query, 10, cursor).collect()
+    ]
+    assert got == top20[10:20]
+
+
+def test_bm25_search_after_tie_cursor(built, oracle):
+    """A cursor equal to the NEXT row's score must still exclude everything
+    up to and including the cursor doc (doc_id tie-break path)."""
+    engine = QueryEngine(built)
+    allr = oracle.bm25_topk("love", 10_000)
+    # find adjacent equal-score pair if any; otherwise synthesize cursor at
+    # an arbitrary row and just re-check composition
+    idx = next(
+        (i for i in range(len(allr) - 1) if allr[i][1] == allr[i + 1][1]), 5
+    )
+    cursor = allr[idx]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.bm25_topk_after("love", 5, cursor).collect()
+    ]
+    assert got == allr[idx + 1 : idx + 6]
+
+
+def test_bm25_decayed_matches_bruteforce(built, oracle, sonnets):
+    import math
+
+    engine = QueryEngine(built)
+    now = "2026-02-01 00:00:00"
+    half_days = 7.0
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.bm25_topk_decayed(
+            "fire heat", 10, now, half_life_days=half_days
+        ).collect()
+    ]
+    # ground truth: ts = 2026-01-01T00:00Z + doc_id minutes (conftest)
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    now_dt = datetime.datetime(2026, 2, 1, tzinfo=datetime.timezone.utc)
+    lam = math.log(2.0) / (half_days * 86400.0)
+    want = []
+    for d, s in oracle.bm25_topk("fire heat", 10_000):
+        age = (now_dt - (base + datetime.timedelta(minutes=d))).total_seconds()
+        want.append((d, s * math.exp(-lam * age)))
+    want.sort(key=lambda p: (-p[1], p[0]))
+    want = want[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12), (gd, gs, ws)
+
+
 def _mlt_bruteforce(oracle, sonnets, doc_id, k, m):
     from tsidx.oracle import K1, B, bm25_idf
     from tsidx.tokenize import term_freqs

@@ -250,6 +250,66 @@ class QueryEngine:
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
 
+    def bm25_topk_after(
+        self, query: str | list[str], k: int, after: tuple[int, float]
+    ) -> DataFrame:
+        """Cursor pagination: the k best results strictly after the
+        ``(doc_id, score)`` cursor — a result row of the previous page —
+        in (-score, doc_id) order. Stateless search-after, the deep-paging
+        shape that avoids OFFSET's scan-and-discard. Same single term-IN
+        scan as ``bm25_topk``; the cursor predicate prunes before the
+        TakeOrdered."""
+        d, s = int(after[0]), float(after[1])
+        return (
+            self.bm25_scores(query)
+            .filter(
+                (F.col("score") < s)
+                | ((F.col("score") == s) & (F.col("doc_id") > d))
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def bm25_topk_decayed(
+        self,
+        query: str | list[str],
+        k: int,
+        now: str,
+        half_life_days: float = 30.0,
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        """Top-k by recency-decayed BM25: ``score · 2^(-age/half_life)``
+        with age measured from *now* (an ISO timestamp literal — passed
+        in, never wall-clock, so results are deterministic and resumable).
+
+        Plan: candidate scores (pushed term-IN scan) join the docs table
+        projected to (doc_id, ts) only — text pruned; AQE broadcasts the
+        candidate side when small. Returns (doc_id, score) where score is
+        the decayed value.
+        """
+        import datetime as _dt
+        import math
+
+        lam = math.log(2.0) / (float(half_life_days) * 86400.0)
+        meta = self.index.docs.select(
+            "doc_id", F.col(ts_col).cast("double").alias("_ts")
+        )
+        # naive `now` strings are UTC: the ts column's double cast is an
+        # epoch (session-timezone-independent), so the reference instant
+        # must be too
+        now_dt = _dt.datetime.fromisoformat(now)
+        if now_dt.tzinfo is None:
+            now_dt = now_dt.replace(tzinfo=_dt.timezone.utc)
+        now_epoch = now_dt.timestamp()
+        decay = F.exp(F.lit(-lam) * (F.lit(float(now_epoch)) - F.col("_ts")))
+        return (
+            self.bm25_scores(query)
+            .join(meta, "doc_id")
+            .select("doc_id", (F.col("score") * decay).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def more_like_this(self, doc_id: int, k: int, m: int = 10) -> DataFrame:
         """Top-k docs most similar to *doc_id*: BM25 over the source doc's
         top-*m* tf·idf stems, the source itself excluded.
