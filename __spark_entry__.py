@@ -308,6 +308,46 @@ MLT_DOC, MLT_M, MLT_K = 17, 10, 10
 COOC_MIN_DF, COOC_MAX_DF, COOC_MIN_PAIR = 2, 390, 5
 PAGE_K = 10
 DECAY_NOW, DECAY_HALF_DAYS, DECAY_K = "2026-02-01 00:00:00", 1.0, 15
+BM25F_QUERY = "customer query user"
+BM25F_WEIGHTS = {"body": 1.0, "role": 2.5}
+BM25F_K = 15
+
+_FIELD_ENGINE_CACHE: dict = {}
+
+
+def get_field_engines(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-field engines for BM25F: 'body' = the standard text index,
+    'role' = an index over the role stream (same (conv_id, turn_idx)
+    order, so docIDs line up across fields)."""
+    key = (id(spark), os.path.normpath(sf_dir))
+    engines = _FIELD_ENGINE_CACHE.get(key)
+    if engines is None:
+        from tsidx.build import build_index
+        from tsidx.query import QueryEngine
+
+        tr = documents_as_transcripts(spark, sf_dir)
+        role_idx = build_index(
+            tr.select("conv_id", "turn_idx", F.col("role").alias("text")),
+            block_size=1024,
+        )
+        engines = {
+            "body": get_engine(spark, sf_dir),
+            "role": QueryEngine(role_idx),
+        }
+        _FIELD_ENGINE_CACHE[key] = engines
+    return engines
+
+
+def _q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F field-weighted top-k over body + role streams
+    (tsidx/bm25f.py): per-field length normalization and weights,
+    any-field df for idf."""
+    from tsidx.bm25f import bm25f_topk
+
+    engines = get_field_engines(spark, sf_dir)
+    return bm25f_topk(engines, BM25F_WEIGHTS, BM25F_QUERY, BM25F_K).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
 
 
 def _q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1020,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_pmi": _q_cooccur_pmi,
         "bm25_page2": _q_bm25_page2,
         "bm25_decayed": _q_bm25_decayed,
+        "bm25f_topk": _q_bm25f_topk,
         "doc_length": _q_doc_length,
         "tf_rows": _q_tf_rows,
         "dedup_exact": _q_dedup_exact,
@@ -1267,6 +1308,58 @@ CROSS JOIN stats
 WHERE df_ab >= {min_pair}"""
 
 
+def _bm25f_sql(
+    query: str, wb: float, wr: float, k: int, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """BM25F oracle over body + role fields. The role stream is exactly
+    one token per doc (dl_r = 1, avgdl_r = 1.0); idf uses the any-field
+    df. Field parts sum body-then-role (two addends — commutative-exact).
+    """
+    terms = _terms_in(query)
+    roles_arr = "(['user','assistant','system','tool'])[(doc_id % 4)::INT + 1]"
+    return f"""
+WITH {_terms_cte()},
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         ((SELECT sum(dl) FROM dl)::DOUBLE
+            / (SELECT count(*) FROM documents)) AS avg_b
+),
+rt AS (
+  SELECT doc_id, {_stem_case_sql()} AS term
+  FROM (SELECT doc_id, {roles_arr} AS tok FROM documents)
+),
+u AS (
+  SELECT tf.term, tf.doc_id,
+         ({wb!r} * tf.tf) / ((1.0 - {b}) + ({b} * dl.dl) / stats.avg_b) AS tfb
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  WHERE tf.term IN ({terms})
+  UNION ALL
+  SELECT rt.term, rt.doc_id,
+         ({wr!r} * 1.0) / ((1.0 - {b}) + ({b} * 1.0) / 1.0) AS tfb
+  FROM rt WHERE rt.term IN ({terms})
+),
+tft AS (
+  SELECT term, doc_id, sum(tfb) AS tft FROM u GROUP BY term, doc_id
+),
+dfa AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM u GROUP BY term
+),
+contrib AS (
+  SELECT tft.doc_id,
+         ln((stats.n_docs - dfa.df + 0.5) / (dfa.df + 0.5) + 1.0)
+           * (tft.tft / ({k1} + tft.tft)) AS c
+  FROM tft JOIN dfa ON tft.term = dfa.term CROSS JOIN stats
+),
+sc AS (
+  SELECT doc_id, round(sum(c), 12) AS s FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, score_r FROM (
+  SELECT doc_id, round(s, 4) AS score_r,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+  FROM sc
+) WHERE rn <= {k}"""
+
+
 def _page2_sql(query: str, page_k: int) -> str:
     """Rows page_k+1 .. 2·page_k of the ranking — the search-after page."""
     return f"""
@@ -1393,6 +1486,9 @@ ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "more_like_this": _mlt_sql(MLT_DOC, MLT_M, MLT_K),
         "cooccur_pmi": _cooccur_sql(COOC_MIN_DF, COOC_MAX_DF, COOC_MIN_PAIR),
         "bm25_page2": _page2_sql(Q_BM25, PAGE_K),
+        "bm25f_topk": _bm25f_sql(
+            BM25F_QUERY, BM25F_WEIGHTS["body"], BM25F_WEIGHTS["role"], BM25F_K
+        ),
         "bm25_decayed": _decay_sql(
             Q_BM25, DECAY_NOW, DECAY_HALF_DAYS, DECAY_K
         ),
