@@ -31,13 +31,25 @@ def main() -> None:
     ap.add_argument(
         "--mode",
         default="topk",
-        choices=["topk", "match", "match_all", "phrase", "bool"],
+        choices=[
+            "topk", "match", "match_all", "phrase", "bool",
+            "batch", "mlt", "proximity", "after", "decayed",
+        ],
     )
     ap.add_argument("--parallelism", type=int, default=None)
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--doc", type=int, help="source doc_id for --mode mlt")
+    ap.add_argument("--slop", type=int, default=4, help="--mode proximity slop")
+    ap.add_argument(
+        "--after", nargs=2, metavar=("DOC_ID", "SCORE"),
+        help="--mode after cursor: the last (doc_id, score) of the previous page",
+    )
+    ap.add_argument("--now", help="--mode decayed reference instant (ISO, UTC)")
+    ap.add_argument("--half-life-days", type=float, default=30.0)
     args = ap.parse_args()
 
     spark = make_spark(args.parallelism, "tsidx-query")
+    from pyspark.sql import functions as F
     from tsidx.index import InvertedIndex
     from tsidx.query import QueryEngine
 
@@ -67,6 +79,46 @@ def main() -> None:
             )
         elif args.mode == "bool":
             rows = eng.search(" ".join(query)).collect()
+        elif args.mode == "batch":
+            # queries separated by ';' within the joined argument string
+            batch = {
+                f"q{i}": q.strip()
+                for i, q in enumerate(" ".join(query).split(";"))
+                if q.strip()
+            }
+            rows = (
+                eng.bm25_topk_batch(batch, args.k)
+                .orderBy("query_id", F.desc("score"), "doc_id")
+                .collect()
+            )
+        elif args.mode == "mlt":
+            if args.doc is None:
+                ap.error("--mode mlt requires --doc")
+            rows = eng.more_like_this(args.doc, args.k).collect()
+        elif args.mode == "proximity":
+            from tsidx.positions import proximity_counts, read_positional
+
+            if len(query) != 2:
+                ap.error("--mode proximity takes exactly two terms")
+            positional = read_positional(
+                spark, os.path.join(args.index, "positional")
+            )
+            rows = (
+                proximity_counts(positional, query[0], query[1], args.slop)
+                .orderBy("doc_id")
+                .collect()
+            )
+        elif args.mode == "after":
+            if args.after is None:
+                ap.error("--mode after requires --after DOC_ID SCORE")
+            cur = (int(args.after[0]), float(args.after[1]))
+            rows = eng.bm25_topk_after(query, args.k, cur).collect()
+        elif args.mode == "decayed":
+            if not args.now:
+                ap.error("--mode decayed requires --now")
+            rows = eng.bm25_topk_decayed(
+                query, args.k, args.now, half_life_days=args.half_life_days
+            ).collect()
         elif args.engine == "wand":
             rows = eng.wand_topk(query, args.k).collect()
         else:
