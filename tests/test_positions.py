@@ -300,6 +300,29 @@ def test_proximity_counts_bucket_boundaries(spark):
     assert got == {0: (1, 4)}
 
 
+def test_proximity_hot_doc_exact_counts(spark):
+    """A doc with 300 occurrences of each term: the brute-force pair space
+    is 9·10⁴ but the bucketed join must still count the qualifying pairs
+    exactly (hot-doc shape the bucket design exists for)."""
+    from tsidx.positions import positional_postings, proximity_counts
+
+    text = " ".join("alpha beta" for _ in range(300))  # a at even, b at odd
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    pos = positional_postings(docs, block_size=128)
+    slop = 5
+    rows = proximity_counts(pos, "alpha", "beta", slop).collect()
+    assert len(rows) == 1
+    # ground truth: a_i = 2i, b_j = 2j+1 (i,j in 0..299); |2i - 2j - 1| <= 5
+    n_pairs = sum(
+        1
+        for i in range(300)
+        for j in range(300)
+        if abs(2 * i - 2 * j - 1) <= slop
+    )
+    assert rows[0]["n_pairs"] == n_pairs
+    assert rows[0]["min_dist"] == 1
+
+
 def test_proximity_counts_rejects_multiword(positional):
     import pytest as _pytest
 

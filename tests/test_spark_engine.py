@@ -116,6 +116,26 @@ def test_bm25_batch_bit_identical_to_per_query(built, oracle):
             assert gs == ws, (qid, gd, gs, ws)
 
 
+def test_bm25_batch_many_queries(built, oracle):
+    """64 queries in one batch: the fan table stays |Q|·|q| rows and each
+    query's page is still bit-identical to the per-query oracle (spot-
+    checked on a sample — the full cross-check is the 5-query test)."""
+    vocab = ["love", "fire", "heat", "summer", "day", "eye", "time", "death"]
+    batch = {
+        f"q{i:02d}": f"{vocab[i % 8]} {vocab[(i * 3 + 1) % 8]}"
+        for i in range(64)
+    }
+    engine = QueryEngine(built)
+    got = {}
+    for r in engine.bm25_topk_batch(batch, 5).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    assert set(got) == set(batch)  # every query produced a page
+    for qid in ["q00", "q17", "q33", "q63"]:
+        rows = sorted(got[qid], key=lambda t: (-t[1], t[0]))
+        want = oracle.bm25_topk(batch[qid], 5)
+        assert rows == [(d, s) for d, s in want], qid
+
+
 def test_bm25_batch_small_k_ties(built, oracle):
     """k=1 and k smaller than the candidate set exercise the two-phase
     partial-topk cut."""
