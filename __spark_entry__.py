@@ -788,6 +788,19 @@ def _q_proximity_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_proximity_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional proximity: PROX_A BEFORE PROX_B within PROX_SLOP."""
+    from tsidx.positions import proximity_counts
+
+    return proximity_counts(
+        get_positional(spark, sf_dir), PROX_A, PROX_B, PROX_SLOP, ordered=True
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_pairs").cast("long"),
+        F.col("min_dist").cast("long"),
+    )
+
+
 SNIPPET_WIDTH = 5
 
 
@@ -1084,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_recall": _q_ivf_ann_recall,
         "phrase_counts": _q_phrase_counts,
         "proximity_within": _q_proximity_within,
+        "proximity_before": _q_proximity_before,
         "phrase_counts3": _q_phrase_counts3,
         "best_window": _q_best_window,
         "bool_search": _q_bool_search,
@@ -1224,13 +1238,15 @@ occ AS (
 SELECT doc_id, count(*)::BIGINT AS n_occ FROM occ GROUP BY doc_id"""
 
 
-def _proximity_sql(term_a: str, term_b: str, slop: int) -> str:
+def _proximity_sql(
+    term_a: str, term_b: str, slop: int, ordered: bool = False
+) -> str:
     """NEAR/slop oracle: all-pairs distances per doc (fine at oracle scale;
     the engine's bucketed join avoids exactly this cross product)."""
     from tsidx.tokenize import stem_tokens
 
     sa, sb = stem_tokens(term_a)[0], stem_tokens(term_b)[0]
-    same = "WHERE pa.p < pb.p" if sa == sb else ""
+    same = "WHERE pa.p < pb.p" if (ordered or sa == sb) else ""
     return f"""
 WITH {_positions_cte()},
 pa AS (SELECT doc_id, p FROM pos WHERE term = '{sa}'),
@@ -1554,6 +1570,9 @@ FROM (
         "phrase_counts": _phrase_sql(Q_PHRASE),
         "phrase_counts3": _phrase_sql(Q_PHRASE3),
         "proximity_within": _proximity_sql(PROX_A, PROX_B, PROX_SLOP),
+        "proximity_before": _proximity_sql(
+            PROX_A, PROX_B, PROX_SLOP, ordered=True
+        ),
         # hit-anchored sliding window: count hits/distinct stems in
         # [anchor, anchor+W) per anchor, then argmin (-n_terms, -n_hits,
         # start) per doc — same semantics as tsidx.positions.best_window

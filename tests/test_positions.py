@@ -300,6 +300,36 @@ def test_proximity_counts_bucket_boundaries(spark):
     assert got == {0: (1, 4)}
 
 
+@pytest.mark.parametrize(
+    "ta,tb,slop",
+    [("quick", "dog", 5), ("dog", "quick", 5), ("brown", "brown", 3)],
+)
+def test_proximity_ordered_matches_bruteforce(positional, ta, tb, slop):
+    """ordered=True keeps only A-before-B pairs."""
+    from tsidx.positions import proximity_counts
+
+    sa, sb = _stems(ta)[0], _stems(tb)[0]
+    want = {}
+    for doc_id, text in CORPUS:
+        toks = _stems(text)
+        pairs = [
+            (x, y)
+            for x, t in enumerate(toks)
+            if t == sa
+            for y, u in enumerate(toks)
+            if u == sb and 0 < y - x <= slop
+        ]
+        if pairs:
+            want[doc_id] = (len(pairs), min(y - x for x, y in pairs))
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_counts(
+            positional, ta, tb, slop, ordered=True
+        ).collect()
+    }
+    assert got == want
+
+
 def test_proximity_hot_doc_exact_counts(spark):
     """A doc with 300 occurrences of each term: the brute-force pair space
     is 9·10⁴ but the bucketed join must still count the qualifying pairs

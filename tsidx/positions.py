@@ -303,6 +303,7 @@ def proximity_counts(
     term_a: str,
     term_b: str,
     slop: int = 5,
+    ordered: bool = False,
 ) -> DataFrame:
     """(doc_id, n_pairs, min_dist): docs where the two (stemmed) terms
     co-occur within *slop* tokens — NEAR/*slop* proximity search.
@@ -310,6 +311,10 @@ def proximity_counts(
     ``n_pairs`` counts occurrence pairs with ``|pos_a - pos_b| <= slop``;
     ``min_dist`` is the closest such pair. When both terms stem identically
     the pairs are unordered distinct occurrences (``pos_a < pos_b``).
+    With ``ordered=True`` only pairs where *term_a* precedes *term_b*
+    qualify (``0 < pos_b - pos_a <= slop`` — "A BEFORE B within slop");
+    the bucket scheme is unchanged since ordered pairs are a subset of the
+    unordered candidates.
 
     Plan: pushed ``term IN`` scan of the two stems' position blocks ->
     decode -> *bucketed* pair join: positions are keyed by
@@ -349,7 +354,9 @@ def proximity_counts(
     )
     cand = pa.join(pb, ["doc_id", "bk"])
     dist = F.abs(F.col("pa") - F.col("pb"))
-    if sa == sb:
+    if ordered:
+        cand = cand.filter(F.col("pa") < F.col("pb"))
+    elif sa == sb:
         cand = cand.filter(F.col("pa") < F.col("pb"))
     qual = cand.filter(dist <= slop)
     return qual.groupBy("doc_id").agg(
