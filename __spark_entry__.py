@@ -311,6 +311,32 @@ DECAY_NOW, DECAY_HALF_DAYS, DECAY_K = "2026-02-01 00:00:00", 1.0, 15
 BM25F_QUERY = "customer query user"
 BM25F_WEIGHTS = {"body": 1.0, "role": 2.5}
 BM25F_K = 15
+SYN_QUERY = Q_BM25
+SYN_MAP = {"merge": ["join", "sort"], "query": ["scan"]}
+SYN_W, SYN_K = 0.4, 15
+
+
+def _syn_weights() -> dict[str, float]:
+    """The same expansion QueryEngine.bm25_scores_expanded performs."""
+    from tsidx.tokenize import query_terms, stem_tokens
+
+    weights = {t: 1.0 for t in query_terms(SYN_QUERY)}
+    for orig, syns in SYN_MAP.items():
+        if not set(stem_tokens(orig)) & set(weights):
+            continue
+        for syn in syns:
+            for s in stem_tokens(syn):
+                weights[s] = max(weights.get(s, 0.0), SYN_W)
+    return weights
+
+
+def _q_bm25_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion: synonyms score at SYN_W x their BM25
+    contribution; exact matches keep weight 1."""
+    eng = get_engine(spark, sf_dir)
+    return eng.bm25_topk_expanded(SYN_QUERY, SYN_MAP, SYN_K, SYN_W).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
 
 _FIELD_ENGINE_CACHE: dict = {}
 
@@ -1074,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_page2": _q_bm25_page2,
         "bm25_decayed": _q_bm25_decayed,
         "bm25f_topk": _q_bm25f_topk,
+        "bm25_expanded": _q_bm25_expanded,
         "doc_length": _q_doc_length,
         "tf_rows": _q_tf_rows,
         "dedup_exact": _q_dedup_exact,
@@ -1376,6 +1403,40 @@ SELECT doc_id, score_r FROM (
 ) WHERE rn <= {k}"""
 
 
+def _bm25_weighted_sql(weights: dict[str, float], k: int) -> str:
+    """Weighted-term BM25 oracle: each term's contribution is
+    ``w · (idf · wtf)`` — the synonym-expansion scoring."""
+    vals = ", ".join(f"('{t}', {w!r})" for t, w in sorted(weights.items()))
+    return f"""
+WITH {_terms_cte()},
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+wt(term, w) AS (VALUES {vals}),
+contrib AS (
+  SELECT tf.doc_id,
+         wt.w * (ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * ((tf.tf * {K1 + 1.0}) /
+            (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl)))) AS c
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN wt ON tf.term = wt.term
+  CROSS JOIN stats
+),
+sc AS (
+  SELECT doc_id, round(sum(c), 12) AS s FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, score_r FROM (
+  SELECT doc_id, round(s, 4) AS score_r,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+  FROM sc
+) WHERE rn <= {k}"""
+
+
 def _page2_sql(query: str, page_k: int) -> str:
     """Rows page_k+1 .. 2·page_k of the ranking — the search-after page."""
     return f"""
@@ -1505,6 +1566,7 @@ ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "bm25f_topk": _bm25f_sql(
             BM25F_QUERY, BM25F_WEIGHTS["body"], BM25F_WEIGHTS["role"], BM25F_K
         ),
+        "bm25_expanded": _bm25_weighted_sql(_syn_weights(), SYN_K),
         "bm25_decayed": _decay_sql(
             Q_BM25, DECAY_NOW, DECAY_HALF_DAYS, DECAY_K
         ),

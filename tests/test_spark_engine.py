@@ -211,6 +211,72 @@ def test_bm25_decayed_matches_bruteforce(built, oracle, sonnets):
         assert gs == pytest.approx(ws, rel=1e-12), (gd, gs, ws)
 
 
+def _expanded_bruteforce(oracle, query, synonyms, syn_weight, k):
+    from tsidx.oracle import K1, B
+    from tsidx.oracle import bm25_idf
+    from tsidx.tokenize import query_terms, stem_tokens
+
+    weights = {t: 1.0 for t in query_terms(query)}
+    for orig, syns in synonyms.items():
+        if not set(stem_tokens(orig)) & set(weights):
+            continue
+        for syn in syns:
+            for s in stem_tokens(syn):
+                weights[s] = max(weights.get(s, 0.0), syn_weight)
+    n = oracle.n_docs
+    avgdl = sum(oracle.doc_lengths.values()) / n
+    scores = {}
+    for t in sorted(weights):
+        plist = oracle.postings.get(t)
+        if not plist:
+            continue
+        idf = bm25_idf(n, len(plist))
+        for d, tf in plist:
+            dl = oracle.doc_lengths[d]
+            c = weights[t] * (
+                idf * ((tf * (K1 + 1.0)) / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl)))
+            )
+            scores[d] = scores.get(d, 0.0) + c
+    out = sorted(scores.items(), key=lambda p: (-p[1], p[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize(
+    "query,synonyms,w",
+    [
+        ("fire", {"fire": ["flame", "heat"]}, 0.5),
+        ("love time", {"love": ["heart"], "death": ["grave"]}, 0.25),
+        ("fire heat", {"fire": ["heat"]}, 0.5),  # synonym collides with a query term
+    ],
+)
+def test_bm25_expanded_matches_bruteforce(built, oracle, query, synonyms, w):
+    engine = QueryEngine(built)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.bm25_topk_expanded(query, synonyms, 10, w).collect()
+    ]
+    want = _expanded_bruteforce(oracle, query, synonyms, w, 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert gs == ws, (gd, gs, ws)
+
+
+def test_bm25_expanded_unused_group_ignored(built, oracle):
+    """A synonym group whose head term isn't in the query adds nothing."""
+    engine = QueryEngine(built)
+    base = [
+        (r["doc_id"], r["score"])
+        for r in engine.bm25_topk("love", 10).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.bm25_topk_expanded(
+            "love", {"fire": ["heat", "flame"]}, 10
+        ).collect()
+    ]
+    assert got == base
+
+
 def _mlt_bruteforce(oracle, sonnets, doc_id, k, m):
     from tsidx.oracle import K1, B, bm25_idf
     from tsidx.tokenize import term_freqs

@@ -209,10 +209,56 @@ class QueryEngine:
         """(doc_id, score) for all candidate docs (disjunctive semantics)."""
         return self._bm25_scores_terms(self.terms_of(query))
 
-    def _bm25_scores_terms(self, terms: list[str]) -> DataFrame:
+    def bm25_scores_expanded(
+        self,
+        query: str | list[str],
+        synonyms: dict[str, list[str]],
+        syn_weight: float = 0.5,
+    ) -> DataFrame:
+        """(doc_id, score) with query-time synonym expansion: each original
+        term's synonyms contribute ``syn_weight ×`` their own BM25
+        contribution. A stem reachable both as an original term and as a
+        synonym keeps the larger weight (deterministic), so expansion can
+        only add recall, never discount an exact match.
+
+        Same physical shape as :meth:`bm25_scores` — the pushed ``term
+        IN`` scan just covers the expanded stem set.
+        """
+        from tsidx.tokenize import stem_tokens
+
+        w = float(syn_weight)
+        weights: dict[str, float] = {
+            t: 1.0 for t in self.terms_of(query)
+        }
+        for orig, syns in synonyms.items():
+            if not set(stem_tokens(orig)) & set(weights):
+                continue  # synonym group for a term the query doesn't use
+            for syn in syns:
+                for s in stem_tokens(syn):
+                    weights[s] = max(weights.get(s, 0.0), w)
+        return self._bm25_scores_terms(sorted(weights), weights=weights)
+
+    def bm25_topk_expanded(
+        self,
+        query: str | list[str],
+        synonyms: dict[str, list[str]],
+        k: int,
+        syn_weight: float = 0.5,
+    ) -> DataFrame:
+        """Deterministic top-k over the synonym-expanded scores."""
+        return (
+            self.bm25_scores_expanded(query, synonyms, syn_weight)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
+    def _bm25_scores_terms(
+        self, terms: list[str], weights: dict[str, float] | None = None
+    ) -> DataFrame:
         """Scores for already-stemmed terms (internal: bypasses query
         normalization — stemming is not idempotent, so pre-stemmed term
-        lists must not pass through ``terms_of`` again)."""
+        lists must not pass through ``terms_of`` again). Optional per-term
+        *weights* scale each term's contribution (``w · (idf · wtf)``)."""
         idfs = self.query_idfs(terms)
         spark = self.index.docs.sparkSession
         if not idfs:
@@ -230,6 +276,15 @@ class QueryEngine:
             (tf * F.lit(k1 + 1.0))
             / (tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl) / F.lit(avgdl)))
         )
+        if weights is not None:
+            w_map = F.create_map(
+                *[
+                    F.lit(x)
+                    for t in sorted(idfs)
+                    for x in (t, float(weights.get(t, 1.0)))
+                ]
+            )
+            contrib = w_map[F.col("term")] * contrib
         # Canonical accumulation: sum contributions in sorted-term order so
         # float results do not depend on shuffle arrival order (SURVEY §7.2).
         return (
