@@ -73,3 +73,56 @@ def test_df_table_agrees(built):
     got = {r["term"]: r["df"] for r in idx.terms.collect()}
     want = {t: df for t, df in oracle.document_frequencies()}
     assert got == want
+
+
+def test_random_batch_matches_per_query(built):
+    """Batched scoring page == per-query oracle page on random queries."""
+    idx, oracle = built
+    eng = QueryEngine(idx)
+    rng = random.Random(99)
+    batch = {
+        f"q{i}": " ".join(rng.choices(WORDS, k=rng.randint(1, 4)))
+        for i in range(12)
+    }
+    k = 7
+    got: dict = {}
+    for r in eng.bm25_topk_batch(batch, k).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in batch.items():
+        want = oracle.bm25_topk(q, k)
+        rows = sorted(got.get(qid, []), key=lambda t: (-t[1], t[0]))
+        assert rows == [(d, s) for d, s in want], (qid, q)
+
+
+def test_random_proximity_matches_bruteforce(built, spark):
+    from tsidx.positions import positional_postings, proximity_counts
+    from tsidx.tokenize import stem_tokens
+
+    idx, oracle = built
+    texts = make_corpus(20260817, 300)
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    pos = positional_postings(docs, block_size=32)
+    rng = random.Random(13)
+    for _ in range(6):
+        ta, tb = rng.choice(WORDS), rng.choice(WORDS)
+        slop = rng.randint(1, 8)
+        ordered = rng.random() < 0.5
+        sa, sb = stem_tokens(ta)[0], stem_tokens(tb)[0]
+        want = {}
+        for d, text in enumerate(texts):
+            toks = stem_tokens(text)
+            pa = [i for i, t in enumerate(toks) if t == sa]
+            pb = [i for i, t in enumerate(toks) if t == sb]
+            if ordered or sa == sb:
+                pairs = [(x, y) for x in pa for y in pb if 0 < y - x <= slop]
+            else:
+                pairs = [(x, y) for x in pa for y in pb if abs(x - y) <= slop]
+            if pairs:
+                want[d] = (len(pairs), min(abs(y - x) for x, y in pairs))
+        got = {
+            r["doc_id"]: (r["n_pairs"], r["min_dist"])
+            for r in proximity_counts(pos, ta, tb, slop, ordered=ordered).collect()
+        }
+        assert got == want, (ta, tb, slop, ordered)

@@ -469,8 +469,6 @@ class QueryEngine:
         """
         from pyspark.sql import Window
 
-        import pandas as pd
-
         kk = int(k)
 
         def partial_topk(batches):
