@@ -297,6 +297,20 @@ def _q_bm25_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wand_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched block-max WAND — per-query pruning over one shared
+    metadata scan; bit-identical to the naive batch by construction, so
+    it shares bm25_topk_multi's oracle."""
+    from tsidx.wand import wand_topk_batch
+
+    idx = get_index(spark, sf_dir)
+    return wand_topk_batch(idx, MULTI_QUERIES, MULTI_K).select(
+        "query_id",
+        F.col("doc_id").cast("long"),
+        F.round("score", 4).alias("score_r"),
+    )
+
+
 def _q_bm25_scores_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = get_engine(spark, sf_dir)
     return eng.bm25_scores(Q_RARE).select(
@@ -1095,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": _q_wand_topk,
         "bm25_scores_rare": _q_bm25_scores_rare,
         "bm25_topk_multi": _q_bm25_topk_multi,
+        "wand_topk_multi": _q_wand_topk_multi,
         "more_like_this": _q_more_like_this,
         "cooccur_pmi": _q_cooccur_pmi,
         "bm25_page2": _q_bm25_page2,
@@ -1560,6 +1575,8 @@ SELECT * FROM ({_bm25_scores_sql(Q_BM25)})
 ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "bm25_scores_rare": _bm25_scores_sql(Q_RARE),
         "bm25_topk_multi": _bm25_multi_sql(MULTI_QUERIES, MULTI_K),
+        # batched WAND is rank- and score-identical to the naive batch
+        "wand_topk_multi": _bm25_multi_sql(MULTI_QUERIES, MULTI_K),
         "more_like_this": _mlt_sql(MLT_DOC, MLT_M, MLT_K),
         "cooccur_pmi": _cooccur_sql(COOC_MIN_DF, COOC_MAX_DF, COOC_MIN_PAIR),
         "bm25_page2": _page2_sql(Q_BM25, PAGE_K),

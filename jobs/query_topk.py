@@ -86,9 +86,14 @@ def main() -> None:
                 for i, q in enumerate(" ".join(query).split(";"))
                 if q.strip()
             }
+            if args.engine == "wand":
+                from tsidx.wand import wand_topk_batch
+
+                out_df = wand_topk_batch(idx, batch, args.k)
+            else:
+                out_df = eng.bm25_topk_batch(batch, args.k)
             rows = (
-                eng.bm25_topk_batch(batch, args.k)
-                .orderBy("query_id", F.desc("score"), "doc_id")
+                out_df.orderBy("query_id", F.desc("score"), "doc_id")
                 .collect()
             )
         elif args.mode == "mlt":

@@ -135,3 +135,65 @@ def test_wand_tie_break_with_duplicate_docs(spark, sonnets):
                 (r["doc_id"], r["score"]) for r in wand_topk(idx, q, k).collect()
             ]
             assert got == oracle.bm25_topk(q, k), (q, k)
+
+
+class TestWandBatch:
+    """wand_topk_batch pages must be bit-identical to per-query wand/naive."""
+
+    def test_batch_pages_bit_identical(self, built):
+        from tsidx.wand import wand_topk_batch
+
+        idx, oracle = built
+        batch = {
+            "q_same": "same",
+            "q_tq": "thrall quench",
+            "q_fh": "fire heat",
+            "q_lf": "love fire",
+            "q_unknown": "zzzunknown",
+        }
+        k = 10
+        got = {}
+        for r in wand_topk_batch(idx, batch, k).collect():
+            got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        assert "q_unknown" not in got
+        for qid, q in batch.items():
+            if qid == "q_unknown":
+                continue
+            want = oracle.bm25_topk(q, k)
+            rows = sorted(got[qid], key=lambda t: (-t[1], t[0]))
+            assert rows == [(d, s) for d, s in want], qid
+
+    def test_batch_k1_and_hot_query(self, built):
+        from tsidx.wand import wand_topk_batch
+
+        idx, oracle = built
+        batch = {"hot": "sonnet", "cold": "thrall"}  # df=154 vs tiny df
+        for k in (1, 3):
+            got = {}
+            for r in wand_topk_batch(idx, batch, k).collect():
+                got.setdefault(r["query_id"], []).append(
+                    (r["doc_id"], r["score"])
+                )
+            for qid, q in batch.items():
+                rows = sorted(got[qid], key=lambda t: (-t[1], t[0]))
+                assert rows == oracle.bm25_topk(q, k), (qid, k)
+
+    def test_batch_with_tombstones(self, built):
+        from tsidx.deletes import delete_docs
+        from tsidx.wand import wand_topk, wand_topk_batch
+
+        idx, _oracle = built
+        deleted = [4, 49, 11, 44]
+        idx2 = delete_docs(idx, deleted)
+        batch = {"a": "same", "b": "fire heat"}
+        got = {}
+        for r in wand_topk_batch(idx2, batch, 5).collect():
+            got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        for qid, q in batch.items():
+            want = [
+                (r["doc_id"], r["score"])
+                for r in wand_topk(idx2, q, 5, small_candidate_limit=0).collect()
+            ]
+            rows = sorted(got.get(qid, []), key=lambda t: (-t[1], t[0]))
+            assert rows == want, qid
+            assert not ({d for d, _ in rows} & set(deleted))
