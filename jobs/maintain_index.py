@@ -30,10 +30,24 @@ from build_index import make_spark  # noqa: E402
 
 def _swap_rewrite(idx, path: str) -> None:
     """Write *idx* beside *path* then swap directories (local-FS rename; the
-    catalog-swap step of a table format on object stores)."""
+    catalog-swap step of a table format on object stores). If the old index
+    carried a positional artifact, it is REBUILT from the new docs table —
+    content maintenance (deletes/updates) makes the old positions stale,
+    and silently dropping the artifact would break phrase/proximity
+    queries."""
+    had_positional = os.path.isdir(os.path.join(path, "positional"))
     tmp = path.rstrip("/") + "._rewrite"
     shutil.rmtree(tmp, ignore_errors=True)
     idx.write(tmp)
+    if had_positional:
+        from tsidx.positions import positional_postings, write_positional
+
+        write_positional(
+            positional_postings(
+                idx.docs, block_size=int(idx.meta["block_size"])
+            ),
+            os.path.join(tmp, "positional"),
+        )
     bak = path.rstrip("/") + "._old"
     os.replace(path, bak)
     os.replace(tmp, path)
@@ -42,11 +56,18 @@ def _swap_rewrite(idx, path: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("action", choices=["delete", "apply-deletes", "compact"])
+    ap.add_argument(
+        "action", choices=["delete", "apply-deletes", "compact", "update"]
+    )
     ap.add_argument("--index", required=True)
     ap.add_argument("--doc-ids", type=int, nargs="*", default=[])
     ap.add_argument("--num-files", type=int, default=None)
     ap.add_argument("--parallelism", type=int, default=None)
+    ap.add_argument(
+        "--updates",
+        help="update: path to a JSON file of [[doc_id, new_text], ...] or "
+        "a parquet/table of (doc_id, text) rows",
+    )
     args = ap.parse_args()
 
     spark = make_spark(args.parallelism, "tsidx-maintain")
@@ -62,7 +83,25 @@ def main() -> None:
         from tsidx.index import InvertedIndex
 
         idx = InvertedIndex.read(spark, args.index)
-        if args.action == "delete":
+        if args.action == "update":
+            from tsidx.updates import update_docs
+
+            if not args.updates:
+                raise SystemExit("update requires --updates")
+            if args.updates.endswith(".json"):
+                with open(args.updates) as fh:
+                    updates = [(int(d), str(t)) for d, t in json.load(fh)]
+            else:
+                updates = spark.read.parquet(args.updates)
+            idx = update_docs(idx, updates)
+            _swap_rewrite(idx, args.index)
+            out = {
+                "job": "update",
+                "n_updated": len(updates)
+                if isinstance(updates, list)
+                else updates.count(),
+            }
+        elif args.action == "delete":
             if not args.doc_ids:
                 raise SystemExit("delete requires --doc-ids")
             idx = delete_docs(idx, args.doc_ids)
