@@ -344,6 +344,19 @@ def _syn_weights() -> dict[str, float]:
     return weights
 
 
+TREND_QUERY, TREND_BUCKET = "vector stream", "hour"
+
+
+def _q_term_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matching-doc counts per time bucket (ts = 2026-01-01 + doc_id
+    minutes, so the oracle replays the bucketing from doc_id)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.term_trend(TREND_QUERY, TREND_BUCKET).select(
+        F.col("bucket_ts").cast("long").alias("bucket_epoch"),
+        F.col("n_docs").cast("long"),
+    )
+
+
 def _q_bm25_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-time synonym expansion: synonyms score at SYN_W x their BM25
     contribution; exact matches keep weight 1."""
@@ -1116,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_decayed": _q_bm25_decayed,
         "bm25f_topk": _q_bm25f_topk,
         "bm25_expanded": _q_bm25_expanded,
+        "term_trend": _q_term_trend,
         "doc_length": _q_doc_length,
         "tf_rows": _q_tf_rows,
         "dedup_exact": _q_dedup_exact,
@@ -1584,6 +1598,16 @@ ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
             BM25F_QUERY, BM25F_WEIGHTS["body"], BM25F_WEIGHTS["role"], BM25F_K
         ),
         "bm25_expanded": _bm25_weighted_sql(_syn_weights(), SYN_K),
+        "term_trend": f"""
+WITH {terms_cte},
+hits AS (
+  SELECT DISTINCT doc_id FROM trm WHERE term IN ({_terms_in(TREND_QUERY)})
+)
+SELECT epoch(date_trunc('{TREND_BUCKET}',
+         TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE
+       ))::BIGINT AS bucket_epoch,
+       count(*)::BIGINT AS n_docs
+FROM hits GROUP BY 1""",
         "bm25_decayed": _decay_sql(
             Q_BM25, DECAY_NOW, DECAY_HALF_DAYS, DECAY_K
         ),

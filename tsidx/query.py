@@ -556,6 +556,27 @@ class QueryEngine:
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         )
 
+    def term_trend(
+        self, query: str | list[str], bucket: str = "hour", ts_col: str = "ts"
+    ) -> DataFrame:
+        """(bucket_ts, n_docs): matching-doc counts per time bucket — the
+        "term frequency over time" analytics panel. *bucket* is any
+        ``date_trunc`` unit (hour/day/week/...).
+
+        Plan: the disjunctive match set (gaps-only decode of the query
+        terms' blocks) semi-joins into a (doc_id, ts)-only projection of
+        the docs table — text pruned — then one small keyed aggregation.
+        """
+        hits = self.match(query).select("doc_id")
+        meta = self.index.docs.select(
+            "doc_id", F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+        )
+        return (
+            meta.join(hits, "doc_id", "semi")
+            .groupBy("bucket_ts")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
     def facet_counts(
         self, query: str | list[str], facet_col: str
     ) -> DataFrame:
