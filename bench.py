@@ -170,6 +170,9 @@ def main():
         "bm25_topk_seq4",
         lambda: [eng.bm25_topk(q, 10).count() for q in batch.values()],
     )
+    from tsidx.wand import wand_topk_batch
+
+    p50("wand_topk_batch4", lambda: wand_topk_batch(idx, batch, 10).count())
     p50("more_like_this", lambda: eng.more_like_this(17, 10).collect())
 
     from tsidx.cooccur import cooccurrence_pmi
