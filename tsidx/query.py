@@ -460,39 +460,22 @@ class QueryEngine:
     ) -> DataFrame:
         """Deterministic top-k per query for a batch of queries.
 
-        Two-phase top-k so the per-query shuffle never sees the full score
-        set: each Arrow batch keeps its local k best per query (any global
-        top-k row survives every such cut), then one window over the
-        ≤ k·batches survivors finalizes ranks. The final exchange is keyed
-        by query_id but carries only the pruned survivors, so a hot query
-        cannot skew it.
+        The rank-limit window compiles to a two-phase plan on its own:
+        Catalyst inserts a partial ``WindowGroupLimit`` BELOW the
+        query_id exchange (verified in PLANS.md), so each map-side
+        partition forwards at most k rows per query and a hot query
+        cannot skew the final exchange — all JVM-side, no Arrow round
+        trip of the full score set.
         """
         from pyspark.sql import Window
 
         kk = int(k)
-
-        def partial_topk(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                yield (
-                    pdf.sort_values(
-                        ["query_id", "score", "doc_id"],
-                        ascending=[True, False, True],
-                        kind="mergesort",
-                    )
-                    .groupby("query_id", sort=False)
-                    .head(kk)
-                )
-
-        partial = self.bm25_scores_batch(queries).mapInPandas(
-            partial_topk, schema="query_id string, doc_id long, score double"
-        )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
         return (
-            partial.withColumn("rn", F.row_number().over(w))
+            self.bm25_scores_batch(queries)
+            .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= kk)
             .drop("rn")
         )
