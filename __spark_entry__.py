@@ -912,6 +912,20 @@ def _q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_TOKEN = "querry"  # misspelling of "query" (stem "querri")
+FUZZY_DIST = 2
+
+
+def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant match: docs containing any dictionary term within
+    FUZZY_DIST edits of the stemmed misspelling FUZZY_TOKEN (dictionary
+    expansion re-planted as a pushed ``term IN`` posting-scan filter)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.fuzzy_match(FUZZY_TOKEN, FUZZY_DIST).select(
+        F.col("doc_id").cast("long")
+    )
+
+
 def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet sidebar: per-role doc counts over the Q_OR match result."""
     eng = get_engine(spark, sf_dir)
@@ -1166,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": _q_facet_counts,
         "simhash_pairs": _q_simhash_pairs,
         "suggest_terms": _q_suggest_terms,
+        "fuzzy_match": _q_fuzzy_match,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1720,6 +1735,13 @@ dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
 SELECT term, df, levenshtein(term, '{_sql_query_terms(SUGGEST_TOKEN)[0]}')::BIGINT AS dist
 FROM dfreq
 WHERE levenshtein(term, '{_sql_query_terms(SUGGEST_TOKEN)[0]}') <= {SUGGEST_DIST}""",
+        "fuzzy_match": f"""
+WITH {terms_cte},
+cand AS (
+  SELECT term FROM tf GROUP BY term
+  HAVING levenshtein(term, '{_sql_query_terms(FUZZY_TOKEN)[0]}') <= {FUZZY_DIST}
+)
+SELECT DISTINCT doc_id FROM trm JOIN cand USING (term)""",
         # role = ROLES[doc_id % 4] as in documents_as_transcripts
         "facet_counts": f"""
 WITH {terms_cte},

@@ -331,6 +331,40 @@ def test_match_all_intersection(built, oracle):
     assert got == sorted(fire & heat)
 
 
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize(
+    "token,dist", [("querry", 2), ("lvoe", 1), ("fyre", 1), ("zzzunknown", 1)]
+)
+def test_fuzzy_match_matches_bruteforce(built, oracle, token, dist):
+    from tsidx.tokenize import query_terms
+
+    engine = QueryEngine(built)
+    stem = query_terms([token])[0]
+    cand = [t for t in oracle.postings if _lev(t, stem) <= dist]
+    want = sorted({d for t in cand for d, _tf in oracle.postings[t]})
+    got = [r["doc_id"] for r in engine.fuzzy_match(token, dist).collect()]
+    assert got == want
+
+
+def test_fuzzy_match_pinned(built):
+    engine = QueryEngine(built)
+    built.pinned.add(3)
+    try:
+        got = [r["doc_id"] for r in engine.fuzzy_match("zzzunknown", 1).collect()]
+        assert got == [3]
+    finally:
+        built.pinned.discard(3)
+
+
 def test_write_read_roundtrip(tmp_path, spark, built, oracle):
     from tsidx.index import InvertedIndex
 

@@ -539,6 +539,36 @@ class QueryEngine:
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         )
 
+    def fuzzy_match(self, token: str, max_dist: int = 1) -> DataFrame:
+        """Typo-tolerant match: docs containing any dictionary term within
+        *max_dist* edits of the (stemmed) token, in docID order.
+
+        Plan: the dictionary scan (:meth:`suggest_terms`) yields the
+        expansion set — the edit-distance neighborhood of ONE stem, bounded
+        by the dictionary size (~10^6 terms even at 10^12 docs) and in
+        practice tens of terms — which is collected and re-planted as a
+        pushed ``term IN`` parquet filter on the posting scan, the same
+        plan shape as :meth:`match`. The collect is dictionary-derived and
+        never data-scale; keeping it driver-side buys ``PushedFilters``
+        row-group pruning that a broadcast join against the expansion
+        would forfeit. Pinned docs are unioned as in ``match``.
+        """
+        terms = [
+            r["term"] for r in self.suggest_terms(token, max_dist).collect()
+        ]
+        spark = self.index.docs.sparkSession
+        hits = (
+            self.posting_doc_ids(self._blocks_for(terms))
+            .select("doc_id")
+            .distinct()
+        )
+        if self.index.pinned:
+            pinned = spark.createDataFrame(
+                [(d,) for d in sorted(self.index.pinned)], "doc_id long"
+            )
+            hits = hits.unionByName(pinned).distinct()
+        return self._live(hits).orderBy("doc_id")
+
     def term_trend(
         self, query: str | list[str], bucket: str = "hour", ts_col: str = "ts"
     ) -> DataFrame:
