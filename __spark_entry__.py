@@ -926,6 +926,24 @@ def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUFFIX_Q = "ow"  # *ow leading-wildcard (row, slow, window, ...)
+REGEX_Q = "^quer(i|y)"  # anchored prefix alternation over the dictionary
+
+
+def _q_suffix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-wildcard match *SUFFIX_Q: docs containing any dictionary
+    term with that suffix (dictionary expansion -> pushed term IN scan)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.match_suffix(SUFFIX_Q).select(F.col("doc_id").cast("long"))
+
+
+def _q_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex term match REGEX_Q over the dictionary (unanchored search
+    semantics on both engines), then docs containing any matched term."""
+    eng = get_engine(spark, sf_dir)
+    return eng.match_regex(REGEX_Q).select(F.col("doc_id").cast("long"))
+
+
 def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet sidebar: per-role doc counts over the Q_OR match result."""
     eng = get_engine(spark, sf_dir)
@@ -1181,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "suggest_terms": _q_suggest_terms,
         "fuzzy_match": _q_fuzzy_match,
+        "suffix_match": _q_suffix_match,
+        "regex_match": _q_regex_match,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1742,6 +1762,12 @@ cand AS (
   HAVING levenshtein(term, '{_sql_query_terms(FUZZY_TOKEN)[0]}') <= {FUZZY_DIST}
 )
 SELECT DISTINCT doc_id FROM trm JOIN cand USING (term)""",
+        "suffix_match": f"""
+WITH {terms_cte}
+SELECT DISTINCT doc_id FROM trm WHERE term LIKE '%{SUFFIX_Q}'""",
+        "regex_match": f"""
+WITH {terms_cte}
+SELECT DISTINCT doc_id FROM trm WHERE regexp_matches(term, '{REGEX_Q}')""",
         # role = ROLES[doc_id % 4] as in documents_as_transcripts
         "facet_counts": f"""
 WITH {terms_cte},

@@ -355,6 +355,27 @@ def test_fuzzy_match_matches_bruteforce(built, oracle, token, dist):
     assert got == want
 
 
+@pytest.mark.parametrize("suffix", ["ing", "ed", "quench", "zzz"])
+def test_match_suffix_matches_bruteforce(built, oracle, suffix):
+    engine = QueryEngine(built)
+    cand = [t for t in oracle.postings if t.endswith(suffix)]
+    want = sorted({d for t in cand for d, _tf in oracle.postings[t]})
+    got = [r["doc_id"] for r in engine.match_suffix(suffix).collect()]
+    assert got == want
+
+
+@pytest.mark.parametrize("pattern", [r"^lov", r"qu.nch$", r"^f.re$", r"^zzz"])
+def test_match_regex_matches_bruteforce(built, oracle, pattern):
+    import re
+
+    engine = QueryEngine(built)
+    rx = re.compile(pattern)
+    cand = [t for t in oracle.postings if rx.search(t)]
+    want = sorted({d for t in cand for d, _tf in oracle.postings[t]})
+    got = [r["doc_id"] for r in engine.match_regex(pattern).collect()]
+    assert got == want
+
+
 def test_fuzzy_match_pinned(built):
     engine = QueryEngine(built)
     built.pinned.add(3)

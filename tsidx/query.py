@@ -539,22 +539,24 @@ class QueryEngine:
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         )
 
-    def fuzzy_match(self, token: str, max_dist: int = 1) -> DataFrame:
-        """Typo-tolerant match: docs containing any dictionary term within
-        *max_dist* edits of the (stemmed) token, in docID order.
-
-        Plan: the dictionary scan (:meth:`suggest_terms`) yields the
-        expansion set — the edit-distance neighborhood of ONE stem, bounded
-        by the dictionary size (~10^6 terms even at 10^12 docs) and in
-        practice tens of terms — which is collected and re-planted as a
-        pushed ``term IN`` parquet filter on the posting scan, the same
-        plan shape as :meth:`match`. The collect is dictionary-derived and
-        never data-scale; keeping it driver-side buys ``PushedFilters``
-        row-group pruning that a broadcast join against the expansion
-        would forfeit. Pinned docs are unioned as in ``match``.
+    def _match_expanded(self, dictionary_predicate) -> DataFrame:
+        """Shared plan for dictionary-expansion match modes (fuzzy, suffix,
+        regex): one scan of the (term, df) dictionary filtered by
+        *dictionary_predicate* (a Column) yields the expansion set —
+        bounded by the dictionary size (~10^6 terms even at 10^12 docs)
+        and in practice tens of terms — which is collected and re-planted
+        as a pushed ``term IN`` parquet filter on the posting scan, the
+        same plan shape as :meth:`match`. The collect is
+        dictionary-derived and never data-scale; keeping it driver-side
+        buys ``PushedFilters`` row-group pruning that a broadcast join
+        against the expansion would forfeit. Pinned docs are unioned as in
+        ``match``.
         """
         terms = [
-            r["term"] for r in self.suggest_terms(token, max_dist).collect()
+            r["term"]
+            for r in self.index.terms.filter(dictionary_predicate)
+            .select("term")
+            .collect()
         ]
         spark = self.index.docs.sparkSession
         hits = (
@@ -568,6 +570,33 @@ class QueryEngine:
             )
             hits = hits.unionByName(pinned).distinct()
         return self._live(hits).orderBy("doc_id")
+
+    def fuzzy_match(self, token: str, max_dist: int = 1) -> DataFrame:
+        """Typo-tolerant match: docs containing any dictionary term within
+        *max_dist* edits of the (stemmed) token, in docID order — see
+        :meth:`_match_expanded` for the plan."""
+        q = self.terms_of([token])
+        lit = q[0] if q else token
+        return self._match_expanded(
+            F.levenshtein(F.col("term"), F.lit(lit)) <= max_dist
+        )
+
+    def match_suffix(self, suffix: str) -> DataFrame:
+        """Docs containing any term with the given (stem-space) suffix —
+        leading-wildcard search ``*suffix``. A leading wildcard cannot
+        prune the term-sorted posting scan the way :meth:`match_prefix`
+        does, so the expansion goes through the dictionary instead
+        (:meth:`_match_expanded`); at billion-term dictionaries a
+        persisted reversed-term dictionary would turn the scan into a
+        prefix probe, but one dictionary scan is already cheap."""
+        return self._match_expanded(F.col("term").endswith(suffix))
+
+    def match_regex(self, pattern: str) -> DataFrame:
+        """Docs containing any dictionary term the regex *pattern* matches
+        anywhere (unanchored, as Spark ``rlike`` / DuckDB
+        ``regexp_matches``; anchor with ``^...$`` for a full-term match) —
+        see :meth:`_match_expanded` for the plan."""
+        return self._match_expanded(F.col("term").rlike(pattern))
 
     def term_trend(
         self, query: str | list[str], bucket: str = "hour", ts_col: str = "ts"
