@@ -10,15 +10,16 @@ No reference counterpart (the reference engine has no corpus analytics);
 this is a standard fulltext/feature-engineering extension in the spirit of
 SURVEY §2.4.
 
-Scale design: the doc_id self-join is quadratic in the number of
+Scale design: per-doc pair generation is quadratic in the number of
 *band* terms per document, so the df band is the safety valve — hot terms
-(stopword-like, df above *max_df*) are excluded before the join, exactly
-like the hot-shingle cap in tsidx/dedup.py. With a band of b terms/doc the
-join emits ~b²/2 rows per doc: one (doc_id) shuffle for the self-join, one
-(term_a, term_b) shuffle for the pair counts, both uniform unless the
-band is misconfigured (calling without *max_df* warns). The dictionary
-band is broadcast (vocabularies are ~10^6 rows even at 10^12 docs;
-the mid-df band is far smaller).
+(stopword-like, df above *max_df*) are excluded before pairing, exactly
+like the hot-shingle cap in tsidx/dedup.py. With a band of b terms/doc
+the sorted-array combination explode emits exactly b(b-1)/2 rows per doc
+(no self-join, no b² pre-filter volume): one (doc_id) shuffle to gather
+each doc's band terms, one (term_a, term_b) shuffle for the pair counts,
+both uniform unless the band is misconfigured (calling without *max_df*
+warns). The dictionary band is broadcast (vocabularies are ~10^6 rows
+even at 10^12 docs; the mid-df band is far smaller).
 """
 
 from __future__ import annotations
@@ -60,11 +61,25 @@ def cooccurrence_pmi(
         F.broadcast(band.select("term")), "term"
     )
     rows = engine._live(engine.posting_doc_ids(blocks))
-    a = rows.select("doc_id", F.col("term").alias("term_a"))
-    b = rows.select("doc_id", F.col("term").alias("term_b"))
+    # Pair generation: one (doc_id) shuffle collects each doc's band terms
+    # into a sorted array (unique per doc by construction of the posting
+    # rows), then ordered pairs explode JVM-side as (term_a, rest-of-array)
+    # combinations — exactly b(b-1)/2 rows per doc. A doc_id self-join
+    # would sort-merge the same exchange and emit b² rows before the
+    # a < b filter: twice the generate volume plus the join sort.
+    docs_terms = rows.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("term")).alias("ts")
+    )
     pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("term_a") < F.col("term_b"))
+        docs_terms.select(
+            F.posexplode("ts").alias("i", "term_a"), F.col("ts")
+        )
+        .select(
+            "term_a",
+            F.explode(
+                F.slice("ts", F.col("i") + F.lit(2), F.size("ts"))
+            ).alias("term_b"),
+        )
         .groupBy("term_a", "term_b")
         .agg(F.count("*").alias("df_ab"))
         .filter(F.col("df_ab") >= int(min_pair))
