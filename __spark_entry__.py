@@ -926,6 +926,30 @@ def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRUNE_MAX_DF = 390  # prunes the hot half of the sf0.01 dictionary
+
+
+def _q_pruned_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary after hot-term pruning (df > PRUNE_MAX_DF dropped) —
+    metadata-only maintenance, whole posting blocks anti-joined away."""
+    from tsidx.prune import prune_terms
+
+    idx = get_index(spark, sf_dir)
+    pruned = prune_terms(idx, max_df=PRUNE_MAX_DF)
+    return pruned.terms.select("term", F.col("df").cast("long").alias("df"))
+
+
+def _q_pruned_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match over the pruned index: hot Q_OR terms contribute nothing,
+    surviving terms match exactly as before."""
+    from tsidx.prune import prune_terms
+    from tsidx.query import QueryEngine
+
+    idx = get_index(spark, sf_dir)
+    peng = QueryEngine(prune_terms(idx, max_df=PRUNE_MAX_DF))
+    return peng.match(Q_OR).select(F.col("doc_id").cast("long"))
+
+
 SUFFIX_Q = "ow"  # *ow leading-wildcard (row, slow, window, ...)
 REGEX_Q = "^quer(i|y)"  # anchored prefix alternation over the dictionary
 
@@ -1201,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": _q_fuzzy_match,
         "suffix_match": _q_suffix_match,
         "regex_match": _q_regex_match,
+        "pruned_term_df": _q_pruned_term_df,
+        "pruned_match": _q_pruned_match,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1768,6 +1794,17 @@ SELECT DISTINCT doc_id FROM trm WHERE term LIKE '%{SUFFIX_Q}'""",
         "regex_match": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm WHERE regexp_matches(term, '{REGEX_Q}')""",
+        "pruned_term_df": f"""
+WITH {terms_cte}
+SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+HAVING count(*) <= {PRUNE_MAX_DF}""",
+        "pruned_match": f"""
+WITH {terms_cte},
+keep AS (
+  SELECT term FROM tf GROUP BY term HAVING count(*) <= {PRUNE_MAX_DF}
+)
+SELECT DISTINCT doc_id FROM trm
+WHERE term IN ({_terms_in(Q_OR)}) AND term IN (SELECT term FROM keep)""",
         # role = ROLES[doc_id % 4] as in documents_as_transcripts
         "facet_counts": f"""
 WITH {terms_cte},

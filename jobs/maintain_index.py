@@ -9,6 +9,9 @@
     # streaming-index small-file compaction (stop the stream first)
     python jobs/maintain_index.py compact --index /tmp/sidx --num-files 16
 
+    # hot-term (stopword) pruning: drop terms with df above the cap
+    python jobs/maintain_index.py prune --index /tmp/idx --max-df-ratio 0.5
+
 ``delete`` and ``apply-deletes`` rewrite the one-shot index layout in place
 via a temp-dir swap; ``compact`` operates on streaming-built indexes
 (tsidx/streaming.py) and preserves the resume/replay guarantees.
@@ -57,12 +60,18 @@ def _swap_rewrite(idx, path: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "action", choices=["delete", "apply-deletes", "compact", "update"]
+        "action",
+        choices=["delete", "apply-deletes", "compact", "update", "prune"],
     )
     ap.add_argument("--index", required=True)
     ap.add_argument("--doc-ids", type=int, nargs="*", default=[])
     ap.add_argument("--num-files", type=int, default=None)
     ap.add_argument("--parallelism", type=int, default=None)
+    ap.add_argument("--max-df", type=int, default=None)
+    ap.add_argument("--max-df-ratio", type=float, default=None)
+    ap.add_argument(
+        "--stopwords", nargs="*", default=None, help="prune: explicit terms"
+    )
     ap.add_argument(
         "--updates",
         help="update: path to a JSON file of [[doc_id, new_text], ...] or "
@@ -100,6 +109,23 @@ def main() -> None:
                 "n_updated": len(updates)
                 if isinstance(updates, list)
                 else updates.count(),
+            }
+        elif args.action == "prune":
+            from tsidx.prune import prune_terms
+
+            idx = prune_terms(
+                idx,
+                max_df=args.max_df,
+                max_df_ratio=args.max_df_ratio,
+                terms=args.stopwords,
+            )
+            # count before the swap: idx reads lazily from the old files
+            n_terms = int(idx.terms.count())
+            _swap_rewrite(idx, args.index)
+            out = {
+                "job": "prune",
+                "n_terms": n_terms,
+                "pruned_max_df": idx.meta.get("pruned_max_df"),
             }
         elif args.action == "delete":
             if not args.doc_ids:
