@@ -151,6 +151,8 @@ def main():
         lambda: eng.search("customer AND (query OR merge) NOT window").count(),
     )
     p50("prefix_match", lambda: eng.match_prefix("s").count())
+    p50("fuzzy_match", lambda: eng.fuzzy_match("querry", 2).count())
+    p50("suffix_match", lambda: eng.match_suffix("ow").count())
     p50(
         "bm25_topk_role",
         lambda: eng.bm25_topk_where(

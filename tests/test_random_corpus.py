@@ -68,6 +68,60 @@ def test_random_queries_rank_identical(built):
         assert got_w == want, (q, k, "wand")
 
 
+def test_random_dictionary_expansion_modes(built):
+    """fuzzy/suffix/regex expansion vs brute force over the random
+    dictionary — punctuation/case/unicode-heavy vocabulary included."""
+    import re
+
+    idx, oracle = built
+    eng = QueryEngine(idx)
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    def docs_of(terms):
+        return sorted({d for t in terms for d, _tf in oracle.postings[t]})
+
+    from tsidx.tokenize import query_terms
+
+    for token, dist in [("runing", 1), ("cmpute", 2), ("dogz", 1)]:
+        stem = query_terms([token])[0]
+        want = docs_of([t for t in oracle.postings if lev(t, stem) <= dist])
+        got = [r["doc_id"] for r in eng.fuzzy_match(token, dist).collect()]
+        assert got == want, token
+
+    for suffix in ["ing", "s", "walk"]:
+        want = docs_of([t for t in oracle.postings if t.endswith(suffix)])
+        got = [r["doc_id"] for r in eng.match_suffix(suffix).collect()]
+        assert got == want, suffix
+
+    for pattern in [r"^burn", r"walk", r"^\d+", r"caps$"]:
+        rx = re.compile(pattern)
+        want = docs_of([t for t in oracle.postings if rx.search(t)])
+        got = [r["doc_id"] for r in eng.match_regex(pattern).collect()]
+        assert got == want, pattern
+
+
+def test_random_prune_agrees(built):
+    from tsidx.prune import prune_terms
+
+    idx, oracle = built
+    cap = 60
+    pruned = prune_terms(idx, max_df=cap)
+    keep = {t: p for t, p in oracle.postings.items() if len(p) <= cap}
+    stats = pruned.statistics()
+    assert stats["num_unique_terms"] == len(keep)
+    assert stats["num_postings"] == sum(len(p) for p in keep.values())
+
+
 def test_df_table_agrees(built):
     idx, oracle = built
     got = {r["term"]: r["df"] for r in idx.terms.collect()}
