@@ -841,6 +841,34 @@ def _q_proximity_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROXB_QUERY = "customer query table"
+PROXB_BOOST = 0.5
+PROXB_K = 25
+
+
+def _q_bm25_prox_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-boosted BM25 top-k: candidate scores for PROXB_QUERY
+    re-ranked by score·(1 + boost·ln(1 + n_pairs)) where n_pairs counts
+    (PROX_A, PROX_B) occurrences within PROX_SLOP tokens."""
+    from tsidx.positions import proximity_boosted_topk
+
+    eng = get_engine(spark, sf_dir)
+    return proximity_boosted_topk(
+        eng,
+        get_positional(spark, sf_dir),
+        PROXB_QUERY,
+        PROX_A,
+        PROX_B,
+        PROXB_K,
+        slop=PROX_SLOP,
+        boost=PROXB_BOOST,
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.round("score", 4).alias("score_r"),
+        F.col("n_pairs").cast("long"),
+    )
+
+
 def _q_proximity_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional proximity: PROX_A BEFORE PROX_B within PROX_SLOP."""
     from tsidx.positions import proximity_counts
@@ -1209,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_recall": _q_ivf_ann_recall,
         "phrase_counts": _q_phrase_counts,
         "proximity_within": _q_proximity_within,
+        "bm25_prox_boost": _q_bm25_prox_boost,
         "proximity_before": _q_proximity_before,
         "phrase_counts3": _q_phrase_counts3,
         "best_window": _q_best_window,
@@ -1374,6 +1403,57 @@ pairs AS (
 )
 SELECT doc_id, count(*)::BIGINT AS n_pairs, min(dist)::BIGINT AS min_dist
 FROM pairs WHERE dist <= {slop} GROUP BY doc_id"""
+
+
+def _prox_boost_sql(
+    query: str, term_a: str, term_b: str, slop: int, boost: float, k: int
+) -> str:
+    """Proximity-boosted BM25 oracle: plain BM25 candidate scores times
+    (1 + boost·ln(1 + n_pairs)); ranks on 12-decimal boosted scores
+    (mirroring the engine's raw-double ordering), emits 4-decimal."""
+    from tsidx.tokenize import stem_tokens
+
+    sa, sb = stem_tokens(term_a)[0], stem_tokens(term_b)[0]
+    same = " AND pa.p < pb.p" if sa == sb else ""
+    terms = _terms_in(query)
+    return f"""
+WITH {_terms_cte()},{_positions_cte()},
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * ((tf.tf * {K1 + 1.0}) /
+            (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl))) AS c
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ({terms})
+),
+bm AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id),
+pa AS (SELECT doc_id, p FROM pos WHERE term = '{sa}'),
+pb AS (SELECT doc_id, p FROM pos WHERE term = '{sb}'),
+prox AS (
+  SELECT pa.doc_id, count(*)::BIGINT AS n_pairs
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+  WHERE abs(pa.p - pb.p) <= {slop}{same}
+  GROUP BY pa.doc_id
+),
+boosted AS (
+  SELECT bm.doc_id,
+         bm.s * (1.0 + {boost} * ln(1.0 + coalesce(prox.n_pairs, 0))) AS s,
+         coalesce(prox.n_pairs, 0)::BIGINT AS n_pairs
+  FROM bm LEFT JOIN prox ON bm.doc_id = prox.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r, n_pairs
+FROM boosted
+ORDER BY round(s, 12) DESC, doc_id
+LIMIT {k}"""
 
 
 def _mlt_sql(doc_id: int, m: int, k: int) -> str:
@@ -1734,6 +1814,9 @@ FROM (
         "phrase_counts": _phrase_sql(Q_PHRASE),
         "phrase_counts3": _phrase_sql(Q_PHRASE3),
         "proximity_within": _proximity_sql(PROX_A, PROX_B, PROX_SLOP),
+        "bm25_prox_boost": _prox_boost_sql(
+            PROXB_QUERY, PROX_A, PROX_B, PROX_SLOP, PROXB_BOOST, PROXB_K
+        ),
         "proximity_before": _proximity_sql(
             PROX_A, PROX_B, PROX_SLOP, ordered=True
         ),

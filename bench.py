@@ -200,6 +200,14 @@ def main():
         "proximity_within",
         lambda: proximity_counts(positional, "query", "table", 4).count(),
     )
+    from tsidx.positions import proximity_boosted_topk
+
+    p50(
+        "bm25_prox_boost",
+        lambda: proximity_boosted_topk(
+            eng, positional, "customer query table", "query", "table", 25
+        ).collect(),
+    )
 
     t0 = time.time()
     stats = idx.statistics()

@@ -282,6 +282,54 @@ def test_proximity_counts_matches_bruteforce(positional, ta, tb, slop):
     assert got == _py_proximity(CORPUS, ta, tb, slop)
 
 
+def test_proximity_boosted_topk_matches_bruteforce(spark, positional):
+    import datetime
+    import math
+
+    from tsidx.build import build_index
+    from tsidx.oracle import OracleIndex
+    from tsidx.positions import proximity_boosted_topk
+    from tsidx.query import QueryEngine
+
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (f"c{d // 6:04d}", d % 6, "user", t, "", base) for d, t in CORPUS
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    eng = QueryEngine(build_index(df, block_size=4))
+    oracle = OracleIndex()
+    oracle.add_corpus([t for _, t in CORPUS])
+
+    query, ta, tb, slop, boost, k = "quick dog fox", "quick", "dog", 5, 0.5, 6
+    prox = _py_proximity(CORPUS, ta, tb, slop)
+    want = sorted(
+        (
+            (d, s * (1.0 + boost * math.log(1.0 + prox.get(d, (0, 0))[0])))
+            for d, s in oracle.bm25_topk(query, len(CORPUS))
+        ),
+        key=lambda p: (-p[1], p[0]),
+    )[:k]
+    got = [
+        (r["doc_id"], r["score"], r["n_pairs"])
+        for r in proximity_boosted_topk(
+            eng, positional, query, ta, tb, k, slop=slop, boost=boost
+        ).collect()
+    ]
+    assert [d for d, _, _ in got] == [d for d, _ in want]
+    for (gd, gs, gn), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12), gd
+        assert gn == prox.get(gd, (0, 0))[0]
+    # docs without the near pair keep their plain BM25 score
+    plain = dict(oracle.bm25_topk(query, len(CORPUS)))
+    for gd, gs, gn in got:
+        if gn == 0:
+            assert gs == plain[gd]
+
+
 def test_proximity_counts_bucket_boundaries(spark):
     """Distances straddling the slop+1 bucket width must still pair up
     (the adjacent-bucket replication), and dist == slop is inclusive."""

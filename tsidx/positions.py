@@ -44,6 +44,7 @@ __all__ = [
     "read_positional",
     "best_window",
     "proximity_counts",
+    "proximity_boosted_topk",
 ]
 
 POSITIONS_SCHEMA = (
@@ -362,6 +363,55 @@ def proximity_counts(
     return qual.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.min(dist).cast("int").alias("min_dist"),
+    )
+
+
+def proximity_boosted_topk(
+    engine,
+    positional: DataFrame,
+    query: str | list[str],
+    term_a: str,
+    term_b: str,
+    k: int,
+    slop: int = 4,
+    boost: float = 0.5,
+) -> DataFrame:
+    """(doc_id, score, n_pairs): BM25 top-k with a proximity boost —
+    ``score = bm25 · (1 + boost · ln(1 + n_pairs))`` where ``n_pairs``
+    counts (*term_a*, *term_b*) occurrence pairs within *slop* tokens
+    (:func:`proximity_counts`). The production "phrase-ish boost" shape:
+    term relevance ranks, closeness re-ranks, and docs without the pair
+    keep their plain BM25 score (ln 1 = 0), so the boost never filters.
+
+    Plan: the standard pushed-scan BM25 candidate scores left-join the
+    proximity counts (a small table — only docs containing BOTH terms
+    near each other); the boost is one JVM expression, then the usual
+    deterministic TakeOrdered. No new shuffle shape beyond the two
+    composed operators.
+    """
+    prox = proximity_counts(positional, term_a, term_b, slop).select(
+        "doc_id", "n_pairs"
+    )
+    scores = engine.bm25_scores(query)
+    boosted = (
+        scores.join(prox, "doc_id", "left")
+        .withColumn(
+            "n_pairs", F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "score",
+            F.col("score")
+            * (
+                F.lit(1.0)
+                + F.lit(float(boost))
+                * F.log(F.lit(1.0) + F.col("n_pairs").cast("double"))
+            ),
+        )
+    )
+    return (
+        boosted.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+        .select("doc_id", "score", "n_pairs")
     )
 
 
