@@ -954,6 +954,23 @@ def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf COO export (head: doc_id < 50) — one shuffle-free
+    posting decode with the idf factor broadcast from the dictionary."""
+    from tsidx.vectors import tfidf_rows
+
+    eng = get_engine(spark, sf_dir)
+    return (
+        tfidf_rows(eng)
+        .filter(F.col("doc_id") < 50)
+        .select(
+            F.col("doc_id").cast("long"),
+            "term",
+            F.round("w", 4).alias("w_r"),
+        )
+    )
+
+
 PRUNE_MAX_DF = 390  # prunes the hot half of the sf0.01 dictionary
 
 
@@ -1256,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_match": _q_regex_match,
         "pruned_term_df": _q_pruned_term_df,
         "pruned_match": _q_pruned_match,
+        "tfidf_rows": _q_tfidf_rows,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1888,6 +1906,15 @@ keep AS (
 )
 SELECT DISTINCT doc_id FROM trm
 WHERE term IN ({_terms_in(Q_OR)}) AND term IN (SELECT term FROM keep)""",
+        "tfidf_rows": f"""
+WITH {terms_cte},
+stats AS (SELECT count(*)::BIGINT AS n_docs FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term,
+       round(tf.tf * ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)
+                        + 1.0), 4) AS w_r
+FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+WHERE tf.doc_id < 50""",
         # role = ROLES[doc_id % 4] as in documents_as_transcripts
         "facet_counts": f"""
 WITH {terms_cte},

@@ -1,0 +1,62 @@
+"""Sparse tf-idf export vs brute-force ground truth on the sonnets."""
+
+import math
+
+import pytest
+
+from tsidx.build import build_index
+from tsidx.oracle import OracleIndex, bm25_idf
+from tsidx.query import QueryEngine
+from tsidx.vectors import tfidf_rows
+
+
+@pytest.fixture(scope="module")
+def built(spark, sonnets_transcripts):
+    return build_index(sonnets_transcripts, block_size=64, num_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def oracle(sonnets):
+    o = OracleIndex()
+    o.add_corpus(sonnets)
+    return o
+
+
+def _brute(oracle):
+    n = oracle.n_docs
+    out = {}
+    for term, plist in oracle.postings.items():
+        idf = bm25_idf(n, len(plist))
+        for doc_id, tf in plist:
+            out[(doc_id, term)] = tf * idf
+    return out
+
+
+def test_tfidf_rows_match_bruteforce(built, oracle):
+    eng = QueryEngine(built)
+    got = {
+        (r["doc_id"], r["term"]): r["w"] for r in tfidf_rows(eng).collect()
+    }
+    want = _brute(oracle)
+    assert set(got) == set(want)
+    for key, w in want.items():
+        assert got[key] == pytest.approx(w, rel=1e-12), key
+
+
+def test_tfidf_normalized_unit_norm(built, oracle):
+    eng = QueryEngine(built)
+    rows = tfidf_rows(eng, normalized=True).collect()
+    by_doc: dict[int, float] = {}
+    for r in rows:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0.0) + r["w"] ** 2
+    assert len(by_doc) == 154
+    for doc_id, sq in by_doc.items():
+        assert math.sqrt(sq) == pytest.approx(1.0, rel=1e-9), doc_id
+    # direction is preserved: normalized ratios equal raw ratios
+    raw = _brute(oracle)
+    r0 = [r for r in rows if r["doc_id"] == 0]
+    t_ref = r0[0]["term"]
+    for r in r0[1:4]:
+        assert r["w"] / r0[0]["w"] == pytest.approx(
+            raw[(0, r["term"])] / raw[(0, t_ref)], rel=1e-9
+        )
