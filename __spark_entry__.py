@@ -954,6 +954,14 @@ def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level rollup (turns, token totals, role mix) over the
+    transcripts table — one (conv_id) shuffle, JVM expressions only."""
+    from tsidx.textstats import conversation_stats
+
+    return conversation_stats(documents_as_transcripts(spark, sf_dir))
+
+
 def _q_tfidf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse tf-idf COO export (head: doc_id < 50) — one shuffle-free
     posting decode with the idf factor broadcast from the dictionary."""
@@ -1274,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_term_df": _q_pruned_term_df,
         "pruned_match": _q_pruned_match,
         "tfidf_rows": _q_tfidf_rows,
+        "conv_stats": _q_conv_stats,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1906,6 +1915,20 @@ keep AS (
 )
 SELECT DISTINCT doc_id FROM trm
 WHERE term IN ({_terms_in(Q_OR)}) AND term IN (SELECT term FROM keep)""",
+        # conv_id = c%06d(doc_id // 8), role = ROLES[doc_id % 4] as in
+        # documents_as_transcripts
+        "conv_stats": f"""
+WITH t AS (
+  SELECT 'c' || lpad((doc_id // {_TURNS_PER_CONV})::VARCHAR, 6, '0') AS conv_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+         (['user','assistant','system','tool'])[(doc_id % 4)::INT + 1] AS role
+  FROM documents
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns, sum(n_tok)::BIGINT AS total_tokens,
+       round(avg(n_tok::DOUBLE), 4) AS avg_tokens_r,
+       count(DISTINCT role)::BIGINT AS n_roles
+FROM t GROUP BY conv_id""",
         "tfidf_rows": f"""
 WITH {terms_cte},
 stats AS (SELECT count(*)::BIGINT AS n_docs FROM dl),

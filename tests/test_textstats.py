@@ -48,3 +48,22 @@ def test_quality_signals(docs):
     assert 0.0 < r0["stopword_ratio_r"] <= 1.0
     assert got[4]["stopword_ratio_r"] == 0.0
     assert got[5]["punct_ratio_r"] > 0.0
+
+
+def test_conversation_stats(spark):
+    from tsidx.textstats import conversation_stats
+
+    rows = [
+        ("c0", 0, "user", "one two three"),
+        ("c0", 1, "assistant", "four five"),
+        ("c0", 2, "user", ""),  # empty turn counts 0 tokens
+        ("c1", 0, "system", "  padded   text  "),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {r["conv_id"]: r for r in conversation_stats(df).collect()}
+    c0, c1 = got["c0"], got["c1"]
+    assert (c0["n_turns"], c0["total_tokens"], c0["n_roles"]) == (3, 5, 2)
+    assert c0["avg_tokens_r"] == round(5 / 3, 4)
+    assert (c1["n_turns"], c1["total_tokens"], c1["n_roles"]) == (1, 2, 1)

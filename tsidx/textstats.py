@@ -17,6 +17,7 @@ __all__ = [
     "lang_id_heuristic",
     "token_counts",
     "quality_signals",
+    "conversation_stats",
     "BPE_PIECE_RE",
 ]
 
@@ -81,6 +82,31 @@ def token_counts(
         F.regexp_count(F.col(text_col), F.lit(BPE_PIECE_RE))
         .cast("long")
         .alias("n_bpe_pieces"),
+    )
+
+
+def conversation_stats(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    role_col: str = "role",
+) -> DataFrame:
+    """(conv_id, n_turns, total_tokens, avg_tokens_r, n_roles):
+    conversation-level rollup of the transcripts table — the
+    curation-side view (length filtering, role-mix checks, packing
+    budgets) of the per-turn corpus the index is built over.
+
+    One (conv_id) shuffle over JVM expressions; conversations are bounded
+    (turn counts, not corpus size), so no key is data-scale hot.
+    """
+    n_tok = F.when(
+        F.trim(F.col(text_col)) == "", F.lit(0)
+    ).otherwise(F.size(_tokens(text_col)))
+    return transcripts.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens_r"),
+        F.count_distinct(F.col(role_col)).cast("long").alias("n_roles"),
     )
 
 
