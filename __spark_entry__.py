@@ -954,6 +954,22 @@ def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CTX_QUERY = "dup"  # rare term: selective anchors with real context fans
+CTX_WINDOW = 1
+
+
+def _q_match_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-example extraction: CTX_QUERY hits plus the surrounding
+    turns (|Δturn_idx| <= CTX_WINDOW) of each hit's conversation."""
+    eng = get_engine(spark, sf_dir)
+    return eng.match_with_context(CTX_QUERY, CTX_WINDOW).select(
+        F.col("anchor_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("turn_idx").cast("long"),
+        "role",
+    )
+
+
 def _q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level rollup (turns, token totals, role mix) over the
     transcripts table — one (conv_id) shuffle, JVM expressions only."""
@@ -1283,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_match": _q_pruned_match,
         "tfidf_rows": _q_tfidf_rows,
         "conv_stats": _q_conv_stats,
+        "match_context": _q_match_context,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1915,6 +1932,23 @@ keep AS (
 )
 SELECT DISTINCT doc_id FROM trm
 WHERE term IN ({_terms_in(Q_OR)}) AND term IN (SELECT term FROM keep)""",
+        # conv = doc_id // 8, turn_idx = doc_id % 8, role = ROLES[doc_id % 4]
+        "match_context": f"""
+WITH {terms_cte},
+hits AS (
+  SELECT DISTINCT doc_id FROM trm WHERE term IN ({_terms_in(CTX_QUERY)})
+),
+anchor AS (
+  SELECT doc_id AS anchor_id, doc_id // {_TURNS_PER_CONV} AS conv,
+         doc_id % {_TURNS_PER_CONV} AS a_idx
+  FROM hits
+)
+SELECT anchor.anchor_id, d.doc_id,
+       (d.doc_id % {_TURNS_PER_CONV})::BIGINT AS turn_idx,
+       (['user','assistant','system','tool'])[(d.doc_id % 4)::INT + 1] AS role
+FROM anchor JOIN documents d
+  ON d.doc_id // {_TURNS_PER_CONV} = anchor.conv
+ AND abs(d.doc_id % {_TURNS_PER_CONV} - anchor.a_idx) <= {CTX_WINDOW}""",
         # conv_id = c%06d(doc_id // 8), role = ROLES[doc_id % 4] as in
         # documents_as_transcripts
         "conv_stats": f"""

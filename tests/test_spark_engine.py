@@ -386,6 +386,24 @@ def test_fuzzy_match_pinned(built):
         built.pinned.discard(3)
 
 
+@pytest.mark.parametrize("query,window", [("quench", 1), ("same", 2), ("love", 0)])
+def test_match_with_context_matches_bruteforce(built, oracle, query, window):
+    # conftest maps 10 sonnets per conversation: conv = doc_id // 10
+    engine = QueryEngine(built)
+    anchors = oracle.match(query)
+    want = sorted(
+        (a, d)
+        for a in anchors
+        for d in range(154)
+        if d // 10 == a // 10 and abs(d % 10 - a % 10) <= window
+    )
+    got = [
+        (r["anchor_id"], r["doc_id"])
+        for r in engine.match_with_context(query, window).collect()
+    ]
+    assert got == want
+
+
 def test_write_read_roundtrip(tmp_path, spark, built, oracle):
     from tsidx.index import InvertedIndex
 

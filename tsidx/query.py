@@ -598,6 +598,45 @@ class QueryEngine:
         see :meth:`_match_expanded` for the plan."""
         return self._match_expanded(F.col("term").rlike(pattern))
 
+    def match_with_context(
+        self, query: str | list[str], window: int = 1
+    ) -> DataFrame:
+        """(anchor_id, doc_id, turn_idx, role): every matching turn plus
+        its surrounding turns — ``|turn_idx - anchor turn_idx| <= window``
+        within the same conversation. The training-example extractor for
+        transcript corpora: a hit alone is rarely a usable sample; the
+        local dialogue context is.
+
+        Plan: the match set semi-joins a text-pruned docs projection to
+        recover each anchor's (conv_id, turn_idx), then one (conv_id)
+        join fans each anchor out to its window. The join key is the
+        conversation id, bounded by turns-per-conversation on one side
+        and hits-per-conversation on the other — never corpus-scale hot.
+        Overlapping windows of nearby anchors are kept per-anchor (each
+        training example carries its own context).
+        """
+        anchors = (
+            self.index.docs.join(
+                self.match(query).select("doc_id"), "doc_id", "semi"
+            )
+            .select(
+                F.col("conv_id"),
+                F.col("turn_idx").alias("a_idx"),
+                F.col("doc_id").alias("anchor_id"),
+            )
+        )
+        ctx = self._live(
+            self.index.docs.select("conv_id", "turn_idx", "doc_id", "role")
+        )
+        return (
+            ctx.join(anchors, "conv_id")
+            .filter(
+                F.abs(F.col("turn_idx") - F.col("a_idx")) <= int(window)
+            )
+            .select("anchor_id", "doc_id", "turn_idx", "role")
+            .orderBy("anchor_id", "doc_id")
+        )
+
     def term_trend(
         self, query: str | list[str], bucket: str = "hour", ts_col: str = "ts"
     ) -> DataFrame:
