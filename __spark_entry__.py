@@ -954,6 +954,21 @@ def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 200  # tokens per training shard
+
+
+def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: contiguous shard_id per doc via the
+    distributed prefix sum (exclusive running total DIV budget)."""
+    from tsidx.pack import pack_shards
+
+    return pack_shards(load_documents(spark, sf_dir), PACK_BUDGET).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("shard_id").cast("long"),
+    )
+
+
 CTX_QUERY = "dup"  # rare term: selective anchors with real context fans
 CTX_WINDOW = 1
 
@@ -1300,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_rows": _q_tfidf_rows,
         "conv_stats": _q_conv_stats,
         "match_context": _q_match_context,
+        "pack_shards": _q_pack_shards,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1932,6 +1948,18 @@ keep AS (
 )
 SELECT DISTINCT doc_id FROM trm
 WHERE term IN ({_terms_in(Q_OR)}) AND term IN (SELECT term FROM keep)""",
+        # n_tok mirrors token_counts (split of trim; empty text -> 1)
+        "pack_shards": f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tok
+  FROM documents
+)
+SELECT doc_id, n_tok AS n_tokens,
+       (coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // {PACK_BUDGET})::BIGINT AS shard_id
+FROM t""",
         # conv = doc_id // 8, turn_idx = doc_id % 8, role = ROLES[doc_id % 4]
         "match_context": f"""
 WITH {terms_cte},

@@ -1,0 +1,63 @@
+"""Shard packing vs brute-force prefix sums on the sonnets corpus."""
+
+import pytest
+
+from tsidx.pack import pack_shards
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sonnets):
+    return spark.createDataFrame(
+        list(enumerate(sonnets)), "doc_id long, text string"
+    )
+
+
+def _brute(sonnets, budget):
+    out, run = {}, 0
+    for d, text in enumerate(sonnets):
+        n = len(text.strip().split())
+        out[d] = (n, run // budget)
+        run += n
+    return out
+
+
+@pytest.mark.parametrize("budget", [50, 500, 10_000, 10_000_000])
+def test_pack_matches_bruteforce(docs, sonnets, budget):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in pack_shards(docs, budget).collect()
+    }
+    assert got == _brute(sonnets, budget)
+
+
+def test_pack_deterministic_across_partitioning(docs, sonnets):
+    a = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(docs, 300, num_partitions=1).collect()
+    }
+    b = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(docs, 300, num_partitions=7).collect()
+    }
+    assert a == b == {d: s for d, (_n, s) in _brute(sonnets, 300).items()}
+
+
+def test_pack_shard_invariants(docs, sonnets):
+    budget = 400
+    rows = sorted(
+        pack_shards(docs, budget).collect(), key=lambda r: r["doc_id"]
+    )
+    max_doc = max(r["n_tokens"] for r in rows)
+    totals: dict[int, int] = {}
+    last = 0
+    for r in rows:
+        assert r["shard_id"] >= last  # contiguous, non-decreasing
+        last = r["shard_id"]
+        totals[r["shard_id"]] = totals.get(r["shard_id"], 0) + r["n_tokens"]
+    for sid, tot in totals.items():
+        assert tot < budget + max_doc, sid
+
+
+def test_pack_bad_budget(docs):
+    with pytest.raises(ValueError):
+        pack_shards(docs, 0)

@@ -1,0 +1,59 @@
+"""Token-budget shard packing — contiguous training-shard assignment.
+
+Training pipelines cut a corpus into shards of ~B tokens each, in a
+deterministic document order, so downstream loaders stream fixed-size
+work units. The sequential formulation ("accumulate until the budget
+overflows") looks inherently serial; the standard parallel equivalent is
+``shard_id = exclusive_prefix_sum(tokens) DIV budget`` — identical
+deterministic boundaries (a document straddling a budget edge belongs to
+the shard where it starts), but expressible as a distributed prefix sum.
+
+Scale shape: reuses the build's prefix-sum machinery
+(``tsidx/docids.py::_prefix_sum_offsets``): range-partition the small
+(doc_id, size) table, cumsum within sorted partitions, add
+driver-collected per-partition totals — one bounded collect of
+``num_partitions`` longs, never a data-scale window. A single-partition
+``Window.orderBy(doc_id)`` would compute the same column through one
+executor; this path keeps every partition busy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsidx.docids import _prefix_sum_offsets
+from tsidx.textstats import token_counts
+
+__all__ = ["pack_shards"]
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, shard_id): contiguous token-budget sharding in
+    doc_id order — ``shard_id = (exclusive running token total) DIV
+    budget``, whitespace token counts.
+    """
+    if budget <= 0:
+        raise ValueError("pack_shards: budget must be positive")
+    spark = docs.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    n = max(1, min(n, 20000))
+    sizes = token_counts(docs, text_col, id_col).select(
+        F.col("doc_id"), F.col("n_ws_tokens").cast("long").alias("size")
+    )
+    off = _prefix_sum_offsets(sizes, "doc_id", n)
+    return off.select(
+        "doc_id",
+        F.col("size").alias("n_tokens"),
+        (F.col("offset") / F.lit(int(budget)))
+        .cast("long")
+        .alias("shard_id"),
+    )
