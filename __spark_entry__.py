@@ -1034,6 +1034,18 @@ def _q_pruned_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peng.match(Q_OR).select(F.col("doc_id").cast("long"))
 
 
+COMPLETE_PREFIX, COMPLETE_K = "s", 5
+
+
+def _q_complete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-complete: top-K dictionary terms with prefix COMPLETE_PREFIX
+    by descending df (pushed StringStartsWith on the terms table)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.complete_prefix(COMPLETE_PREFIX, COMPLETE_K).select(
+        "term", F.col("df").cast("long")
+    )
+
+
 SUFFIX_Q = "ow"  # *ow leading-wildcard (row, slow, window, ...)
 REGEX_Q = "^quer(i|y)"  # anchored prefix alternation over the dictionary
 
@@ -1316,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats": _q_conv_stats,
         "match_context": _q_match_context,
         "pack_shards": _q_pack_shards,
+        "complete_prefix": _q_complete_prefix,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1934,6 +1947,11 @@ SELECT DISTINCT doc_id FROM trm JOIN cand USING (term)""",
         "suffix_match": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm WHERE term LIKE '%{SUFFIX_Q}'""",
+        "complete_prefix": f"""
+WITH {terms_cte}
+SELECT term, count(*)::BIGINT AS df FROM tf
+WHERE term LIKE '{COMPLETE_PREFIX}%'
+GROUP BY term ORDER BY df DESC, term LIMIT {COMPLETE_K}""",
         "regex_match": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm WHERE regexp_matches(term, '{REGEX_Q}')""",

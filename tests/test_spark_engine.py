@@ -386,6 +386,20 @@ def test_fuzzy_match_pinned(built):
         built.pinned.discard(3)
 
 
+@pytest.mark.parametrize("prefix,k", [("lo", 5), ("th", 3), ("zzz", 10)])
+def test_complete_prefix_matches_bruteforce(built, oracle, prefix, k):
+    engine = QueryEngine(built)
+    want = sorted(
+        ((t, len(p)) for t, p in oracle.postings.items() if t.startswith(prefix)),
+        key=lambda x: (-x[1], x[0]),
+    )[:k]
+    got = [
+        (r["term"], r["df"])
+        for r in engine.complete_prefix(prefix, k).collect()
+    ]
+    assert got == want
+
+
 @pytest.mark.parametrize("query,window", [("quench", 1), ("same", 2), ("love", 0)])
 def test_match_with_context_matches_bruteforce(built, oracle, query, window):
     # conftest maps 10 sonnets per conversation: conv = doc_id // 10

@@ -571,6 +571,19 @@ class QueryEngine:
             hits = hits.unionByName(pinned).distinct()
         return self._live(hits).orderBy("doc_id")
 
+    def complete_prefix(self, prefix: str, k: int = 10) -> DataFrame:
+        """(term, df): top-*k* dictionary terms with the given (stem-space)
+        prefix, ranked by descending df — search-box auto-complete. One
+        dictionary scan with a pushed ``StringStartsWith`` (the terms
+        table is written term-sorted, so row groups prune), then a
+        TakeOrdered of k rows."""
+        return (
+            self.index.terms.filter(F.col("term").startswith(prefix))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(k))
+        )
+
     def fuzzy_match(self, token: str, max_dist: int = 1) -> DataFrame:
         """Typo-tolerant match: docs containing any dictionary term within
         *max_dist* edits of the (stemmed) token, in docID order — see
