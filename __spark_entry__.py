@@ -1034,6 +1034,22 @@ def _q_pruned_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peng.match(Q_OR).select(F.col("doc_id").cast("long"))
 
 
+PAIRS_QUERY, PAIRS_KPOS, PAIRS_KNEG = "customer query merge", 15, 15
+
+
+def _q_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reranker-training pair mining: top BM25 full matches (label 1) and
+    top BM25 partial matches (label 0, hard negatives) for PAIRS_QUERY."""
+    eng = get_engine(spark, sf_dir)
+    return eng.bm25_training_pairs(
+        PAIRS_QUERY, PAIRS_KPOS, PAIRS_KNEG
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.col("label").cast("long"),
+        F.round("score", 4).alias("score_r"),
+    )
+
+
 COMPLETE_PREFIX, COMPLETE_K = "s", 5
 
 
@@ -1329,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_context": _q_match_context,
         "pack_shards": _q_pack_shards,
         "complete_prefix": _q_complete_prefix,
+        "training_pairs": _q_training_pairs,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1952,6 +1969,32 @@ WITH {terms_cte}
 SELECT term, count(*)::BIGINT AS df FROM tf
 WHERE term LIKE '{COMPLETE_PREFIX}%'
 GROUP BY term ORDER BY df DESC, term LIMIT {COMPLETE_K}""",
+        "training_pairs": f"""
+WITH {terms_cte},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * ((tf.tf * {K1 + 1.0}) /
+            (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl))) AS c
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  WHERE tf.term IN ({_terms_in(PAIRS_QUERY)})
+),
+sc AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id),
+nt AS (
+  SELECT doc_id, count(DISTINCT term) AS nt FROM trm
+  WHERE term IN ({_terms_in(PAIRS_QUERY)}) GROUP BY doc_id
+),
+j AS (SELECT sc.doc_id, sc.s, nt.nt FROM sc JOIN nt ON sc.doc_id = nt.doc_id)
+(SELECT doc_id, 1::BIGINT AS label, round(s, 4) AS score_r FROM j
+ WHERE nt = {len(_sql_query_terms(PAIRS_QUERY))}
+ ORDER BY round(s, 12) DESC, doc_id LIMIT {PAIRS_KPOS})
+UNION ALL
+(SELECT doc_id, 0::BIGINT AS label, round(s, 4) AS score_r FROM j
+ WHERE nt < {len(_sql_query_terms(PAIRS_QUERY))}
+ ORDER BY round(s, 12) DESC, doc_id LIMIT {PAIRS_KNEG})""",
         "regex_match": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm WHERE regexp_matches(term, '{REGEX_Q}')""",

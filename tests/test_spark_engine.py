@@ -386,6 +386,38 @@ def test_fuzzy_match_pinned(built):
         built.pinned.discard(3)
 
 
+@pytest.mark.parametrize(
+    "query,kp,kn", [("fire heat", 4, 6), ("love", 3, 3), ("thrall quench", 5, 5)]
+)
+def test_bm25_training_pairs_match_bruteforce(built, oracle, query, kp, kn):
+    from tsidx.tokenize import query_terms
+
+    engine = QueryEngine(built)
+    terms = query_terms(query)
+    scores = dict(oracle.bm25_topk(query, 1000))
+    nt = {
+        d: sum(1 for t in terms if any(x == d for x, _tf in oracle.postings.get(t, ())))
+        for d in scores
+    }
+    full = sorted(
+        ((d, s) for d, s in scores.items() if nt[d] == len(terms)),
+        key=lambda p: (-p[1], p[0]),
+    )[:kp]
+    part = sorted(
+        ((d, s) for d, s in scores.items() if nt[d] < len(terms)),
+        key=lambda p: (-p[1], p[0]),
+    )[:kn]
+    want = [(d, 1, s) for d, s in full] + [(d, 0, s) for d, s in part]
+    got = [
+        (r["doc_id"], r["label"], r["score"])
+        for r in engine.bm25_training_pairs(query, kp, kn).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    # single-term query: every candidate is a full match
+    if len(terms) == 1:
+        assert all(lbl == 1 for _d, lbl, _s in got)
+
+
 @pytest.mark.parametrize("prefix,k", [("lo", 5), ("th", 3), ("zzz", 10)])
 def test_complete_prefix_matches_bruteforce(built, oracle, prefix, k):
     engine = QueryEngine(built)

@@ -571,6 +571,47 @@ class QueryEngine:
             hits = hits.unionByName(pinned).distinct()
         return self._live(hits).orderBy("doc_id")
 
+    def bm25_training_pairs(
+        self, query: str | list[str], k_pos: int, k_neg: int
+    ) -> DataFrame:
+        """(doc_id, label, score): reranker-training pair mining for one
+        query — label 1 = the top *k_pos* BM25 docs containing EVERY query
+        term (positives), label 0 = the top *k_neg* BM25 docs containing
+        some but not all terms (hard negatives: lexically close, wrong by
+        the conjunctive criterion — the pairs that actually teach a
+        reranker, unlike random negatives).
+
+        Plan: the standard pushed-scan candidate scores join a per-doc
+        distinct-term count from the gaps-only decode (ids only, tf/dl
+        streams pruned); each label side is its own deterministic
+        TakeOrdered. Everything stays on the query terms' posting blocks.
+        """
+        terms = self.terms_of(query)
+        spark = self.index.docs.sparkSession
+        if not terms:
+            return spark.createDataFrame(
+                [], "doc_id long, label int, score double"
+            )
+        nt = (
+            self._live(self.posting_doc_ids(self._blocks_for(terms)))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("nt"))
+        )
+        scored = self.bm25_scores(query).join(nt, "doc_id")
+        pos = (
+            scored.filter(F.col("nt") == len(terms))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k_pos))
+            .select("doc_id", F.lit(1).alias("label"), "score")
+        )
+        neg = (
+            scored.filter(F.col("nt") < len(terms))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k_neg))
+            .select("doc_id", F.lit(0).alias("label"), "score")
+        )
+        return pos.unionByName(neg)
+
     def complete_prefix(self, prefix: str, k: int = 10) -> DataFrame:
         """(term, df): top-*k* dictionary terms with the given (stem-space)
         prefix, ranked by descending df — search-box auto-complete. One
