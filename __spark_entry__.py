@@ -1034,6 +1034,16 @@ def _q_pruned_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peng.match(Q_OR).select(F.col("doc_id").cast("long"))
 
 
+def _q_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf diagnostic: how many dictionary terms have each document
+    frequency — capacity planning for caps like PRUNE_MAX_DF and the
+    Jaccard/PMI hot-key bands. One aggregation of the terms table."""
+    idx = get_index(spark, sf_dir)
+    return idx.terms.groupBy(F.col("df").cast("long").alias("df")).agg(
+        F.count("*").alias("n_terms")
+    )
+
+
 PAIRS_QUERY, PAIRS_KPOS, PAIRS_KNEG = "customer query merge", 15, 15
 
 
@@ -1346,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": _q_pack_shards,
         "complete_prefix": _q_complete_prefix,
         "training_pairs": _q_training_pairs,
+        "df_histogram": _q_df_histogram,
         "lsh_dedup_recall": _q_lsh_dedup_recall,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1969,6 +1980,10 @@ WITH {terms_cte}
 SELECT term, count(*)::BIGINT AS df FROM tf
 WHERE term LIKE '{COMPLETE_PREFIX}%'
 GROUP BY term ORDER BY df DESC, term LIMIT {COMPLETE_K}""",
+        "df_histogram": f"""
+WITH {terms_cte},
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT df, count(*)::BIGINT AS n_terms FROM dfreq GROUP BY df""",
         "training_pairs": f"""
 WITH {terms_cte},
 stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
