@@ -35,6 +35,9 @@ __all__ = [
     "InvertedIndex",
     "QueryEngine",
     "wand_topk",
+    "prune_terms",
+    "pack_shards",
+    "tfidf_rows",
 ]
 
 
@@ -61,4 +64,16 @@ def __getattr__(name):
         from tsidx.wand import wand_topk
 
         return wand_topk
+    if name == "prune_terms":
+        from tsidx.prune import prune_terms
+
+        return prune_terms
+    if name == "pack_shards":
+        from tsidx.pack import pack_shards
+
+        return pack_shards
+    if name == "tfidf_rows":
+        from tsidx.vectors import tfidf_rows
+
+        return tfidf_rows
     raise AttributeError(f"module 'tsidx' has no attribute {name!r}")
