@@ -1,0 +1,94 @@
+"""spark-submit entry point: training-data exports from a built index.
+
+    # sparse tf-idf vectors (COO parquet; --normalized for unit L2 norm)
+    python jobs/export_training.py tfidf --index /tmp/idx --output /tmp/vecs
+
+    # contiguous token-budget shard assignment
+    python jobs/export_training.py pack --index /tmp/idx \
+        --output /tmp/shards --budget 1000000
+
+    # reranker pairs: BM25 positives + hard negatives for a query
+    python jobs/export_training.py pairs --index /tmp/idx \
+        --output /tmp/pairs --query customer query merge --k-pos 50 --k-neg 50
+
+    # context windows around matching turns (training-example extraction)
+    python jobs/export_training.py context --index /tmp/idx \
+        --output /tmp/ctx --query vector stream --window 2
+
+Each action writes a parquet table through the tsidx.io format seam (so
+`spark.tsidx.format=iceberg` redirects on clusters) and prints one JSON
+line with row counts and wall time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from build_index import make_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("action", choices=["tfidf", "pack", "pairs", "context"])
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--parallelism", type=int, default=None)
+    ap.add_argument("--normalized", action="store_true", help="tfidf: L2")
+    ap.add_argument("--budget", type=int, default=1_000_000, help="pack")
+    ap.add_argument("--query", nargs="+", default=[], help="pairs/context")
+    ap.add_argument("--k-pos", type=int, default=50, help="pairs")
+    ap.add_argument("--k-neg", type=int, default=50, help="pairs")
+    ap.add_argument("--window", type=int, default=1, help="context")
+    args = ap.parse_args()
+
+    spark = make_spark(args.parallelism, f"tsidx-export-{args.action}")
+    t0 = time.time()
+
+    from tsidx.index import InvertedIndex
+    from tsidx.io import read_table, write_table
+    from tsidx.query import QueryEngine
+
+    idx = InvertedIndex.read(spark, args.index)
+    eng = QueryEngine(idx)
+    if args.action == "tfidf":
+        from tsidx.vectors import tfidf_rows
+
+        out_df = tfidf_rows(eng, normalized=args.normalized)
+    elif args.action == "pack":
+        from tsidx.pack import pack_shards
+
+        out_df = pack_shards(idx.docs, args.budget)
+    elif args.action == "pairs":
+        if not args.query:
+            raise SystemExit("pairs requires --query")
+        out_df = eng.bm25_training_pairs(
+            " ".join(args.query), args.k_pos, args.k_neg
+        )
+    else:
+        if not args.query:
+            raise SystemExit("context requires --query")
+        out_df = eng.match_with_context(" ".join(args.query), args.window)
+
+    write_table(out_df, args.output)
+    n = read_table(spark, args.output).count()
+    print(
+        json.dumps(
+            {
+                "job": f"export-{args.action}",
+                "rows": int(n),
+                "output": args.output,
+                "sec": round(time.time() - t0, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
