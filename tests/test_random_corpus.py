@@ -110,6 +110,77 @@ def test_random_dictionary_expansion_modes(built):
         assert got == want, pattern
 
 
+def test_random_training_pairs_agree(built):
+    from tsidx.tokenize import query_terms
+
+    idx, oracle = built
+    eng = QueryEngine(idx)
+    rng = random.Random(99)
+    for _ in range(5):
+        q = " ".join(rng.choices(WORDS, k=rng.randint(2, 4)))
+        kp, kn = rng.randint(1, 8), rng.randint(1, 8)
+        terms = query_terms(q)
+        scores = dict(oracle.bm25_topk(q, 10_000))
+        nt = {
+            d: sum(
+                1
+                for t in terms
+                if any(x == d for x, _tf in oracle.postings.get(t, ()))
+            )
+            for d in scores
+        }
+        full = sorted(
+            ((d, s) for d, s in scores.items() if nt[d] == len(terms)),
+            key=lambda p: (-p[1], p[0]),
+        )[:kp]
+        part = sorted(
+            ((d, s) for d, s in scores.items() if nt[d] < len(terms)),
+            key=lambda p: (-p[1], p[0]),
+        )[:kn]
+        want = sorted(
+            [(d, 1, s) for d, s in full] + [(d, 0, s) for d, s in part]
+        )
+        got = sorted(
+            (r["doc_id"], r["label"], r["score"])
+            for r in eng.bm25_training_pairs(q, kp, kn).collect()
+        )
+        assert got == want, q
+
+
+def test_random_context_and_pack_agree(built, spark):
+    from tsidx.pack import pack_shards
+
+    idx, oracle = built
+    eng = QueryEngine(idx)
+    # context: conv = doc_id // 6 per this module's fixture
+    for q, w in [("cats dogs", 1), ("burning", 2)]:
+        anchors = oracle.match(q)
+        n = oracle.n_docs
+        want = sorted(
+            (a, d)
+            for a in anchors
+            for d in range(n)
+            if d // 6 == a // 6 and abs(d % 6 - a % 6) <= w
+        )
+        got = [
+            (r["anchor_id"], r["doc_id"])
+            for r in eng.match_with_context(q, w).collect()
+        ]
+        assert got == want, q
+    # pack: brute prefix sums over doc order
+    texts = make_corpus(20260817, 300)
+    run, brute = 0, {}
+    for d, t in enumerate(texts):
+        ntok = len(t.strip().split())
+        brute[d] = run // 100
+        run += ntok
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(idx.docs, 100).collect()
+    }
+    assert got == brute
+
+
 def test_random_prune_agrees(built):
     from tsidx.prune import prune_terms
 
