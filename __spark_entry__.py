@@ -1290,12 +1290,105 @@ def _q_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# min-should-match threshold over Q_OR (5 query terms)
+MSM_M = 2
+EXPLAIN_K = 10
+VOCAB_TOP_V = 25
+# quality-filter thresholds calibrated so every rule discriminates on the
+# synthetic corpus (sf0.01: r_len 457/500, r_stop 382/500, r_repeat
+# 409/500, combined keep 332/500)
+QF_MIN_TOKENS = 20
+QF_MAX_TOP_FRAC = 0.12
+# training-mix sampling rates per synthesized role stratum
+SAMPLE_RATES = {"user": 1.0, "assistant": 0.5, "system": 0.1, "tool": 0.25}
+
+
+def _q_match_min_should(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-should-match retrieval: docs with >= MSM_M distinct Q_OR terms
+    (the ``minimum_should_match`` knob between match and match_all)."""
+    return (
+        get_engine(spark, sf_dir)
+        .match_min_should(Q_OR, MSM_M)
+        .select(F.col("doc_id").cast("long"), F.col("n_matched"))
+    )
+
+
+def _q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term BM25 score breakdown (Lucene-style explain) for Q_BM25's
+    top-EXPLAIN_K docs; contribs sum bit-identically to bm25_topk."""
+    return (
+        get_engine(spark, sf_dir)
+        .explain_scores(Q_BM25, EXPLAIN_K)
+        .select(
+            F.col("doc_id").cast("long"),
+            "term",
+            F.col("tf").cast("long"),
+            F.col("dl").cast("long"),
+            F.round("idf", 4).alias("idf_r"),
+            F.round("contrib", 4).alias("contrib_r"),
+        )
+    )
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality-filter verdicts (per-rule booleans + keep),
+    map-only over the corpus scan."""
+    from tsidx.textstats import quality_filter
+
+    return quality_filter(
+        load_documents(spark, sf_dir),
+        min_tokens=QF_MIN_TOKENS,
+        max_top_tok_frac=QF_MAX_TOP_FRAC,
+    )
+
+
+def _q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified training-mix sample over synthesized role
+    strata — reproducible across runs/engines/partitionings (no rand())."""
+    from tsidx.textstats import sample_mix
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(r) for r in _ROLES]),
+            (F.col("doc_id") % len(_ROLES) + 1).cast("int"),
+        ).alias("role"),
+    )
+    return sample_mix(docs, SAMPLE_RATES).select(
+        F.col("doc_id").cast("long"), "role"
+    )
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V dictionary terms by collection frequency with cumulative
+    token-coverage — computed from posting-block sum_tf metadata only
+    (zero posting decode)."""
+    from tsidx.prune import vocab_coverage
+
+    return vocab_coverage(get_index(spark, sf_dir), VOCAB_TOP_V)
+
+
+def _q_conv_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive conversation-level fingerprint (exact conversation
+    dedup key) over the synthesized transcripts."""
+    from tsidx.dedup import conversation_fingerprint
+
+    tx = documents_as_transcripts(spark, sf_dir)
+    return conversation_fingerprint(tx).select("conv_id", "fp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_stats": _q_index_stats,
         "term_df": _q_term_df,
         "match_or": _q_match_or,
         "match_and": _q_match_and,
+        "match_min_should": _q_match_min_should,
+        "bm25_explain": _q_bm25_explain,
+        "quality_filter": _q_quality_filter,
+        "sample_mix": _q_sample_mix,
+        "vocab_coverage": _q_vocab_coverage,
+        "conv_fingerprint": _q_conv_fingerprint,
         "bm25_topk": _q_bm25_topk,
         "wand_topk": _q_wand_topk,
         "bm25_scores_rare": _q_bm25_scores_rare,
@@ -1755,6 +1848,24 @@ SELECT query_id, doc_id, score_r FROM (
   FROM ({_bm25_scores_sql(queries[qid], round_to=12)}) t(doc_id, s)
 ) WHERE rn <= {k}""")
     return "\nUNION ALL\n".join(parts)
+
+
+def _sample_mix_sql() -> str:
+    """The sample_mix keep decision replayed exactly: same LCG hash, same
+    per-stratum rates, strata synthesized from doc_id % 4 like the Spark
+    side."""
+    from tsidx.textstats import SAMPLE_MOD, _SAMPLE_A, _SAMPLE_B
+
+    a_seed = _SAMPLE_A % SAMPLE_MOD or 1
+    rate_case = " ".join(
+        f"WHEN {i} THEN {SAMPLE_RATES[r]}" for i, r in enumerate(_ROLES)
+    )
+    return f"""
+SELECT doc_id,
+       (['user','assistant','system','tool'])[(doc_id % 4)::INT + 1] AS role
+FROM documents
+WHERE ((doc_id % {SAMPLE_MOD}) * {a_seed} + {_SAMPLE_B}) % {SAMPLE_MOD} <
+      (CASE (doc_id % 4)::INT {rate_case} END) * {SAMPLE_MOD}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2261,6 +2372,99 @@ SELECT doc_id,
        round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE /
              length(text), 4) AS punct_ratio_r
 FROM t""",
+        "match_min_should": f"""
+WITH {_terms_cte()}
+SELECT doc_id, count(DISTINCT term)::BIGINT AS n_matched
+FROM tf WHERE term IN ({_terms_in(Q_OR)})
+GROUP BY doc_id HAVING count(DISTINCT term) >= {MSM_M}""",
+        "bm25_explain": f"""
+WITH {_terms_cte()},
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+c AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) AS idf,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * ((tf.tf * {K1 + 1.0}) /
+            (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl)))
+           AS contrib
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ({_terms_in(Q_BM25)})
+),
+scores AS (SELECT doc_id, sum(contrib) AS s FROM c GROUP BY doc_id),
+topk AS (SELECT doc_id FROM scores ORDER BY s DESC, doc_id LIMIT {EXPLAIN_K})
+SELECT c.doc_id, c.term, c.tf::BIGINT AS tf, c.dl::BIGINT AS dl,
+       round(c.idf, 4) AS idf_r, round(c.contrib, 4) AS contrib_r
+FROM c JOIN topk USING (doc_id)""",
+        "quality_filter": f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks)::BIGINT AS n,
+         list_sum([len(x) for x in toks])::DOUBLE / len(toks) AS mean_len,
+         len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE /
+           length(text) AS sym_ratio,
+         len(list_filter(toks, x -> x IN ({en_sw}))) AS n_stop,
+         list_max(list_transform(list_distinct(toks),
+           d -> len(list_filter(toks, x -> x = d))))::DOUBLE / len(toks)
+           AS top_frac
+  FROM t
+)
+SELECT doc_id, n AS n_tokens,
+       (n >= {QF_MIN_TOKENS} AND n <= 100000) AS r_len,
+       (mean_len >= 2.0 AND mean_len <= 12.0) AS r_mean,
+       (sym_ratio <= 0.4) AS r_symbol,
+       (n_stop >= 1) AS r_stop,
+       (top_frac <= {QF_MAX_TOP_FRAC}) AS r_repeat,
+       ((n >= {QF_MIN_TOKENS} AND n <= 100000)
+        AND (mean_len >= 2.0 AND mean_len <= 12.0)
+        AND (sym_ratio <= 0.4)
+        AND (n_stop >= 1)
+        AND (top_frac <= {QF_MAX_TOP_FRAC})) AS keep
+FROM m""",
+        "sample_mix": _sample_mix_sql(),
+        "vocab_coverage": f"""
+WITH {_terms_cte()},
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM trm GROUP BY term),
+tot AS (SELECT count(*)::DOUBLE AS total FROM trm),
+top AS (SELECT term, cf FROM cf ORDER BY cf DESC, term LIMIT {VOCAB_TOP_V})
+SELECT row_number() OVER (ORDER BY cf DESC, term)::BIGINT AS rank,
+       term, cf,
+       round(sum(cf) OVER (ORDER BY cf DESC, term
+                           ROWS UNBOUNDED PRECEDING)::DOUBLE / total, 6)
+         AS coverage_r
+FROM top CROSS JOIN tot""",
+        "conv_fingerprint": f"""
+WITH turns AS (
+  SELECT printf('c%06d', (doc_id // {_TURNS_PER_CONV})) AS conv_id,
+         (doc_id % {_TURNS_PER_CONV})::INT AS turn_idx,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE list_reduce(list_prepend(0::BIGINT,
+                 [({_H64.format(v='t')} % {_P31})
+                  for t in regexp_split_to_array(trim(text), '\s+')]),
+                 (acc, x) -> (acc * 31 + x) % {_P31}) END)::BIGINT AS h_turn
+  FROM documents
+),
+agg AS (
+  SELECT conv_id,
+         list_transform(
+           list_sort(list(struct_pack(ti := turn_idx, h := h_turn))),
+           s -> s.h) AS hs
+  FROM turns GROUP BY conv_id
+)
+SELECT conv_id,
+       list_reduce(list_prepend(0::BIGINT, hs),
+                   (acc, x) -> (acc * 31 + x) % {_P31})::BIGINT AS fp
+FROM agg""",
     }
 
 

@@ -67,3 +67,82 @@ def test_conversation_stats(spark):
     assert (c0["n_turns"], c0["total_tokens"], c0["n_roles"]) == (3, 5, 2)
     assert c0["avg_tokens_r"] == round(5 / 3, 4)
     assert (c1["n_turns"], c1["total_tokens"], c1["n_roles"]) == (1, 2, 1)
+
+
+def test_quality_filter_rules(spark):
+    from tsidx.textstats import quality_filter
+
+    rows = [
+        (0, "the cat sat on the mat and it was warm"),   # clean -> keep
+        (1, "ok"),                                       # too short (r_len)
+        (2, "aa aa aa aa aa aa aa aa aa the"),           # repeat-dominated
+        (3, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( the"),  # symbol-heavy
+        (4, "zzz qqq xxx www vvv uuu ttt sss"),          # no stopwords
+        (5, "the extraordinarily incomprehensibilities "
+            "overgeneralizations counterrevolutionaries "
+            "institutionalizations"),                    # mean tok len > 12
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+    assert got[0]["keep"] is True
+    assert got[1]["keep"] is False and got[1]["r_len"] is False
+    assert got[2]["keep"] is False and got[2]["r_repeat"] is False
+    assert got[3]["keep"] is False and got[3]["r_symbol"] is False
+    assert got[4]["keep"] is False and got[4]["r_stop"] is False
+    assert got[5]["keep"] is False and got[5]["r_mean"] is False
+    # rule independence: doc 2's failure is ONLY the repetition rule
+    assert got[2]["r_len"] is True and got[2]["r_stop"] is True
+
+
+def test_quality_filter_empty_text(spark):
+    from tsidx.textstats import quality_filter
+
+    docs = spark.createDataFrame([(0, ""), (1, "   ")], "doc_id long, text string")
+    got = quality_filter(docs).collect()
+    assert all(r["keep"] is False for r in got)  # fails r_len, never crashes
+
+
+def test_sample_mix_deterministic(spark):
+    from tsidx.textstats import sample_mix
+
+    import pyspark.sql.functions as F
+
+    docs = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.element_at(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("role"),
+        )
+    )
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}
+    kept1 = sorted(r["doc_id"] for r in sample_mix(docs, rates).collect())
+    kept2 = sorted(
+        r["doc_id"]
+        for r in sample_mix(docs.repartition(13), rates).collect()
+    )
+    assert kept1 == kept2  # partition-layout independent
+    by_role = {s: 0 for s in "abc"}
+    for d in kept1:
+        by_role["abc"[d % 3]] += 1
+    assert by_role["a"] == 667            # rate 1.0 keeps every 'a' row
+    assert by_role["c"] == 0              # rate 0.0 drops every 'c' row
+    assert 233 <= by_role["b"] <= 433     # rate 0.5 ± sampling noise
+    # a different seed draws a different (same-rate) sample
+    kept_seed1 = sorted(
+        r["doc_id"] for r in sample_mix(docs, rates, seed=1).collect()
+    )
+    assert kept_seed1 != kept1
+    assert by_role["a"] + by_role["b"] == len(kept1)
+
+
+def test_sample_mix_unlisted_stratum_dropped(spark):
+    from tsidx.textstats import sample_mix
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "mystery")], "doc_id long, role string"
+    )
+    kept = sample_mix(docs, {"a": 1.0}).collect()
+    assert [r["doc_id"] for r in kept] == [0]

@@ -33,6 +33,8 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "connected_components",
+    "conversation_fingerprint",
+    "conversation_dup_groups",
 ]
 
 # MinHash permutations live in the Mersenne-31 field: h is reduced to
@@ -448,3 +450,71 @@ def simhash_pairs(
         cand.select("doc_a", "doc_b", hamming)
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def conversation_fingerprint(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    mod: int = (1 << 31) - 1,
+) -> DataFrame:
+    """Order-sensitive conversation fingerprint: ``(conv_id, fp)`` where
+    ``fp`` folds the per-turn rolling token hashes in ``turn_idx`` order —
+    two conversations collide iff their full turn sequences are
+    token-identical (mod hash collisions), which is exact
+    *conversation-level* dedup for transcript corpora: per-turn dedup
+    (``exact_dedup_groups``) can't see that two sessions replay the same
+    dialogue, and order-insensitive set hashes would merge "A then B"
+    with "B then A".
+
+    Per-turn hash: ``h_turn = fold (h·31 + md5_64(tok)) mod p`` over the
+    whitespace tokens — a map-side JVM expression. Conversation fold:
+    ``fp = fold (fp·31 + h_turn) mod p`` over turns sorted by turn_idx.
+    One (conv_id) shuffle; conversations are bounded (turn counts, not
+    corpus size), so no hot keys. Every operand stays < 2^31 before the
+    multiply, so int64 never overflows under Spark 4 ANSI mode, and the
+    DuckDB oracle reproduces the arithmetic exactly.
+    """
+    p = F.lit(int(mod))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    h_tok = lambda t: (
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % p
+    )
+    h_turn = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(31) + h_tok(t)) % p,
+    )
+    per_turn = transcripts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0).cast("long"))
+        .otherwise(h_turn)
+        .alias("h_turn"),
+    )
+    return per_turn.groupBy("conv_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("turn_idx", "h_turn"))),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * F.lit(31) + x["h_turn"]) % p,
+        ).alias("fp")
+    )
+
+
+def conversation_dup_groups(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact conversation-level dedup over the fingerprints:
+    ``(conv_id, keep_id, n_dups)`` — every conversation mapped to the
+    lexicographically-smallest conv_id sharing its fingerprint.  Adds one
+    (fp) shuffle on a content-uniform key to the fingerprint plan."""
+    fps = conversation_fingerprint(transcripts, conv_col, turn_col, text_col)
+    groups = fps.groupBy("fp").agg(
+        F.min("conv_id").alias("keep_id"),
+        F.count("*").cast("long").alias("n_dups"),
+    )
+    return fps.join(groups, "fp").select("conv_id", "keep_id", "n_dups")

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from tsidx.index import InvertedIndex
 
-__all__ = ["prune_terms"]
+__all__ = ["prune_terms", "vocab_coverage"]
 
 
 def prune_terms(
@@ -75,3 +75,39 @@ def prune_terms(
     if cap is not None:
         meta["pruned_max_df"] = cap
     return replace(index, postings=new_postings, terms=new_terms, meta=meta)
+
+
+def vocab_coverage(index: InvertedIndex, top_v: int) -> DataFrame:
+    """Vocabulary-induction analytics: the ``top_v`` dictionary terms by
+    collection frequency with their cumulative token-coverage fraction —
+    ``(rank, term, cf, coverage_r)`` where ``coverage_r = Σ cf(1..rank) /
+    total_tokens``. The first question a tokenizer/vocab designer asks of
+    a corpus ("how much of the token stream do the top-V words cover?"),
+    answered from the index alone.
+
+    Scale shape: collection frequency comes from the posting blocks'
+    ``sum_tf`` **metadata column** — one aggregation over (term, block)
+    rows with zero posting-byte decode, then a TakeOrdered down to
+    ``top_v`` rows. The running sum is a window over those ``top_v``
+    rows only (bounded, driver-adjacent by construction) — never a
+    global single-partition window over the dictionary. ``total_tokens``
+    is an index-build invariant read from meta.
+    """
+    total = float(index.meta["total_tokens"])
+    top = (
+        index.postings.groupBy("term")
+        .agg(F.sum(F.col("sum_tf").cast("long")).alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(int(top_v))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "term",
+        "cf",
+        F.round(
+            (F.sum("cf").over(w)).cast("double") / F.lit(total), 6
+        ).alias("coverage_r"),
+    )

@@ -205,6 +205,84 @@ class QueryEngine:
             .orderBy("doc_id")
         )
 
+    def match_min_should(self, query: str | list[str], m: int) -> DataFrame:
+        """Min-should-match retrieval: ``(doc_id, n_matched)`` for docs
+        containing at least *m* distinct query terms, in docID order.
+        ``m = 1`` degenerates to :meth:`match`, ``m = len(terms)`` to
+        :meth:`match_all`; in between it is the standard search-engine
+        ``minimum_should_match`` knob.
+
+        Same physical plan as ``match_all`` — one pushed ``term IN``
+        gaps-only scan and one (doc_id) aggregation; the threshold is a
+        post-aggregation filter, so relaxing *m* never reads more data.
+        """
+        terms = self.terms_of(query)
+        spark = self.index.docs.sparkSession
+        m = int(m)
+        if not terms or m > len(terms):
+            return spark.createDataFrame([], "doc_id long, n_matched long")
+        rows = self._live(self.posting_doc_ids(self._blocks_for(terms)))
+        return (
+            rows.groupBy("doc_id")
+            .agg(F.count_distinct("term").cast("long").alias("n_matched"))
+            .filter(F.col("n_matched") >= max(m, 1))
+            .orderBy("doc_id")
+        )
+
+    def explain_scores(self, query: str | list[str], k: int) -> DataFrame:
+        """Per-term BM25 score breakdown for the query's top-*k* docs:
+        ``(doc_id, term, tf, dl, idf, contrib)`` — ``sum(contrib) over
+        doc_id`` reproduces ``bm25_topk``'s score exactly (same IEEE754
+        expression shape). The debugging/relevance-tuning surface every
+        production engine exposes (cf. Lucene/ES ``explain``).
+
+        Physical shape: ``bm25_topk`` runs first and its k docIDs (a
+        bounded, k-sized collect — same contract as WAND's θ-seed) are
+        re-planted as a ``doc_id IN`` filter over the already-decoded
+        posting rows of the query's terms; nothing data-scale ever
+        reaches the driver.
+        """
+        terms = self.terms_of(query)
+        idfs = self.query_idfs(terms)
+        spark = self.index.docs.sparkSession
+        out_schema = (
+            "doc_id long, term string, tf int, dl int, "
+            "idf double, contrib double"
+        )
+        if not idfs:
+            return spark.createDataFrame([], out_schema)
+        top_ids = [
+            r["doc_id"] for r in self.bm25_topk(query, int(k)).collect()
+        ]
+        if not top_ids:
+            return spark.createDataFrame([], out_schema)
+        k1 = float(self.index.meta["k1"])
+        b = float(self.index.meta["b"])
+        avgdl = float(self.index.meta["avgdl"])
+        rows = self._live(self.posting_rows(sorted(idfs))).filter(
+            F.col("doc_id").isin(top_ids)
+        )
+        idf_map = F.create_map(
+            *[F.lit(x) for t in sorted(idfs) for x in (t, idfs[t])]
+        )
+        tf = F.col("tf").cast("double")
+        dl = F.col("dl").cast("double")
+        contrib = idf_map[F.col("term")] * (
+            (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl) / F.lit(avgdl)))
+        )
+        return (
+            rows.select(
+                "doc_id",
+                "term",
+                "tf",
+                "dl",
+                idf_map[F.col("term")].alias("idf"),
+                contrib.alias("contrib"),
+            )
+            .orderBy("doc_id", "term")
+        )
+
     def bm25_scores(self, query: str | list[str]) -> DataFrame:
         """(doc_id, score) for all candidate docs (disjunctive semantics)."""
         return self._bm25_scores_terms(self.terms_of(query))

@@ -17,8 +17,11 @@ __all__ = [
     "lang_id_heuristic",
     "token_counts",
     "quality_signals",
+    "quality_filter",
+    "sample_mix",
     "conversation_stats",
     "BPE_PIECE_RE",
+    "SAMPLE_MOD",
 ]
 
 # Minimal public stopword profiles (top function words per language). The
@@ -138,4 +141,134 @@ def quality_signals(
         ).alias("mean_tok_len_r"),
         F.round(n_sw.cast("double") / n, 4).alias("stopword_ratio_r"),
         F.round(n_punct.cast("double") / n_chars, 4).alias("punct_ratio_r"),
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 3,
+    max_tokens: int = 100_000,
+    min_mean_tok_len: float = 2.0,
+    max_mean_tok_len: float = 12.0,
+    max_symbol_ratio: float = 0.4,
+    max_top_tok_frac: float = 0.5,
+    stopwords: tuple[str, ...] = LANG_PROFILES["en"],
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """C4/Gopher-style document quality filter: per-doc rule verdicts plus
+    the combined ``keep`` flag. Rules (all from the published C4 /
+    Gopher / RefinedWeb recipes, parameterized):
+
+    - ``r_len``    — token count within ``[min_tokens, max_tokens]``
+    - ``r_mean``   — mean token length within
+      ``[min_mean_tok_len, max_mean_tok_len]``
+    - ``r_symbol`` — non-alphanumeric character ratio ``<= max_symbol_ratio``
+    - ``r_stop``   — at least ``min_stopword_hits`` stopword occurrences
+    - ``r_repeat`` — most frequent token's share ``<= max_top_tok_frac``
+      (the Gopher repetition rule)
+
+    ``keep = AND`` of all five. Map-only: every rule is a JVM expression
+    over the token array (whole-stage codegen, zero shuffles) — the plan
+    a corpus-curation sweep over 100 TB wants, since it composes with the
+    parquet scan and any downstream write without an exchange. The
+    ``r_repeat`` inner loop is O(distinct × n) per row, bounded by turn
+    length; for book-length documents compute tf once via the index's
+    posting rows instead.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    nd = F.coalesce(F.nullif(n.cast("double"), F.lit(0.0)), F.lit(1.0))
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        .cast("double")
+        / nd
+    )
+    n_chars = F.coalesce(
+        F.nullif(F.length(F.col(text_col)).cast("double"), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    n_sym = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9 ]"))
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    top_tf = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+    )
+    r_len = (n >= min_tokens) & (n <= max_tokens)
+    r_mean = (mean_len >= min_mean_tok_len) & (mean_len <= max_mean_tok_len)
+    r_symbol = (n_sym.cast("double") / n_chars) <= max_symbol_ratio
+    r_stop = n_stop >= min_stopword_hits
+    r_repeat = F.coalesce(
+        top_tf.cast("double") / nd <= max_top_tok_frac, F.lit(True)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        r_len.alias("r_len"),
+        r_mean.alias("r_mean"),
+        r_symbol.alias("r_symbol"),
+        r_stop.alias("r_stop"),
+        r_repeat.alias("r_repeat"),
+        (r_len & r_mean & r_symbol & r_stop & r_repeat).alias("keep"),
+    )
+
+
+#: modulus of the deterministic sampling hash. Prime, ~1e6: the per-row
+#: keep decision is ``lcg(id) < rate * SAMPLE_MOD`` — rate resolution 1e-6.
+SAMPLE_MOD = 1_000_003
+_SAMPLE_A = 1_103_515_245  # classic LCG multiplier (public domain constants)
+_SAMPLE_B = 12_345
+
+
+def sample_mix(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "role",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic stratified Bernoulli sampling — the training-mix
+    operator: keep each row of stratum *s* with probability ``rates[s]``
+    (strata absent from *rates* are dropped), decided by an arithmetic
+    hash of the row id so the sample is reproducible across runs,
+    engines, and partitionings (no ``rand()``: Spark's per-partition RNG
+    changes with the split layout).
+
+    ``h = ((id mod M) · A_seed + B) mod M;  keep ⇔ h < rate · M``
+
+    with M = ``SAMPLE_MOD`` (prime) and ``A_seed = (A + seed · 99991) mod
+    M`` (nonzero, so each seed is a distinct *bijection* of [0, M) — a
+    seed must change the multiplier, not add an offset: any additive
+    perturbation of an affine hash shifts every h by the same constant
+    and the two "independent" samples would differ only at the threshold
+    boundary). ``id mod M`` first keeps every intermediate below 2^63 at
+    any corpus size, and the whole decision is integer arithmetic any
+    engine reproduces exactly (the DuckDB oracle runs the same formula).
+    Map-only: zero shuffles, composes with the scan; changing the mix
+    re-reads nothing.
+
+    Different *seed* values draw decorrelated samples — e.g. train /
+    validation splits via ``seed=0`` / ``seed=1`` (each stays an exact
+    ``rate`` fraction of each stratum up to the 1/M quantization, since
+    every seed's h is uniform on [0, M)).
+    """
+    a_seed = (_SAMPLE_A + int(seed) * 99_991) % SAMPLE_MOD or 1
+    m = F.lit(SAMPLE_MOD).cast("long")
+    h = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), m) * F.lit(a_seed)
+        + F.lit(_SAMPLE_B),
+        m,
+    )
+    rate_map = F.create_map(
+        *[F.lit(x) for s in sorted(rates) for x in (s, float(rates[s]))]
+    )
+    rate = rate_map[F.col(strata_col)]
+    return (
+        docs.withColumn("_h", h)
+        .filter(rate.isNotNull() & (F.col("_h") < rate * SAMPLE_MOD))
+        .drop("_h")
     )
