@@ -1377,6 +1377,33 @@ def _q_conv_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_fingerprint(tx).select("conv_id", "fp")
 
 
+# sessionize: gap threshold and the deterministic event-time jitter that
+# makes conversations actually split (turn minutes = 2·doc_id + 45 once a
+# conversation reaches its 5th turn -> a 47-minute gap mid-conversation)
+SESSION_GAP_MIN = 30
+_SESSION_E0 = 1767225600  # epoch of 2026-01-01T00:00:00Z
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session_window) over jittered transcript
+    event times: every conversation splits into two sessions at the
+    47-minute mid-conversation gap."""
+    from tsidx.sessions import sessionize
+
+    docs = load_documents(spark, sf_dir)
+    minutes = (F.col("doc_id") * 2) + F.when(
+        (F.col("doc_id") % _TURNS_PER_CONV) >= 4, F.lit(45)
+    ).otherwise(F.lit(0))
+    tx = docs.select(
+        F.format_string(
+            "c%06d", (F.col("doc_id") / _TURNS_PER_CONV).cast("long")
+        ).alias("conv_id"),
+        F.col("text"),
+        F.timestamp_seconds(F.lit(_SESSION_E0) + minutes * 60).alias("ts"),
+    )
+    return sessionize(tx, f"{SESSION_GAP_MIN} minutes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_stats": _q_index_stats,
@@ -1389,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix": _q_sample_mix,
         "vocab_coverage": _q_vocab_coverage,
         "conv_fingerprint": _q_conv_fingerprint,
+        "sessionize": _q_sessionize,
         "bm25_topk": _q_bm25_topk,
         "wand_topk": _q_wand_topk,
         "bm25_scores_rare": _q_bm25_scores_rare,
@@ -2465,6 +2493,35 @@ SELECT conv_id,
        list_reduce(list_prepend(0::BIGINT, hs),
                    (acc, x) -> (acc * 31 + x) % {_P31})::BIGINT AS fp
 FROM agg""",
+        "sessionize": f"""
+WITH turns AS (
+  SELECT printf('c%06d', (doc_id // {_TURNS_PER_CONV})) AS conv_id,
+         ({_SESSION_E0} + 60 * (doc_id * 2 +
+            CASE WHEN (doc_id % {_TURNS_PER_CONV}) >= 4 THEN 45 ELSE 0 END))
+           AS es,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+           AS n_tok
+  FROM documents
+),
+d AS (
+  SELECT conv_id, es, n_tok,
+         CASE WHEN es - lag(es) OVER (PARTITION BY conv_id ORDER BY es)
+                   >= {SESSION_GAP_MIN * 60} THEN 1 ELSE 0 END AS brk
+  FROM turns
+),
+s AS (
+  SELECT conv_id, es, n_tok,
+         sum(brk) OVER (PARTITION BY conv_id ORDER BY es
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT conv_id,
+       min(es)::BIGINT AS session_start,
+       (max(es) + {SESSION_GAP_MIN * 60})::BIGINT AS session_end,
+       count(*)::BIGINT AS n_turns,
+       sum(n_tok)::BIGINT AS total_tokens
+FROM s GROUP BY conv_id, sid""",
     }
 
 

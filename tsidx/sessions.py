@@ -1,0 +1,143 @@
+"""Sessionization and event-time analytics over transcript streams.
+
+The transcripts table carries event time (``ts``); two operators consume
+it:
+
+- :func:`sessionize` — gap-based session assignment per conversation via
+  Spark's built-in ``session_window`` (the idiomatic choice over a custom
+  ``applyInPandasWithState`` operator: whole-stage JVM aggregation in
+  batch mode, and the exact same expression runs under Structured
+  Streaming where the state store + watermark handle out-of-order
+  arrival). A session is a maximal run of turns where consecutive events
+  are less than *gap* apart; ``session_end`` is Spark's convention
+  (last event + gap, exclusive).
+- :func:`streaming_term_trend` — tumbling event-time windows of matching
+  turn counts per term with a watermark: the streaming twin of
+  ``QueryEngine.term_trend``, finalizing each window once the watermark
+  passes (late rows beyond the watermark are dropped, the documented
+  trade-off of append-mode streaming aggregation).
+
+Scale shape: both are single-shuffle aggregations on bounded keys —
+(conv_id) for sessions (conversations are bounded in turns), (window,
+term) for trends (windows bound time, terms bound the dictionary). No
+reference counterpart (the reference is batch-only, cited throughout
+SURVEY §2); these extend the north rule's streaming-ingest surface
+(tsidx/streaming.py) with query-side event-time semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize", "streaming_term_trend"]
+
+
+def sessionize(
+    transcripts: DataFrame,
+    gap: str = "30 minutes",
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(conv_id, session_start, session_end, n_turns, total_tokens)``
+    with epoch-second session bounds — one session per maximal run of
+    turns spaced < *gap* apart within a conversation.
+
+    Works identically on a batch DataFrame and a watermarked stream (pass
+    ``transcripts.withWatermark(ts_col, ...)`` and the aggregation
+    finalizes sessions once the watermark passes ``session_end``).
+    """
+    n_tok = F.when(
+        F.trim(F.col(text_col)) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    return (
+        transcripts.groupBy(
+            F.col(conv_col).alias("conv_id"),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum(n_tok).cast("long").alias("total_tokens"),
+        )
+        .select(
+            "conv_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_turns",
+            "total_tokens",
+        )
+    )
+
+
+def streaming_term_trend(
+    stream: DataFrame,
+    terms: list[str],
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed matching-turn counts per term over an event-time stream:
+    ``(window_start, term, n_docs)`` for tumbling *window*s, with a
+    *watermark* bounding state and dropping too-late rows — the
+    streaming twin of ``QueryEngine.term_trend``. *terms* are
+    already-stemmed dictionary terms (pass them through
+    :func:`tsidx.tokenize.query_terms` first, exactly like a query).
+
+    Tokenization matches the index build: whitespace split + Porter2,
+    applied via an Arrow-batched pandas UDF (a per-token JVM stemmer
+    does not exist; the UDF memoizes stems per batch, the same
+    Zipf-amortization the build relies on). The windowed count then
+    stays JVM-side — per-doc term dedup + the term-set filter are array
+    built-ins, and the aggregation shuffles once on (window, term),
+    both bounded keys.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as _F
+    from pyspark.sql.types import ArrayType, StringType
+
+    from tsidx.porter2 import stem
+
+    def _stem_arr_fn(texts):
+        cache: dict[str, str] = {}
+
+        def one(t):
+            if not t:
+                return []
+            return [cache.setdefault(w, stem(w)) for w in t.split()]
+
+        return texts.map(one)
+
+    # set real (non-string) annotations: this module uses postponed
+    # annotation evaluation, which pandas_udf's eval-type inference
+    # cannot resolve
+    _stem_arr_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _stem_arr = _F.pandas_udf(ArrayType(StringType()))(_stem_arr_fn)
+
+    term_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    exploded = (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        _stem_arr(F.col(text_col)),
+                        lambda t: F.array_contains(term_arr, t),
+                    )
+                )
+            ).alias("term"),
+        )
+    )
+    return (
+        exploded.groupBy(
+            F.window(F.col(ts_col), window).alias("w"), F.col("term")
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "term",
+            "n_docs",
+        )
+    )
