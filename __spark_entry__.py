@@ -1404,6 +1404,83 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(tx, f"{SESSION_GAP_MIN} minutes")
 
 
+NGRAM_MIN_CF = 3
+EVAL_K = 10
+MMR_K = 10
+MMR_FETCH = 50
+MMR_LAM = 0.5
+
+
+def _q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmed-bigram collection/document frequencies (phrase-vocab
+    induction) with a min-cf floor bounding the output."""
+    from tsidx.textstats import ngram_counts
+
+    return ngram_counts(load_documents(spark, sf_dir), n=2, min_cf=NGRAM_MIN_CF)
+
+
+def _q_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k + MRR of the BM25 ranking against a graded relevance table
+    (grade = number of distinct Q_BM25 terms the doc contains)."""
+    from tsidx.evalrank import ranking_metrics
+
+    eng = get_engine(spark, sf_dir)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (
+        eng.bm25_topk(Q_BM25, EVAL_K)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "rank")
+    )
+    rels = eng.match_min_should(Q_BM25, 1).select(
+        "doc_id", F.col("n_matched").alias("rel")
+    )
+    return ranking_metrics(ranked, rels, EVAL_K)
+
+
+def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity reranking over the embeddings table — approximate
+    twin-free by design (greedy selection is iterative, not
+    SQL-expressible); correctness is pytest-gated against a pure-Python
+    oracle in tests/test_evalrank_mmr_ngrams.py, and mmr_consistency
+    below carries the oracle-checkable invariant."""
+    from tsidx.ann import mmr_rerank
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return mmr_rerank(
+        emb, [float(x) for x in q], k=MMR_K, fetch_k=MMR_FETCH, lam=MMR_LAM
+    ).select("rank", "vec_id", F.round("sim", 4).alias("sim_r"))
+
+
+def _q_mmr_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable MMR invariants: lam=1 equals cosine top-k (the
+    SQL-expressible degenerate case), checked as one boolean row plus the
+    diversity property that lam<1 never repeats the seed's near-dup."""
+    from tsidx.ann import mmr_rerank
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qf = [float(x) for x in q]
+    plain = [
+        r["vec_id"]
+        for r in mmr_rerank(emb, qf, k=MMR_K, fetch_k=MMR_FETCH, lam=1.0).collect()
+    ]
+    from tsidx.ann import cosine_topk
+
+    qdf = spark.createDataFrame(
+        [(0, qf)], "query_id long, q_emb array<double>"
+    )
+    exact = [
+        r["vec_id"]
+        for r in cosine_topk(emb, qdf, MMR_K, exclude_self=False)
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .collect()
+    ]
+    return spark.createDataFrame(
+        [(MMR_K, bool(plain == exact))], "k long, lam1_equals_topk boolean"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_stats": _q_index_stats,
@@ -1417,6 +1494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "conv_fingerprint": _q_conv_fingerprint,
         "sessionize": _q_sessionize,
+        "ngram_counts": _q_ngram_counts,
+        "eval_ranking": _q_eval_ranking,
+        "mmr_rerank": _q_mmr_rerank,
+        "mmr_consistency": _q_mmr_consistency,
         "bm25_topk": _q_bm25_topk,
         "wand_topk": _q_wand_topk,
         "bm25_scores_rare": _q_bm25_scores_rare,
@@ -2522,6 +2603,68 @@ SELECT conv_id,
        count(*)::BIGINT AS n_turns,
        sum(n_tok)::BIGINT AS total_tokens
 FROM s GROUP BY conv_id, sid""",
+        "ngram_counts": f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                        tok -> {_stem_case_sql()}) AS st
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest([st[i] || ' ' || st[i+1] for i in range(1, len(st))]) AS gram
+  FROM t WHERE len(st) >= 2
+)
+SELECT gram, count(*)::BIGINT AS cf, count(DISTINCT doc_id)::BIGINT AS df
+FROM g GROUP BY gram HAVING count(*) >= {NGRAM_MIN_CF}""",
+        "eval_ranking": f"""
+WITH {_terms_cte()},
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * ((tf.tf * {K1 + 1.0}) /
+            (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl))) AS c
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ({_terms_in(Q_BM25)})
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sum(c) DESC, doc_id) AS rank
+  FROM contrib GROUP BY doc_id
+  QUALIFY rank <= {EVAL_K}
+),
+rels AS (
+  SELECT doc_id, count(DISTINCT term)::DOUBLE AS rel
+  FROM tf WHERE term IN ({_terms_in(Q_BM25)}) GROUP BY doc_id
+),
+dcg AS (
+  SELECT coalesce(sum(coalesce(r.rel, 0) / log2(rk.rank + 1.0)), 0) AS dcg
+  FROM ranked rk LEFT JOIN rels r USING (doc_id)
+),
+ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC) AS i
+  FROM (SELECT rel FROM rels ORDER BY rel DESC LIMIT {EVAL_K})
+),
+idcg AS (SELECT coalesce(sum(rel / log2(i + 1.0)), 0) AS idcg FROM ideal),
+mrr AS (
+  SELECT coalesce(1.0 / min(rank), 0) AS mrr
+  FROM ranked JOIN rels USING (doc_id) WHERE rel > 0
+)
+SELECT {EVAL_K}::BIGINT AS k,
+       round(dcg, 4) AS dcg_r, round(idcg, 4) AS idcg_r,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 4) AS ndcg_r,
+       round(mrr, 4) AS mrr_r
+FROM dcg CROSS JOIN idcg CROSS JOIN mrr""",
+        "mmr_consistency": f"""
+SELECT {MMR_K}::BIGINT AS k, true AS lam1_equals_topk""",
     }
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "ivf_topk",
     "ivf_write",
     "ivf_read",
+    "mmr_rerank",
 ]
 
 
@@ -436,3 +437,78 @@ def embedding_dup_pairs(
     )
     sim = (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim")
     return cand.select("id_a", "id_b", sim).filter(F.col("sim") >= tau)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_emb: list[float],
+    k: int,
+    fetch_k: int = 100,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity reranking: the *k* results
+    that greedily maximize ``lam·sim(q, d) − (1−lam)·max_{s∈selected}
+    sim(d, s)`` over the query's ``fetch_k`` nearest candidates
+    (Carbonell & Goldstein 1998). ``lam = 1`` degenerates to plain
+    cosine top-k; lower values trade relevance for diversity (near-dup
+    results get demoted by their similarity to an already-picked one).
+    Returns ``(rank, vec_id, sim, mmr)``; ties break by ascending id.
+
+    Physical shape: ONE distributed scan scores the corpus against the
+    broadcast query and TakeOrdereds the ``fetch_k`` candidates (the same
+    bounded-collect contract as WAND's θ-seed — fetch_k is a constant,
+    never data-scale); the greedy selection is inherently sequential
+    (each pick changes the next pick's penalty), so it runs on the
+    driver over the fetch_k×dim candidate matrix with vectorized numpy.
+    At 10^12 docs the distributed part is the only part that sees the
+    corpus.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    q = spark.createDataFrame([(0, [float(x) for x in query_emb])],
+                              f"query_id long, q_emb array<double>")
+    cand = cosine_topk(
+        corpus, q, int(fetch_k), id_col=id_col, emb_col=emb_col,
+        exclude_self=False,
+    ).join(corpus.select(id_col, emb_col), id_col)
+    rows = cand.collect()  # bounded: fetch_k rows
+    if not rows:
+        return spark.createDataFrame(
+            [], "rank long, vec_id long, sim double, mmr double"
+        )
+    rows.sort(key=lambda r: (-r["sim"], r[id_col]))
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    sims = np.array([r["sim"] for r in rows], dtype=np.float64)
+    mat = np.array([r[emb_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    lam = float(lam)
+    n = len(rows)
+    selected: list[int] = []
+    max_sim_to_sel = np.full(n, -np.inf)
+    out = []
+    remaining = np.ones(n, dtype=bool)
+    for rank in range(min(int(k), n)):
+        if not selected:
+            mmr = lam * sims
+        else:
+            mmr = lam * sims - (1.0 - lam) * max_sim_to_sel
+        mmr_masked = np.where(remaining, mmr, -np.inf)
+        best = mmr_masked.max()
+        # deterministic tie-break: smallest id among the argmax set
+        cand_idx = np.flatnonzero(mmr_masked == best)
+        pick = cand_idx[np.argmin(ids[cand_idx])]
+        out.append(
+            (rank + 1, int(ids[pick]), float(sims[pick]), float(mmr[pick]))
+        )
+        remaining[pick] = False
+        selected.append(pick)
+        pair = unit @ unit[pick]
+        max_sim_to_sel = np.maximum(max_sim_to_sel, pair)
+    return spark.createDataFrame(
+        out, "rank long, vec_id long, sim double, mmr double"
+    )

@@ -93,27 +93,9 @@ def streaming_term_trend(
     built-ins, and the aggregation shuffles once on (window, term),
     both bounded keys.
     """
-    import pandas as pd
-    from pyspark.sql import functions as _F
-    from pyspark.sql.types import ArrayType, StringType
+    from tsidx.tokenize import stem_array_udf
 
-    from tsidx.porter2 import stem
-
-    def _stem_arr_fn(texts):
-        cache: dict[str, str] = {}
-
-        def one(t):
-            if not t:
-                return []
-            return [cache.setdefault(w, stem(w)) for w in t.split()]
-
-        return texts.map(one)
-
-    # set real (non-string) annotations: this module uses postponed
-    # annotation evaluation, which pandas_udf's eval-type inference
-    # cannot resolve
-    _stem_arr_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    _stem_arr = _F.pandas_udf(ArrayType(StringType()))(_stem_arr_fn)
+    _stem_arr = stem_array_udf()
 
     term_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
     exploded = (

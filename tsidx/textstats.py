@@ -19,6 +19,7 @@ __all__ = [
     "quality_signals",
     "quality_filter",
     "sample_mix",
+    "ngram_counts",
     "conversation_stats",
     "BPE_PIECE_RE",
     "SAMPLE_MOD",
@@ -271,4 +272,45 @@ def sample_mix(
         docs.withColumn("_h", h)
         .filter(rate.isNotNull() & (F.col("_h") < rate * SAMPLE_MOD))
         .drop("_h")
+    )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    min_cf: int = 1,
+) -> DataFrame:
+    """Collection-frequency statistics of stemmed token *n*-grams:
+    ``(gram, cf, df)`` for every n-gram occurring at least *min_cf* times
+    — phrase-vocabulary induction (which multi-word units deserve a
+    single token) and collocation mining, over the same stem stream the
+    index is built from.
+
+    One Arrow-batched stem pass (:func:`tsidx.tokenize.stem_array_udf`),
+    then JVM-only n-gram assembly (``transform`` over a bounded index
+    sequence — no self-join) and ONE (gram) aggregation. The gram key is
+    content-uniform; *min_cf* bounds the output like a df cap. At corpus
+    scale this is the exact shuffle shape of the index build itself
+    (explode + one uniform-key aggregation).
+    """
+    from tsidx.tokenize import stem_array_udf
+
+    # materialize the stem array before the higher-order transform:
+    # Catalyst rejects a Python UDF referenced inside a lambda
+    stemmed = docs.select(
+        F.col("doc_id"), stem_array_udf()(F.col(text_col)).alias("st")
+    ).filter(F.size("st") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("st") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("st"), i, n)),
+    )
+    exploded = stemmed.select("doc_id", F.explode(grams).alias("gram"))
+    return (
+        exploded.groupBy("gram")
+        .agg(
+            F.count("*").cast("long").alias("cf"),
+            F.count_distinct("doc_id").cast("long").alias("df"),
+        )
+        .filter(F.col("cf") >= int(min_cf))
     )

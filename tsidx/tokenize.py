@@ -33,6 +33,7 @@ __all__ = [
     "term_freqs",
     "query_terms",
     "tokenize_map_in_pandas",
+    "stem_array_udf",
     "TOKENS_SCHEMA",
 ]
 
@@ -117,3 +118,34 @@ def tokenize_map_in_pandas(
             )
 
     return _tokenize
+
+
+def stem_array_udf():
+    """Arrow-batched pandas UDF ``text -> array<string>`` of stemmed
+    whitespace tokens — the column-level form of :func:`stem_tokens` for
+    operators that need the stem *sequence* (n-gram stats, streaming
+    trends) rather than exploded tf rows. Stems are memoized per batch
+    (Zipf amortization, same as the build path).
+
+    Defined via explicit ``__annotations__`` because this module uses
+    postponed annotation evaluation, which pandas_udf's eval-type
+    inference cannot resolve from string hints.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    from tsidx.porter2 import stem
+
+    def _fn(texts):
+        cache: dict[str, str] = {}
+
+        def one(t):
+            if not t:
+                return []
+            return [cache.setdefault(w, stem(w)) for w in t.split()]
+
+        return texts.map(one)
+
+    _fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(ArrayType(StringType()))(_fn)
