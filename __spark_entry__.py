@@ -821,6 +821,19 @@ def _q_phrase_counts3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phrase_df(spark, sf_dir, Q_PHRASE3)
 
 
+GAP_PATTERN = "merge * table"  # one-token wildcard slot
+
+
+def _q_gapped_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard-slot phrase search: 'merge <any token> table' via the
+    positional alignment plan minus the starred offset."""
+    from tsidx.positions import gapped_phrase_counts
+
+    return gapped_phrase_counts(get_positional(spark, sf_dir), GAP_PATTERN).select(
+        F.col("doc_id").cast("long"), F.col("n_occ")
+    )
+
+
 PROX_A, PROX_B, PROX_SLOP = "query", "table", 4
 
 
@@ -1536,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prox_boost": _q_bm25_prox_boost,
         "proximity_before": _q_proximity_before,
         "phrase_counts3": _q_phrase_counts3,
+        "gapped_phrase": _q_gapped_phrase,
         "best_window": _q_best_window,
         "bool_search": _q_bool_search,
         "prefix_match": _q_prefix_match,
@@ -1672,7 +1686,27 @@ def _phrase_sql(phrase: str) -> str:
     from tsidx.tokenize import stem_tokens
 
     stems = stem_tokens(phrase)  # order-preserving, pre-dedup
-    offs = ", ".join(f"('{t}', {i})" for i, t in enumerate(stems))
+    return _aligned_sql(list(enumerate(stems)))
+
+
+def _gapped_phrase_sql(pattern: str) -> str:
+    """Wildcard-slot twin: stars drop out of the alignment set (same parse
+    as tsidx.positions.gapped_phrase_counts)."""
+    from tsidx.tokenize import stem_tokens
+
+    toks = pattern.split()
+    while toks and toks[0] == "*":
+        toks.pop(0)
+    while toks and toks[-1] == "*":
+        toks.pop()
+    offsets = [
+        (i, stem_tokens(t)[0]) for i, t in enumerate(toks) if t != "*"
+    ]
+    return _aligned_sql(offsets)
+
+
+def _aligned_sql(offsets: list) -> str:
+    offs = ", ".join(f"('{t}', {i})" for i, t in offsets)
     return f"""
 WITH {_positions_cte()},
 offs(term, off) AS (VALUES {offs}),
@@ -1682,7 +1716,7 @@ hits AS (
 ),
 occ AS (
   SELECT doc_id, base FROM hits
-  GROUP BY doc_id, base HAVING count(DISTINCT off) = {len(stems)}
+  GROUP BY doc_id, base HAVING count(DISTINCT off) = {len(offsets)}
 )
 SELECT doc_id, count(*)::BIGINT AS n_occ FROM occ GROUP BY doc_id"""
 
@@ -2133,6 +2167,7 @@ FROM (
   FROM ({_bm25_scores_sql(Q_BM25)})
 ) WHERE rn <= {GROUP_K}""",
         "phrase_counts": _phrase_sql(Q_PHRASE),
+        "gapped_phrase": _gapped_phrase_sql(GAP_PATTERN),
         "phrase_counts3": _phrase_sql(Q_PHRASE3),
         "proximity_within": _proximity_sql(PROX_A, PROX_B, PROX_SLOP),
         "bm25_prox_boost": _prox_boost_sql(

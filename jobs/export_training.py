@@ -15,6 +15,14 @@
     python jobs/export_training.py context --index /tmp/idx \
         --output /tmp/ctx --query vector stream --window 2
 
+    # C4/Gopher-style quality verdicts (or --keep-only for surviving text)
+    python jobs/export_training.py quality --index /tmp/idx \
+        --output /tmp/qual --min-tokens 20 --max-top-frac 0.12
+
+    # deterministic uniform corpus sample (reproducible across runs)
+    python jobs/export_training.py sample --index /tmp/idx \
+        --output /tmp/sampled --rate 0.1 --seed 0
+
 Each action writes a parquet table through the tsidx.io format seam (so
 `spark.tsidx.format=iceberg` redirects on clusters) and prints one JSON
 line with row counts and wall time.
@@ -35,7 +43,9 @@ from build_index import make_spark  # noqa: E402
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("action", choices=["tfidf", "pack", "pairs", "context"])
+    ap.add_argument(
+        "action", choices=["tfidf", "pack", "pairs", "context", "quality", "sample"]
+    )
     ap.add_argument("--index", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--parallelism", type=int, default=None)
@@ -45,6 +55,22 @@ def main() -> None:
     ap.add_argument("--k-pos", type=int, default=50, help="pairs")
     ap.add_argument("--k-neg", type=int, default=50, help="pairs")
     ap.add_argument("--window", type=int, default=1, help="context")
+    ap.add_argument(
+        "--min-tokens", type=int, default=3, help="quality: r_len floor"
+    )
+    ap.add_argument(
+        "--max-top-frac", type=float, default=0.5,
+        help="quality: Gopher repetition cap",
+    )
+    ap.add_argument(
+        "--keep-only", action="store_true",
+        help="quality: write only keep=true rows (joined back to text)",
+    )
+    ap.add_argument(
+        "--rate", type=float, default=0.1,
+        help="sample: uniform keep probability over the corpus",
+    )
+    ap.add_argument("--seed", type=int, default=0, help="sample")
     args = ap.parse_args()
 
     spark = make_spark(args.parallelism, f"tsidx-export-{args.action}")
@@ -70,10 +96,40 @@ def main() -> None:
         out_df = eng.bm25_training_pairs(
             " ".join(args.query), args.k_pos, args.k_neg
         )
-    else:
+    elif args.action == "context":
         if not args.query:
             raise SystemExit("context requires --query")
         out_df = eng.match_with_context(" ".join(args.query), args.window)
+    elif args.action == "quality":
+        from pyspark.sql import functions as F
+
+        from tsidx.textstats import quality_filter
+
+        verdicts = quality_filter(
+            idx.docs,
+            min_tokens=args.min_tokens,
+            max_top_tok_frac=args.max_top_frac,
+        )
+        if args.keep_only:
+            out_df = (
+                verdicts.filter(F.col("keep"))
+                .select("doc_id")
+                .join(idx.docs.select("doc_id", "text"), "doc_id")
+            )
+        else:
+            out_df = verdicts
+    else:
+        from pyspark.sql import functions as F
+
+        from tsidx.textstats import sample_mix
+
+        # uniform corpus sample = one stratum covering every row
+        out_df = sample_mix(
+            idx.docs.select("doc_id", "text", F.lit("all").alias("_s")),
+            {"all": args.rate},
+            strata_col="_s",
+            seed=args.seed,
+        ).drop("_s")
 
     write_table(out_df, args.output)
     n = read_table(spark, args.output).count()

@@ -32,8 +32,9 @@ def main() -> None:
         "--mode",
         default="topk",
         choices=[
-            "topk", "match", "match_all", "phrase", "bool",
-            "batch", "mlt", "proximity", "after", "decayed",
+            "topk", "match", "match_all", "phrase", "gapped", "bool",
+            "batch", "mlt", "proximity", "after", "decayed", "minshould",
+            "explain",
         ],
     )
     ap.add_argument("--parallelism", type=int, default=None)
@@ -77,6 +78,23 @@ def main() -> None:
                 .orderBy("doc_id")
                 .collect()
             )
+        elif args.mode == "gapped":
+            # phrase with single-token '*' wildcards ("fire * heat")
+            from tsidx.positions import gapped_phrase_counts, read_positional
+
+            positional = read_positional(
+                spark, os.path.join(args.index, "positional")
+            )
+            rows = (
+                gapped_phrase_counts(positional, " ".join(query))
+                .orderBy("doc_id")
+                .collect()
+            )
+        elif args.mode == "minshould":
+            m = max(1, len(eng.terms_of(query)) // 2)
+            rows = eng.match_min_should(query, m).collect()
+        elif args.mode == "explain":
+            rows = eng.explain_scores(query, args.k).collect()
         elif args.mode == "bool":
             rows = eng.search(" ".join(query)).collect()
         elif args.mode == "batch":

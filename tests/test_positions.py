@@ -408,3 +408,59 @@ def test_proximity_counts_rejects_multiword(positional):
 
     with _pytest.raises(ValueError):
         proximity_counts(positional, "two words", "x", 3)
+
+
+@pytest.fixture(scope="module")
+def sonnets_positional(spark, sonnets):
+    from tsidx.positions import positional_postings
+
+    docs = spark.createDataFrame(
+        list(enumerate(sonnets)), "doc_id long, text string"
+    )
+    return positional_postings(docs, block_size=64).cache()
+
+
+def test_gapped_phrase_vs_python(spark, sonnets, sonnets_positional):
+    """'<a> * <b>' matches any single token in the starred slot."""
+    from tsidx.porter2 import stem
+    from tsidx.positions import gapped_phrase_counts
+
+    pattern = "the * of"
+    got = {
+        r["doc_id"]: r["n_occ"]
+        for r in gapped_phrase_counts(sonnets_positional, pattern).collect()
+    }
+    want: dict[int, int] = {}
+    for i, s in enumerate(sonnets):
+        st = [stem(t) for t in s.split()]
+        n = sum(
+            1
+            for j in range(len(st) - 2)
+            if st[j] == "the" and st[j + 2] == "of"
+        )
+        if n:
+            want[i] = n
+    assert got == want and want  # non-trivial on the sonnets
+
+
+def test_gapped_phrase_edge_semantics(spark, sonnets_positional):
+    from tsidx.positions import gapped_phrase_counts, phrase_counts
+
+    # no stars == exact phrase
+    a = sorted(
+        map(tuple, gapped_phrase_counts(sonnets_positional, "of thy beauti").collect())
+    )
+    b = sorted(
+        map(tuple, phrase_counts(sonnets_positional, "of thy beauti").collect())
+    )
+    assert a == b
+    # leading/trailing stars are stripped (same result)
+    c = sorted(
+        map(
+            tuple,
+            gapped_phrase_counts(sonnets_positional, "* of thy beauti *").collect(),
+        )
+    )
+    assert c == a
+    # empty after stripping -> empty result
+    assert gapped_phrase_counts(sonnets_positional, "* *").count() == 0

@@ -40,6 +40,7 @@ __all__ = [
     "decode_positional",
     "phrase_match",
     "phrase_counts",
+    "gapped_phrase_counts",
     "write_positional",
     "read_positional",
     "best_window",
@@ -268,7 +269,14 @@ def phrase_counts(
     phrase ("big big") are handled naturally: one posting row joins every
     offset the stem occupies.
     """
-    offsets = _phrase_offsets(phrase)
+    return _aligned_counts(positional, _phrase_offsets(phrase))
+
+
+def _aligned_counts(
+    positional: DataFrame, offsets: list[tuple[str, int]]
+) -> DataFrame:
+    """Occurrence counting for an explicit (term, offset) alignment set —
+    the shared core of exact and gapped phrase search."""
     spark = positional.sparkSession
     if not offsets:
         return spark.createDataFrame([], "doc_id long, n_occ long")
@@ -292,6 +300,39 @@ def phrase_counts(
     return occurrences.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_occ")
     )
+
+
+def gapped_phrase_counts(
+    positional: DataFrame, pattern: str | list[str]
+) -> DataFrame:
+    """(doc_id, n_occ) for a phrase pattern with single-token wildcards:
+    ``"fire * heat"`` matches ``fire <any one token> heat``. Each ``*``
+    consumes exactly one position; concrete tokens are stemmed like any
+    query. Same plan as :func:`phrase_counts` — the wildcard slots simply
+    drop out of the alignment set, so a pattern with g stars joins g
+    fewer posting streams than an exact (len)-term phrase.
+
+    Leading/trailing stars are stripped: offset alignment cannot assert
+    that a token *exists* beyond the outermost concrete terms, while
+    interior slots are guaranteed by position contiguity (every position
+    in a document carries a token).
+    """
+    from tsidx.tokenize import stem_tokens
+
+    toks = pattern.split() if isinstance(pattern, str) else list(pattern)
+    while toks and toks[0] == "*":
+        toks.pop(0)
+    while toks and toks[-1] == "*":
+        toks.pop()
+    offsets: list[tuple[str, int]] = []
+    for i, t in enumerate(toks):
+        if t == "*":
+            continue
+        stems = stem_tokens(t)
+        if len(stems) != 1:
+            raise ValueError(f"pattern token {t!r} is not a single token")
+        offsets.append((stems[0], i))
+    return _aligned_counts(positional, offsets)
 
 
 def phrase_match(positional: DataFrame, phrase: str | list[str]) -> DataFrame:
