@@ -822,6 +822,26 @@ def _q_phrase_counts3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GAP_PATTERN = "merge * table"  # one-token wildcard slot
+TRENDING_TOP_N = 5
+
+
+def _q_conv_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level MinHash signatures over turn-concatenated text
+    (the near-dup companion to the exact conv_fingerprint)."""
+    from tsidx.dedup import conversation_minhash
+
+    tx = documents_as_transcripts(spark, sf_dir)
+    sig = conversation_minhash(tx, num_hashes=N_MINHASH, n=3)
+    cols = [F.col("sig")[i].cast("long").alias(f"mh{i}") for i in range(N_MINHASH)]
+    return sig.select("conv_id", *cols)
+
+
+def _q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N stems per event-time hour by matching-turn count."""
+    from tsidx.sessions import trending_terms
+
+    tx = documents_as_transcripts(spark, sf_dir)
+    return trending_terms(tx, TREND_BUCKET, top_n=TRENDING_TOP_N)
 
 
 def _q_gapped_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1507,6 +1527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "conv_fingerprint": _q_conv_fingerprint,
         "sessionize": _q_sessionize,
+        "conv_minhash": _q_conv_minhash,
+        "trending_terms": _q_trending_terms,
         "ngram_counts": _q_ngram_counts,
         "eval_ranking": _q_eval_ranking,
         "mmr_rerank": _q_mmr_rerank,
@@ -1991,6 +2013,38 @@ SELECT query_id, doc_id, score_r FROM (
   FROM ({_bm25_scores_sql(queries[qid], round_to=12)}) t(doc_id, s)
 ) WHERE rn <= {k}""")
     return "\nUNION ALL\n".join(parts)
+
+
+def _conv_minhash_sql() -> str:
+    """Conversation-level MinHash twin: same hash pipeline as minhash_sigs
+    over turn-concatenated conversation text (concat order = turn order =
+    doc_id order within a conversation)."""
+    from tsidx.dedup import minhash_params
+
+    mh_cols = ", ".join(
+        f"min((h * {a} + {b}) % {_P31})::BIGINT AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(N_MINHASH))
+    )
+    return f"""
+WITH ct AS (
+  SELECT printf('c%06d', (doc_id // {_TURNS_PER_CONV})) AS conv_id,
+         string_agg(text, ' ' ORDER BY doc_id) AS text
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT conv_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM ct
+),
+sh AS (
+  SELECT conv_id,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, len(toks) - 1)]) AS shingles
+  FROM t WHERE len(toks) >= 3
+),
+hx AS (
+  SELECT conv_id, ({_H64.format(v='s')} % {_P31}) AS h
+  FROM (SELECT conv_id, unnest(shingles) AS s FROM sh)
+)
+SELECT conv_id, {mh_cols} FROM hx GROUP BY conv_id"""
 
 
 def _sample_mix_sql() -> str:
@@ -2638,6 +2692,28 @@ SELECT conv_id,
        count(*)::BIGINT AS n_turns,
        sum(n_tok)::BIGINT AS total_tokens
 FROM s GROUP BY conv_id, sid""",
+        "conv_minhash": _conv_minhash_sql(),
+        "trending_terms": f"""
+WITH t AS (
+  SELECT ({_SESSION_E0} + 3600 * (doc_id // 60))::BIGINT AS bucket_epoch,
+         list_distinct(list_transform(
+           regexp_split_to_array(trim(text), '\\s+'),
+           tok -> {_stem_case_sql()})) AS st
+  FROM documents
+),
+c AS (
+  SELECT bucket_epoch, s AS term, count(*)::BIGINT AS n_docs
+  FROM (SELECT bucket_epoch, unnest(st) AS s FROM t)
+  GROUP BY bucket_epoch, s
+),
+r AS (
+  SELECT bucket_epoch, term, n_docs,
+         row_number() OVER (PARTITION BY bucket_epoch
+                            ORDER BY n_docs DESC, term) AS rk
+  FROM c
+)
+SELECT bucket_epoch, rk::BIGINT AS rank, term, n_docs
+FROM r WHERE rk <= {TRENDING_TOP_N}""",
         "ngram_counts": f"""
 WITH t AS (
   SELECT doc_id,

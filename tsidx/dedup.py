@@ -35,6 +35,8 @@ __all__ = [
     "connected_components",
     "conversation_fingerprint",
     "conversation_dup_groups",
+    "conversation_text",
+    "conversation_minhash",
 ]
 
 # MinHash permutations live in the Mersenne-31 field: h is reduced to
@@ -518,3 +520,47 @@ def conversation_dup_groups(
         F.count("*").cast("long").alias("n_dups"),
     )
     return fps.join(groups, "fp").select("conv_id", "keep_id", "n_dups")
+
+
+def conversation_text(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(conv_id, text)``: each conversation's turns concatenated in
+    ``turn_idx`` order — the conversation-as-document view that
+    conversation-level *near*-dup needs (shingles then span turn
+    boundaries, so reordered or lightly-edited replays still collide).
+    One (conv_id) shuffle on a bounded key."""
+    return transcripts.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(turn_col), F.col(text_col)))
+                ),
+                lambda x: x[text_col],
+            ),
+        ).alias("text")
+    )
+
+
+def conversation_minhash(
+    transcripts: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level MinHash signatures ``(conv_id, sig)``: the
+    near-dup companion to :func:`conversation_fingerprint` (which is
+    exact-only). Compose with :func:`lsh_candidate_pairs` for banded
+    candidate generation exactly like the per-turn pipeline — the
+    signature is fixed-size per conversation, so everything downstream
+    is corpus-shape-identical to document MinHash."""
+    ct = conversation_text(transcripts, conv_col, turn_col, text_col)
+    return minhash_signatures(
+        ct, num_hashes=num_hashes, n=n, id_col="conv_id"
+    ).withColumnRenamed("doc_id", "conv_id")

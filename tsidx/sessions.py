@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "streaming_term_trend"]
+__all__ = ["sessionize", "streaming_term_trend", "trending_terms"]
 
 
 def sessionize(
@@ -122,4 +122,52 @@ def streaming_term_trend(
             "term",
             "n_docs",
         )
+    )
+
+
+def trending_terms(
+    transcripts: DataFrame,
+    bucket: str = "hour",
+    top_n: int = 5,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-*top_n* stems per event-time bucket by matching-turn count:
+    ``(bucket_epoch, rank, term, n_docs)`` — the "what was this corpus
+    talking about, hour by hour" analytics view (``QueryEngine.term_trend``
+    answers the converse: one known term across buckets).
+
+    One Arrow stem pass, per-turn term dedup JVM-side (``array_distinct``
+    before the explode, so n_docs counts turns not occurrences), ONE
+    (bucket, term) aggregation, then a window partitioned by bucket —
+    buckets are bounded by the time range, so no window partition is
+    data-scale wide after the aggregation (its input is ≤ |dictionary|
+    rows per bucket, and ties break deterministically by term).
+    """
+    from pyspark.sql import Window
+
+    from tsidx.tokenize import stem_array_udf
+
+    ex = (
+        transcripts.select(
+            F.unix_timestamp(F.date_trunc(bucket, F.col(ts_col))).alias(
+                "bucket_epoch"
+            ),
+            stem_array_udf()(F.col(text_col)).alias("st"),
+        )
+        .select("bucket_epoch", F.explode(F.array_distinct("st")).alias("term"))
+    )
+    counts = ex.groupBy("bucket_epoch", "term").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    if min_df > 1:
+        counts = counts.filter(F.col("n_docs") >= int(min_df))
+    w = Window.partitionBy("bucket_epoch").orderBy(
+        F.desc("n_docs"), F.asc("term")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(top_n))
+        .select("bucket_epoch", "rank", "term", "n_docs")
     )
