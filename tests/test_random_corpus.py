@@ -251,3 +251,107 @@ def test_random_proximity_matches_bruteforce(built, spark):
             for r in proximity_counts(pos, ta, tb, slop, ordered=ordered).collect()
         }
         assert got == want, (ta, tb, slop, ordered)
+
+
+def test_random_min_should_agrees(built):
+    """match_min_should at every m vs a set-arithmetic oracle."""
+    idx, oracle = built
+    eng = QueryEngine(idx)
+    rng = random.Random(99)
+    for _ in range(5):
+        q = " ".join(rng.choices(WORDS, k=4))
+        qs = set(eng.terms_of(q))
+        for m in range(1, len(qs) + 1):
+            got = {
+                r["doc_id"]: r["n_matched"]
+                for r in eng.match_min_should(q, m).collect()
+            }
+            # oracle via per-term match sets (reference semantics)
+            from collections import Counter
+
+            cnt: Counter = Counter()
+            for t in qs:
+                for d in oracle.match([t]):
+                    cnt[d] += 1
+            want = {d: c for d, c in cnt.items() if c >= m}
+            assert got == want, (q, m)
+
+
+def test_random_explain_sums_bit_identical(built):
+    idx, oracle = built
+    eng = QueryEngine(idx)
+    rng = random.Random(41)
+    for _ in range(5):
+        q = " ".join(rng.choices(WORDS, k=rng.randint(1, 3)))
+        k = rng.choice([3, 10])
+        rows = eng.explain_scores(q, k).collect()
+        want = dict(oracle.bm25_topk(q, k))
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == set(want), q
+        for d, rs in by_doc.items():
+            acc = 0.0
+            for r in sorted(rs, key=lambda r: r["term"]):
+                acc += r["contrib"]
+            assert acc == want[d], (q, d)
+
+
+def test_random_gapped_phrase_agrees(built, spark):
+    """gapped pattern counts vs a pure-Python scan of the same texts."""
+    from tsidx.porter2 import stem
+    from tsidx.positions import gapped_phrase_counts, positional_postings
+
+    idx, oracle = built
+    positional = positional_postings(idx.docs, block_size=32).cache()
+    texts = {r["doc_id"]: r["text"] for r in idx.docs.select("doc_id", "text").collect()}
+    rng = random.Random(17)
+    try:
+        for _ in range(6):
+            a, b = rng.choices(WORDS, k=2)
+            gap = rng.choice([1, 2])
+            pattern = f"{a} {'* ' * gap}{b}".strip()
+            sa, sb = stem(a), stem(b)
+            got = {
+                r["doc_id"]: r["n_occ"]
+                for r in gapped_phrase_counts(positional, pattern).collect()
+            }
+            want: dict = {}
+            for d, t in texts.items():
+                st = [stem(x) for x in t.split()]
+                n = sum(
+                    1
+                    for j in range(len(st) - gap - 1)
+                    if st[j] == sa and st[j + gap + 1] == sb
+                )
+                if n:
+                    want[d] = n
+            assert got == want, pattern
+    finally:
+        positional.unpersist()
+
+
+def test_random_quality_and_sample_consistency(built, spark):
+    """quality_filter rules recompute from raw text; sample_mix rates are
+    exact per stratum on a contiguous id range (LCG bijection)."""
+    import pyspark.sql.functions as F
+
+    from tsidx.textstats import quality_filter, sample_mix
+
+    idx, _ = built
+    docs = idx.docs.select("doc_id", "text")
+    got = {r["doc_id"]: r for r in quality_filter(docs, min_tokens=5).collect()}
+    for r in docs.collect():
+        toks = r["text"].split()
+        assert got[r["doc_id"]]["r_len"] == (5 <= len(toks) <= 100_000)
+    strata = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("x"), F.lit("y")), (F.col("doc_id") % 2 + 1).cast("int")
+        ).alias("role"),
+    )
+    kept = sample_mix(strata, {"x": 0.25, "y": 1.0}).collect()
+    n_y = sum(1 for r in kept if r["role"] == "y")
+    assert n_y == 150  # rate 1.0 keeps all 150 'y' rows
+    n_x = sum(1 for r in kept if r["role"] == "x")
+    assert 15 <= n_x <= 60  # 0.25 of 150 ± noise
