@@ -123,8 +123,15 @@ def main():
 
     eng = QueryEngine(idx)
 
+    best: dict[str, float] = {}
+
     def p50(name: str, fn, reps: int = 3):
-        """Median latency over reps (the metric asks for top-k p50)."""
+        """Median latency over reps (the metric asks for top-k p50).
+        best-of-reps is recorded alongside: this shared host shows
+        within-process swings >10x between identical back-to-back jobs
+        (measured: the same score-sum job 8.8s -> 94.2s -> 11.3s in one
+        session), so the minimum is the least host-noise-contaminated
+        estimate of engine latency."""
         lat = []
         for _ in range(reps):
             t0 = time.time()
@@ -132,6 +139,7 @@ def main():
             lat.append(time.time() - t0)
         lat.sort()
         timings[name] = lat[len(lat) // 2]
+        best[name] = lat[0]
 
     p50("match_or", lambda: eng.match("the customer query merge window").count())
     p50("match_and", lambda: eng.match_all("table scan join").count())
@@ -260,6 +268,7 @@ def main():
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in timings.items()},
+                "queries_best": {k: round(v, 3) for k, v in best.items()},
                 "sf": sf,
                 "turns": n_turns,
                 "build_turns_per_sec": round(build_tps, 1),
