@@ -260,6 +260,46 @@ def main():
     ivf_topk(emb, queries, k=10, n_centroids=32, n_probes=8).count()
     timings["ivf_ann_topk"] = time.time() - t0
 
+    # curation ops at full transcript scale (640k turns at sf0.1):
+    # quality_filter/sample_mix are map-only JVM plans (scan-speed),
+    # conv_fingerprint/sessionize one bounded (conv_id) shuffle each
+    from tsidx.dedup import conversation_fingerprint
+    from tsidx.sessions import sessionize
+    from tsidx.textstats import quality_filter, sample_mix
+
+    t0 = time.time()
+    quality_filter(
+        transcripts.select(F.monotonically_increasing_id().alias("doc_id"), "text"),
+        min_tokens=20, max_top_tok_frac=0.12,
+    ).filter(F.col("keep")).count()
+    timings["quality_filter"] = time.time() - t0
+
+    t0 = time.time()
+    sample_mix(
+        transcripts.select(
+            F.monotonically_increasing_id().alias("doc_id"), "role"
+        ),
+        {"user": 0.1},
+    ).count()
+    timings["sample_mix"] = time.time() - t0
+
+    t0 = time.time()
+    conversation_fingerprint(transcripts).count()
+    timings["conv_fingerprint"] = time.time() - t0
+
+    # jittered event times so conversations actually split into sessions
+    jittered = transcripts.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(
+            mins=F.col("turn_idx") * 2
+            + F.when(F.col("turn_idx") >= 4, F.lit(45)).otherwise(F.lit(0))
+        ),
+    )
+    t0 = time.time()
+    sessionize(jittered, "30 minutes").count()
+    timings["sessionize"] = time.time() - t0
+
     total = sum(timings.values())
     print(
         json.dumps(
