@@ -43,10 +43,16 @@ def ranking_metrics(
         "doc_id",
         "left",
     ).withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)).cast("double"))
-    dcg = j.agg(
+    # DCG and MRR come from the same k-row join — one aggregation pass
+    dcg_mrr = j.agg(
         F.coalesce(
             F.sum(F.col("rel") / F.log2(F.col("rank") + F.lit(1.0))), F.lit(0.0)
-        ).alias("dcg")
+        ).alias("dcg"),
+        F.coalesce(
+            F.lit(1.0)
+            / F.min(F.when(F.col("rel") > 0, F.col("rank"))),
+            F.lit(0.0),
+        ).alias("mrr"),
     )
     # ideal list: the k largest grades in the corpus (TakeOrdered — the
     # corpus-sized rels table is never globally sorted or windowed)
@@ -61,12 +67,11 @@ def ranking_metrics(
             F.sum(F.col("rel") / F.log2(F.col("i") + F.lit(1.0))), F.lit(0.0)
         ).alias("idcg")
     )
-    mrr = j.filter(F.col("rel") > 0).agg(
-        F.coalesce(F.lit(1.0) / F.min("rank"), F.lit(0.0)).alias("mrr")
-    )
+    # the one remaining crossJoin is two single-row aggregates — a
+    # BroadcastNestedLoopJoin over exactly 1x1 rows, bounded by
+    # construction (flagged-and-waived in the plan audit, PLANS.md)
     return (
-        dcg.crossJoin(idcg)
-        .crossJoin(mrr)
+        dcg_mrr.crossJoin(idcg)
         .select(
             F.lit(k).cast("long").alias("k"),
             F.round("dcg", 4).alias("dcg_r"),
