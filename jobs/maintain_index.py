@@ -61,7 +61,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "action",
-        choices=["delete", "apply-deletes", "compact", "update", "prune"],
+        choices=["delete", "apply-deletes", "compact", "update", "prune", "vocab"],
     )
     ap.add_argument("--index", required=True)
     ap.add_argument("--doc-ids", type=int, nargs="*", default=[])
@@ -71,6 +71,9 @@ def main() -> None:
     ap.add_argument("--max-df-ratio", type=float, default=None)
     ap.add_argument(
         "--stopwords", nargs="*", default=None, help="prune: explicit terms"
+    )
+    ap.add_argument(
+        "--top-v", type=int, default=25, help="vocab: report size"
     )
     ap.add_argument(
         "--updates",
@@ -92,6 +95,20 @@ def main() -> None:
         from tsidx.index import InvertedIndex
 
         idx = InvertedIndex.read(spark, args.index)
+        if args.action == "vocab":
+            from tsidx.prune import vocab_coverage
+
+            rows = vocab_coverage(idx, args.top_v).collect()
+            out = {
+                "job": "vocab",
+                "top_v": args.top_v,
+                "rows": [
+                    [r["rank"], r["term"], r["cf"], r["coverage_r"]]
+                    for r in rows
+                ],
+            }
+            print(json.dumps({**out, "sec": round(time.time() - t0, 3)}))
+            return
         if args.action == "update":
             from tsidx.updates import update_docs
 
