@@ -822,6 +822,18 @@ def _q_phrase_counts3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GAP_PATTERN = "merge * table"  # one-token wildcard slot
+PHRASE_PREFIX = "merge s*"  # search-as-you-type: last slot is a prefix
+
+
+def _q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix: 'merge s*' counts phrases whose second slot is
+    any dictionary stem starting 's' (dictionary-expanded alignment)."""
+    from tsidx.positions import phrase_prefix_counts
+
+    idx = get_index(spark, sf_dir)
+    return phrase_prefix_counts(
+        get_positional(spark, sf_dir), PHRASE_PREFIX, idx.terms
+    ).select(F.col("doc_id").cast("long"), F.col("n_occ"))
 TRENDING_TOP_N = 5
 
 
@@ -1572,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_before": _q_proximity_before,
         "phrase_counts3": _q_phrase_counts3,
         "gapped_phrase": _q_gapped_phrase,
+        "phrase_prefix": _q_phrase_prefix,
         "best_window": _q_best_window,
         "bool_search": _q_bool_search,
         "prefix_match": _q_prefix_match,
@@ -1725,6 +1738,36 @@ def _gapped_phrase_sql(pattern: str) -> str:
         (i, stem_tokens(t)[0]) for i, t in enumerate(toks) if t != "*"
     ]
     return _aligned_sql(offsets)
+
+
+def _phrase_prefix_sql(pattern: str) -> str:
+    """match_phrase_prefix twin: the last slot expands to every corpus
+    dictionary stem with the prefix — derived in SQL from the stem stream
+    itself, so the expansion always matches the sf under test."""
+    from tsidx.tokenize import stem_tokens
+
+    toks = pattern.split()
+    prefix = toks[-1][:-1].lower()
+    lead = [(stem_tokens(t)[0], i) for i, t in enumerate(toks[:-1])]
+    last = len(lead)
+    lead_vals = ", ".join(f"('{t}', {i})" for t, i in lead)
+    return f"""
+WITH {_positions_cte()},
+offs AS (
+  SELECT * FROM (VALUES {lead_vals}) v(term, off)
+  UNION ALL
+  SELECT DISTINCT term, {last} AS off FROM pos
+  WHERE term LIKE '{prefix}%'
+),
+hits AS (
+  SELECT pos.doc_id, pos.p - offs.off AS base, offs.off
+  FROM pos JOIN offs ON pos.term = offs.term
+),
+occ AS (
+  SELECT doc_id, base FROM hits
+  GROUP BY doc_id, base HAVING count(DISTINCT off) = {last + 1}
+)
+SELECT doc_id, count(*)::BIGINT AS n_occ FROM occ GROUP BY doc_id"""
 
 
 def _aligned_sql(offsets: list) -> str:
@@ -2222,6 +2265,7 @@ FROM (
 ) WHERE rn <= {GROUP_K}""",
         "phrase_counts": _phrase_sql(Q_PHRASE),
         "gapped_phrase": _gapped_phrase_sql(GAP_PATTERN),
+        "phrase_prefix": _phrase_prefix_sql(PHRASE_PREFIX),
         "phrase_counts3": _phrase_sql(Q_PHRASE3),
         "proximity_within": _proximity_sql(PROX_A, PROX_B, PROX_SLOP),
         "bm25_prox_boost": _prox_boost_sql(

@@ -464,3 +464,50 @@ def test_gapped_phrase_edge_semantics(spark, sonnets_positional):
     assert c == a
     # empty after stripping -> empty result
     assert gapped_phrase_counts(sonnets_positional, "* *").count() == 0
+
+
+def test_phrase_prefix_vs_python(spark, sonnets, sonnets_positional):
+    """'of th*' == phrase where slot 2 is any dictionary stem starting 'th'."""
+    from collections import Counter
+
+    from tsidx.porter2 import stem
+    from tsidx.positions import phrase_prefix_counts
+
+    vocab = sorted({stem(t) for s in sonnets for t in s.split()})
+    terms_df = spark.createDataFrame([(t,) for t in vocab], "term string")
+    got = {
+        r["doc_id"]: r["n_occ"]
+        for r in phrase_prefix_counts(
+            sonnets_positional, "of th*", terms_df
+        ).collect()
+    }
+    want: Counter = Counter()
+    for i, s in enumerate(sonnets):
+        st = [stem(t) for t in s.split()]
+        for j in range(len(st) - 1):
+            if st[j] == "of" and st[j + 1].startswith("th"):
+                want[i] += 1
+    assert got == dict(want) and want
+
+
+def test_phrase_prefix_edges(spark, sonnets_positional):
+    from tsidx.positions import phrase_counts, phrase_prefix_counts
+
+    # dictionary terms are STEMS ("thy" stems to "thi"); a prefix whose
+    # only expansion is the exact stem == the exact phrase
+    terms_df = spark.createDataFrame(
+        [("thi",), ("thee",), ("thou",)], "term string"
+    )
+    a = sorted(
+        map(tuple, phrase_prefix_counts(sonnets_positional, "of thi*", terms_df).collect())
+    )
+    b = sorted(map(tuple, phrase_counts(sonnets_positional, "of thy").collect()))
+    assert a == b and a
+    with pytest.raises(ValueError):
+        phrase_prefix_counts(sonnets_positional, "no star here", terms_df)
+    with pytest.raises(ValueError):
+        phrase_prefix_counts(sonnets_positional, "bare *", terms_df)
+    with pytest.raises(ValueError):
+        phrase_prefix_counts(
+            sonnets_positional, "of t*", terms_df, max_expansion=1
+        )

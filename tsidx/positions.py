@@ -41,6 +41,7 @@ __all__ = [
     "phrase_match",
     "phrase_counts",
     "gapped_phrase_counts",
+    "phrase_prefix_counts",
     "write_positional",
     "read_positional",
     "best_window",
@@ -273,14 +274,21 @@ def phrase_counts(
 
 
 def _aligned_counts(
-    positional: DataFrame, offsets: list[tuple[str, int]]
+    positional: DataFrame,
+    offsets: list[tuple[str, int]],
+    n_positions: int | None = None,
 ) -> DataFrame:
     """Occurrence counting for an explicit (term, offset) alignment set —
-    the shared core of exact and gapped phrase search."""
+    the shared core of exact, gapped, and prefix-expanded phrase search.
+    *n_positions* is the number of distinct offset slots a base must fill
+    (defaults to ``len(offsets)``; pass it explicitly when several
+    candidate terms share one offset, e.g. a prefix-expanded final slot —
+    at most one candidate can occupy a given (doc, pos), so the
+    (doc_id, base, off) rows stay unique either way)."""
     spark = positional.sparkSession
     if not offsets:
         return spark.createDataFrame([], "doc_id long, n_occ long")
-    m = len(offsets)
+    m = n_positions if n_positions is not None else len(offsets)
     terms = sorted({t for t, _ in offsets})
     offs = spark.createDataFrame(offsets, "term string, off int")
     rows = decode_positional(positional.filter(F.col("term").isin(terms)))
@@ -512,3 +520,52 @@ def best_window(
     return rows.groupBy("doc_id").applyInPandas(
         scan, schema="doc_id long, start int, n_terms int, n_hits int"
     )
+
+
+def phrase_prefix_counts(
+    positional: DataFrame,
+    pattern: str,
+    terms: DataFrame,
+    max_expansion: int = 1024,
+) -> DataFrame:
+    """Search-as-you-type phrase matching: ``"merge s*"`` counts phrase
+    occurrences whose last slot is ANY dictionary term starting with the
+    prefix (leading tokens match exactly, stemmed like a query). The
+    standard incremental-search primitive (Lucene match_phrase_prefix).
+
+    Plan: the prefix expands against the **(term, df) dictionary** — a
+    pushed ``StringStartsWith`` scan of the bounded terms table, collected
+    (capped at *max_expansion*, raising beyond it: a 1-char prefix over a
+    10^8-term dictionary is a user error, not a plan) — and the expansion
+    joins the alignment set at the final offset. At most one candidate
+    term occupies a given (doc, pos), so the alignment core's
+    distinct-offset counting is unchanged; the scan reads the union of the
+    leading terms' and expanded terms' posting streams only.
+    """
+    from tsidx.tokenize import stem_tokens
+
+    toks = pattern.split() if isinstance(pattern, str) else list(pattern)
+    if not toks or not toks[-1].endswith("*") or len(toks[-1]) < 2:
+        raise ValueError("pattern must end with a 'prefix*' token")
+    prefix = toks[-1][:-1].lower()
+    lead = toks[:-1]
+    expanded = [
+        r["term"]
+        for r in terms.filter(F.col("term").startswith(prefix))
+        .select("term")
+        .limit(max_expansion + 1)
+        .collect()
+    ]
+    if len(expanded) > max_expansion:
+        raise ValueError(
+            f"prefix {prefix!r} expands past max_expansion={max_expansion}"
+        )
+    offsets: list[tuple[str, int]] = []
+    for i, t in enumerate(lead):
+        stems = stem_tokens(t)
+        if len(stems) != 1:
+            raise ValueError(f"pattern token {t!r} is not a single token")
+        offsets.append((stems[0], i))
+    last = len(lead)
+    offsets.extend((t, last) for t in sorted(expanded))
+    return _aligned_counts(positional, offsets, n_positions=last + 1)
