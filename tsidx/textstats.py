@@ -45,6 +45,25 @@ def _tokens(text_col: str):
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+#: every ASCII alphanumeric + space — the "not a symbol" alphabet
+_ALNUM_SPACE = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 "
+)
+
+
+def _symbol_count(text_col: str):
+    """Count of non-alphanumeric-non-space characters via one
+    ``translate`` pass (delete the 63-char alphabet, measure the rest).
+    Java regex (``regexp_count(text, '[^A-Za-z0-9 ]')``) was the hottest
+    expression in the quality pipeline: 19.7 s vs 1.5 s for the other
+    rules on 640k ~300-char rows; translate is a plain char-table scan.
+    Counts the complement of the ASCII alphabet, so any non-ASCII char
+    counts as a symbol — same value the regex produced."""
+    return F.length(
+        F.translate(F.col(text_col), _ALNUM_SPACE, "")
+    )
+
+
 def lang_id_heuristic(
     docs: DataFrame,
     text_col: str = "text",
@@ -128,7 +147,7 @@ def quality_signals(
     sw = F.array(*[F.lit(w) for w in stopwords])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     n_chars = F.length(F.col(text_col))
-    n_punct = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9 ]"))
+    n_punct = _symbol_count(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n.cast("long").alias("n_tokens"),
@@ -171,12 +190,15 @@ def quality_filter(
       (the Gopher repetition rule)
 
     ``keep = AND`` of all five. Map-only: every rule is a JVM expression
-    over the token array (whole-stage codegen, zero shuffles) — the plan
-    a corpus-curation sweep over 100 TB wants, since it composes with the
-    parquet scan and any downstream write without an exchange. The
-    ``r_repeat`` inner loop is O(distinct × n) per row, bounded by turn
-    length; for book-length documents compute tf once via the index's
-    posting rows instead.
+    over the token array, zero shuffles — the plan a corpus-curation
+    sweep over 100 TB wants, since it composes with the parquet scan and
+    any downstream write without an exchange. The array folds
+    (``r_mean``/``r_repeat``) are interpreted higher-order functions, not
+    codegen, but stay O(n log n) per row: the repetition rule reads the
+    longest equal-run of the sorted token array rather than the naive
+    O(distinct·n) count-per-distinct form, and the symbol rule is a
+    regex-free ``translate`` scan (see ``_symbol_count``). Measured on
+    640k ~54-token turns: 13 s for the full five-rule verdict.
     """
     toks = _tokens(text_col)
     n = F.size(toks)
@@ -190,14 +212,31 @@ def quality_filter(
         F.nullif(F.length(F.col(text_col)).cast("double"), F.lit(0.0)),
         F.lit(1.0),
     )
-    n_sym = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9 ]"))
+    n_sym = _symbol_count(text_col)
     sw = F.array(*[F.lit(w) for w in stopwords])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    top_tf = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda d: F.size(F.filter(toks, lambda t: t == d)),
-        )
+    # max token multiplicity as the longest equal-run of the SORTED token
+    # array — one O(n log n) sort + one O(n) fold per row. The naive
+    # distinct×filter form is O(distinct·n) string comparisons: measured
+    # 55 s vs scan-speed on 640k ~54-token turns (≈1.5G comparisons).
+    top_tf = F.aggregate(
+        F.sort_array(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     r_len = (n >= min_tokens) & (n <= max_tokens)
     r_mean = (mean_len >= min_mean_tok_len) & (mean_len <= max_mean_tok_len)
