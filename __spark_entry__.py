@@ -1292,6 +1292,35 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_EVERY_MS = 1000
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sample planning, oracle-checked: deterministic synthetic
+    durations (500 + (doc_id % 7)·700 ms) drive the metadata-only sampling
+    math — one row per planned (media_id, ts_ms) seek, payload untouched
+    (the decode stage consumes this plan on a real cluster)."""
+    from tsidx.multimodal import frame_sample_plan
+
+    docs = load_documents(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.lit(500) + (F.col("doc_id") % 7) * 700)
+            .cast("int")
+            .alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=FRAME_EVERY_MS).select(
+        F.col("media_id").cast("long"), F.col("ts_ms").cast("long")
+    )
+
+
 LSH_ANN_RECALL_BOUND = 0.5
 LSH_DEDUP_RECALL_BOUND = 0.5
 
@@ -1576,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multistream_term_df": _q_multistream_term_df,
         "lsh_ann_recall": _q_lsh_ann_recall,
         "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "ivf_ann_recall": _q_ivf_ann_recall,
         "phrase_counts": _q_phrase_counts,
@@ -2155,6 +2185,17 @@ SELECT {ANN_NQ}::BIGINT AS n_queries, true AS recall_ok""",
 SELECT {ANN_NQ}::BIGINT AS n_queries, true AS recall_ok""",
         # payload = UTF-8 bytes of text; sha256(VARCHAR) hashes those same
         # bytes, so the digest replays exactly
+        "frame_sample": f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (500 + (doc_id % 7) * 700)::BIGINT AS duration
+  FROM documents
+)
+SELECT media_id,
+       unnest([i * {FRAME_EVERY_MS} for i in
+               range(0, greatest(duration // {FRAME_EVERY_MS}, 1))])::BIGINT
+         AS ts_ms
+FROM m""",
         "media_features": """
 SELECT doc_id AS media_id,
        'image' AS kind,
