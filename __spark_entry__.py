@@ -1293,6 +1293,26 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FRAME_EVERY_MS = 1000
+# deterministic PII suffix so redaction is non-trivial on the synthetic
+# corpus: " contact u<id>@example.com ref <100000+7·id>"
+
+
+def _q_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (email/phone/number rules, rule-ordered) over
+    text with deterministic synthetic PII appended."""
+    from tsidx.textstats import redact_text
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ref "),
+            (F.lit(100000) + F.col("doc_id") * 7).cast("string"),
+        ).alias("text"),
+    )
+    return redact_text(docs)
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1606,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_recall": _q_lsh_ann_recall,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
+        "redact_text": _q_redact_text,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "ivf_ann_recall": _q_ivf_ann_recall,
         "phrase_counts": _q_phrase_counts,
@@ -2118,6 +2139,45 @@ hx AS (
   FROM (SELECT conv_id, unnest(shingles) AS s FROM sh)
 )
 SELECT conv_id, {mh_cols} FROM hx GROUP BY conv_id"""
+
+
+
+def _redact_sql() -> str:
+    """Stage-wise redaction twin: counts are taken on the partially
+    redacted text at each stage, exactly like the chained Spark
+    expressions (rule order matters — email first)."""
+    from tsidx.textstats import REDACT_RULES
+
+    stages = []
+    prev = "s0"
+    counts = []
+    for i, (_, pat, tok) in enumerate(REDACT_RULES, start=1):
+        pat_sql = pat  # DuckDB literals are escape-free: verbatim regex
+        counts.append(f"len(regexp_extract_all({prev}, '{pat_sql}'))")
+        stages.append(
+            f"regexp_replace({prev}, '{pat_sql}', '{tok}', 'g') AS s{i}"
+        )
+        prev = f"s{i}"
+    # build nested CTE chain
+    sql = """
+WITH t0 AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@example.com ref ' ||
+           (100000 + doc_id * 7) AS s0
+  FROM documents
+)"""
+    cur = "t0"
+    for i, (stage, cnt) in enumerate(zip(stages, counts), start=1):
+        sql += f""",
+t{i} AS (
+  SELECT doc_id, {stage}, ({cnt})::BIGINT AS c{i}{''.join(f', c{j}' for j in range(1, i))}
+  FROM {cur}
+)"""
+        cur = f"t{i}"
+    n = len(stages)
+    total = " + ".join(f"c{i}" for i in range(1, n + 1))
+    return sql + f"""
+SELECT doc_id, s{n} AS text, ({total})::BIGINT AS n_redactions FROM t{n}"""
 
 
 def _sample_mix_sql() -> str:
@@ -2715,6 +2775,7 @@ SELECT doc_id, n AS n_tokens,
         AND (top_frac <= {QF_MAX_TOP_FRAC})) AS keep
 FROM m""",
         "sample_mix": _sample_mix_sql(),
+        "redact_text": _redact_sql(),
         "vocab_coverage": f"""
 WITH {_terms_cte()},
 cf AS (SELECT term, count(*)::BIGINT AS cf FROM trm GROUP BY term),

@@ -146,3 +146,75 @@ def test_sample_mix_unlisted_stratum_dropped(spark):
     )
     kept = sample_mix(docs, {"a": 1.0}).collect()
     assert [r["doc_id"] for r in kept] == [0]
+
+
+def test_redact_text(spark):
+    from tsidx.textstats import redact_text
+
+    rows = [
+        (0, "email me at alice.smith+x@example.co.uk today"),
+        (1, "call +1 (555) 123-4567 or 555 867 5309 now"),
+        (2, "order 123456 shipped"),
+        (3, "clean text with no pii at all"),
+        (4, "short num 12345 stays"),  # 5 digits < number rule's 6
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_text(docs).collect()}
+    assert got[0]["text"] == "email me at <EMAIL> today"
+    assert got[0]["n_redactions"] == 1
+    assert "<PHONE>" in got[1]["text"] and "555" not in got[1]["text"]
+    assert got[2]["text"] == "order <NUM> shipped"
+    # a 9+ digit run is phone-shaped: the earlier phone rule wins (documented)
+    nine = redact_text(
+        spark.createDataFrame([(9, "ref 123456789 x")], "doc_id long, text string")
+    ).collect()[0]
+    assert nine["text"] == "ref <PHONE> x"
+    assert got[3]["text"] == rows[3][1] and got[3]["n_redactions"] == 0
+    assert got[4]["text"] == rows[4][1]  # under-threshold number untouched
+
+
+def test_redact_rule_order(spark):
+    """Email wins over the number rule on its digit runs."""
+    from tsidx.textstats import redact_text
+
+    docs = spark.createDataFrame(
+        [(0, "reach 123456789@example.com ok")], "doc_id long, text string"
+    )
+    r = redact_text(docs).collect()[0]
+    assert r["text"] == "reach <EMAIL> ok"
+    assert r["n_redactions"] == 1
+
+
+def test_sample_mix_rate_monotone(spark):
+    """Property: the sample at rate r1 is a subset of the sample at r2>=r1
+    (same seed) — threshold sampling on one fixed hash is nested."""
+    import pyspark.sql.functions as F
+
+    from tsidx.textstats import sample_mix
+
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        import pytest
+
+        pytest.skip("hypothesis not installed")
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("role")
+    ).cache()
+    docs.count()
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        r1=st.floats(min_value=0.0, max_value=1.0),
+        r2=st.floats(min_value=0.0, max_value=1.0),
+        seed=st.integers(min_value=0, max_value=3),
+    )
+    def check(r1, r2, seed):
+        lo, hi = sorted([r1, r2])
+        a = {r["doc_id"] for r in sample_mix(docs, {"s": lo}, seed=seed).collect()}
+        b = {r["doc_id"] for r in sample_mix(docs, {"s": hi}, seed=seed).collect()}
+        assert a <= b
+
+    check()

@@ -20,6 +20,8 @@ __all__ = [
     "quality_filter",
     "sample_mix",
     "ngram_counts",
+    "redact_text",
+    "REDACT_RULES",
     "conversation_stats",
     "BPE_PIECE_RE",
     "SAMPLE_MOD",
@@ -352,4 +354,42 @@ def ngram_counts(
             F.count_distinct("doc_id").cast("long").alias("df"),
         )
         .filter(F.col("cf") >= int(min_cf))
+    )
+
+
+#: default redaction rules: (name, java-and-RE2-compatible regex, token).
+#: Patterns deliberately avoid lookarounds/backrefs so Spark (Java regex)
+#: and any RE2-family engine (DuckDB oracle) agree byte-for-byte.
+REDACT_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"),
+    ("number", "[0-9]{6,}", "<NUM>"),
+)
+
+
+def redact_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rules: tuple[tuple[str, str, str], ...] = REDACT_RULES,
+) -> DataFrame:
+    """PII-style redaction for transcript curation: replace every match of
+    each rule's pattern with its placeholder token, in rule order (earlier
+    rules win — an email is ``<EMAIL>``, not an ``<EMAIL>`` with a
+    ``<NUM>`` inside). Returns ``(doc_id, text, n_redactions)`` where
+    ``n_redactions`` counts replaced spans across all rules.
+
+    Map-only chained ``regexp_replace`` — composes with the scan like the
+    quality filter; rule patterns avoid constructs where regex dialects
+    diverge, so the DuckDB oracle replays them exactly.
+    """
+    out = F.col(text_col)
+    n_red = F.lit(0)
+    for _, pattern, token in rules:
+        n_red = n_red + F.regexp_count(out, F.lit(pattern))
+        out = F.regexp_replace(out, pattern, token)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        out.alias("text"),
+        n_red.cast("long").alias("n_redactions"),
     )
