@@ -23,6 +23,9 @@
     python jobs/export_training.py sample --index /tmp/idx \
         --output /tmp/sampled --rate 0.1 --seed 0
 
+    # PII-style redaction (email/phone/number placeholders + counts)
+    python jobs/export_training.py redact --index /tmp/idx --output /tmp/red
+
 Each action writes a parquet table through the tsidx.io format seam (so
 `spark.tsidx.format=iceberg` redirects on clusters) and prints one JSON
 line with row counts and wall time.
@@ -44,7 +47,10 @@ from build_index import make_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "action", choices=["tfidf", "pack", "pairs", "context", "quality", "sample"]
+        "action",
+        choices=[
+            "tfidf", "pack", "pairs", "context", "quality", "sample", "redact",
+        ],
     )
     ap.add_argument("--index", required=True)
     ap.add_argument("--output", required=True)
@@ -118,6 +124,10 @@ def main() -> None:
             )
         else:
             out_df = verdicts
+    elif args.action == "redact":
+        from tsidx.textstats import redact_text
+
+        out_df = redact_text(idx.docs.select("doc_id", "text"))
     else:
         from pyspark.sql import functions as F
 
