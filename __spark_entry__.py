@@ -2755,7 +2755,7 @@ m AS (
   SELECT doc_id, len(toks)::BIGINT AS n,
          list_sum([len(x) for x in toks])::DOUBLE / len(toks) AS mean_len,
          len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE /
-           length(text) AS sym_ratio,
+           greatest(length(text), 1) AS sym_ratio,
          len(list_filter(toks, x -> x IN ({en_sw}))) AS n_stop,
          list_max(list_transform(list_distinct(toks),
            d -> len(list_filter(toks, x -> x = d))))::DOUBLE / len(toks)
@@ -2845,7 +2845,7 @@ WITH t AS (
          list_distinct(list_transform(
            regexp_split_to_array(trim(text), '\\s+'),
            tok -> {_stem_case_sql()})) AS st
-  FROM documents
+  FROM documents WHERE trim(text) <> ''
 ),
 c AS (
   SELECT bucket_epoch, s AS term, count(*)::BIGINT AS n_docs

@@ -66,30 +66,20 @@ def main() -> None:
             rows = eng.match(query).collect()
         elif args.mode == "match_all":
             rows = eng.match_all(query).collect()
-        elif args.mode == "phrase":
-            # needs the positional artifact (build_index.py --positional)
-            from tsidx.positions import phrase_counts, read_positional
+        elif args.mode in ("phrase", "gapped"):
+            # both need the positional artifact (build_index.py --positional);
+            # gapped additionally honors single-token '*' wildcards
+            from tsidx.positions import (
+                gapped_phrase_counts,
+                phrase_counts,
+                read_positional,
+            )
 
             positional = read_positional(
                 spark, os.path.join(args.index, "positional")
             )
-            rows = (
-                phrase_counts(positional, " ".join(query))
-                .orderBy("doc_id")
-                .collect()
-            )
-        elif args.mode == "gapped":
-            # phrase with single-token '*' wildcards ("fire * heat")
-            from tsidx.positions import gapped_phrase_counts, read_positional
-
-            positional = read_positional(
-                spark, os.path.join(args.index, "positional")
-            )
-            rows = (
-                gapped_phrase_counts(positional, " ".join(query))
-                .orderBy("doc_id")
-                .collect()
-            )
+            fn = phrase_counts if args.mode == "phrase" else gapped_phrase_counts
+            rows = fn(positional, " ".join(query)).orderBy("doc_id").collect()
         elif args.mode == "minshould":
             m = max(1, len(eng.terms_of(query)) // 2)
             rows = eng.match_min_should(query, m).collect()

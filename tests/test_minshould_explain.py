@@ -85,3 +85,19 @@ def test_explain_fields_consistent(engine, built):
 
 def test_explain_empty_query(engine):
     assert engine.explain_scores("zzzznotaword", 5).count() == 0
+
+
+def test_min_should_includes_pinned(spark, sonnets_transcripts):
+    """Pinned docs appear regardless of threshold (reference pin
+    semantics), with their actual n_matched."""
+    from dataclasses import replace
+
+    idx = build_index(sonnets_transcripts, block_size=64, num_partitions=4)
+    idx.pin(0)   # sonnet I — does not contain 'thrall'
+    eng = QueryEngine(idx)
+    got = {r["doc_id"]: r["n_matched"] for r in eng.match_min_should("thrall", 1).collect()}
+    assert 0 in got and got[0] == 0
+    m1 = [r["doc_id"] for r in eng.match_min_should("thrall", 1).collect()]
+    assert m1 == [r["doc_id"] for r in eng.match("thrall").collect()]
+    # above-threshold docs keep their counts
+    assert all(v >= 1 for d, v in got.items() if d != 0)

@@ -456,30 +456,41 @@ def mmr_rerank(
     results get demoted by their similarity to an already-picked one).
     Returns ``(rank, vec_id, sim, mmr)``; ties break by ascending id.
 
-    Physical shape: ONE distributed scan scores the corpus against the
-    broadcast query and TakeOrdereds the ``fetch_k`` candidates (the same
+    Physical shape: ONE distributed scoring scan against the broadcast
+    query TakeOrdereds the ``fetch_k`` candidate ids (the same
     bounded-collect contract as WAND's θ-seed — fetch_k is a constant,
-    never data-scale); the greedy selection is inherently sequential
-    (each pick changes the next pick's penalty), so it runs on the
-    driver over the fetch_k×dim candidate matrix with vectorized numpy.
-    At 10^12 docs the distributed part is the only part that sees the
-    corpus.
+    never data-scale); their embeddings are then fetched with a pushed
+    ``id IN`` filter (row-group-prunable — never a second full-corpus
+    join). The greedy selection is inherently sequential (each pick
+    changes the next pick's penalty), so it runs on the driver over the
+    fetch_k×dim candidate matrix with vectorized numpy.
+
+    Output id column is named *id_col*.
     """
     import numpy as np
 
     spark = corpus.sparkSession
     q = spark.createDataFrame([(0, [float(x) for x in query_emb])],
                               f"query_id long, q_emb array<double>")
+    out_schema = f"rank long, {id_col} long, sim double, mmr double"
     cand = cosine_topk(
         corpus, q, int(fetch_k), id_col=id_col, emb_col=emb_col,
         exclude_self=False,
-    ).join(corpus.select(id_col, emb_col), id_col)
-    rows = cand.collect()  # bounded: fetch_k rows
-    if not rows:
-        return spark.createDataFrame(
-            [], "rank long, vec_id long, sim double, mmr double"
-        )
-    rows.sort(key=lambda r: (-r["sim"], r[id_col]))
+    ).collect()  # bounded: fetch_k rows
+    if not cand:
+        return spark.createDataFrame([], out_schema)
+    cand_ids = [r[id_col] for r in cand]
+    sims_by_id = {r[id_col]: r["sim"] for r in cand}
+    rows = (
+        corpus.select(id_col, emb_col)
+        .filter(F.col(id_col).isin(cand_ids))
+        .collect()
+    )
+    rows = [
+        {id_col: r[id_col], "sim": sims_by_id[r[id_col]], emb_col: r[emb_col]}
+        for r in rows
+    ]
+    rows.sort(key=lambda r: (-r["sim"], r[id_col]))  # candidate order
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     sims = np.array([r["sim"] for r in rows], dtype=np.float64)
     mat = np.array([r[emb_col] for r in rows], dtype=np.float64)
@@ -509,6 +520,4 @@ def mmr_rerank(
         selected.append(pick)
         pair = unit @ unit[pick]
         max_sim_to_sel = np.maximum(max_sim_to_sel, pair)
-    return spark.createDataFrame(
-        out, "rank long, vec_id long, sim double, mmr double"
-    )
+    return spark.createDataFrame(out, out_schema)

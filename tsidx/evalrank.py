@@ -32,9 +32,14 @@ def ranking_metrics(
     """One row ``(k, dcg_r, idcg_r, ndcg_r, mrr_r)`` for a ranked list
     *ranked* ``(doc_id, rank)`` (1-based, best first) against graded
     relevance *rels* ``(doc_id, rel)``; docs absent from *rels* count as
-    rel = 0, and an all-zero ideal list yields ndcg = 0.
+    rel = 0, and an all-zero ideal list yields ndcg = 0. Duplicate doc_ids
+    in *rels* (multi-judge qrels) resolve to the max grade — without this
+    the join would fan ranked rows out and inflate DCG past nDCG = 1.
     """
     k = int(k)
+    rels = rels.groupBy(F.col(id_col)).agg(
+        F.max(F.col(rel_col)).alias(rel_col)
+    )
     r = ranked.filter(F.col(rank_col) <= k).select(
         F.col(id_col).alias("doc_id"), F.col(rank_col).alias("rank")
     )

@@ -567,5 +567,7 @@ def phrase_prefix_counts(
             raise ValueError(f"pattern token {t!r} is not a single token")
         offsets.append((stems[0], i))
     last = len(lead)
-    offsets.extend((t, last) for t in sorted(expanded))
+    # dedup defensively: a duplicate (term, off) row would double an
+    # aligned row and break the count(*) == n_positions filter
+    offsets.extend((t, last) for t in sorted(set(expanded)))
     return _aligned_counts(positional, offsets, n_positions=last + 1)

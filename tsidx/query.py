@@ -163,6 +163,27 @@ class QueryEngine:
             return df
         return df.join(tomb.select("doc_id"), "doc_id", "anti")
 
+    def _contrib_expr(self, idfs: dict[str, float]):
+        """``(idf_map_col, contrib_col)`` — THE canonical per-(doc, term)
+        BM25 contribution expression. Single definition on purpose: the
+        documented bit-identity between ``bm25_topk``, ``explain_scores``
+        (sum of contribs == score), WAND, and the single-node oracle
+        holds only while every path evaluates this exact IEEE754
+        expression shape."""
+        k1 = float(self.index.meta["k1"])
+        b = float(self.index.meta["b"])
+        avgdl = float(self.index.meta["avgdl"])
+        idf_map = F.create_map(
+            *[F.lit(x) for t in sorted(idfs) for x in (t, idfs[t])]
+        )
+        tf = F.col("tf").cast("double")
+        dl = F.col("dl").cast("double")
+        contrib = idf_map[F.col("term")] * (
+            (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl) / F.lit(avgdl)))
+        )
+        return idf_map, contrib
+
     def query_idfs(self, terms: list[str]) -> dict[str, float]:
         """Driver-side idf for the query's terms (bit-identical to oracle)."""
         if not terms:
@@ -209,8 +230,11 @@ class QueryEngine:
         """Min-should-match retrieval: ``(doc_id, n_matched)`` for docs
         containing at least *m* distinct query terms, in docID order.
         ``m = 1`` degenerates to :meth:`match`, ``m = len(terms)`` to
-        :meth:`match_all`; in between it is the standard search-engine
-        ``minimum_should_match`` knob.
+        :meth:`match_all` plus any pinned docs; in between it is the
+        standard search-engine ``minimum_should_match`` knob. Pinned docs
+        (reference ``Index.pin`` semantics) are unconditionally included
+        with their actual ``n_matched`` (possibly below *m*), exactly as
+        ``match`` includes them regardless of term hits.
 
         Same physical plan as ``match_all`` — one pushed ``term IN``
         gaps-only scan and one (doc_id) aggregation; the threshold is a
@@ -219,15 +243,29 @@ class QueryEngine:
         terms = self.terms_of(query)
         spark = self.index.docs.sparkSession
         m = int(m)
-        if not terms or m > len(terms):
+        if not terms or (m > len(terms) and not self.index.pinned):
             return spark.createDataFrame([], "doc_id long, n_matched long")
         rows = self._live(self.posting_doc_ids(self._blocks_for(terms)))
-        return (
-            rows.groupBy("doc_id")
-            .agg(F.count_distinct("term").cast("long").alias("n_matched"))
-            .filter(F.col("n_matched") >= max(m, 1))
-            .orderBy("doc_id")
+        counts = rows.groupBy("doc_id").agg(
+            F.count_distinct("term").cast("long").alias("n_matched")
         )
+        hits = counts.filter(F.col("n_matched") >= max(m, 1))
+        if self.index.pinned:
+            pinned = spark.createDataFrame(
+                [(d,) for d in sorted(self.index.pinned)], "doc_id long"
+            )
+            pinned_counts = pinned.join(counts, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce(F.col("n_matched"), F.lit(0).cast("long")).alias(
+                    "n_matched"
+                ),
+            )
+            hits = (
+                hits.unionByName(self._live(pinned_counts))
+                .groupBy("doc_id")
+                .agg(F.max("n_matched").alias("n_matched"))
+            )
+        return hits.orderBy("doc_id")
 
     def explain_scores(self, query: str | list[str], k: int) -> DataFrame:
         """Per-term BM25 score breakdown for the query's top-*k* docs:
@@ -256,21 +294,10 @@ class QueryEngine:
         ]
         if not top_ids:
             return spark.createDataFrame([], out_schema)
-        k1 = float(self.index.meta["k1"])
-        b = float(self.index.meta["b"])
-        avgdl = float(self.index.meta["avgdl"])
         rows = self._live(self.posting_rows(sorted(idfs))).filter(
             F.col("doc_id").isin(top_ids)
         )
-        idf_map = F.create_map(
-            *[F.lit(x) for t in sorted(idfs) for x in (t, idfs[t])]
-        )
-        tf = F.col("tf").cast("double")
-        dl = F.col("dl").cast("double")
-        contrib = idf_map[F.col("term")] * (
-            (tf * F.lit(k1 + 1.0))
-            / (tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl) / F.lit(avgdl)))
-        )
+        idf_map, contrib = self._contrib_expr(idfs)
         return (
             rows.select(
                 "doc_id",
@@ -341,19 +368,8 @@ class QueryEngine:
         spark = self.index.docs.sparkSession
         if not idfs:
             return spark.createDataFrame([], "doc_id long, score double")
-        k1 = float(self.index.meta["k1"])
-        b = float(self.index.meta["b"])
-        avgdl = float(self.index.meta["avgdl"])
         rows = self._live(self.posting_rows(sorted(idfs)))
-        idf_map = F.create_map(
-            *[F.lit(x) for t in sorted(idfs) for x in (t, idfs[t])]
-        )
-        tf = F.col("tf").cast("double")
-        dl = F.col("dl").cast("double")
-        contrib = idf_map[F.col("term")] * (
-            (tf * F.lit(k1 + 1.0))
-            / (tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl) / F.lit(avgdl)))
-        )
+        idf_map, contrib = self._contrib_expr(idfs)
         if weights is not None:
             w_map = F.create_map(
                 *[
