@@ -2184,9 +2184,10 @@ def _sample_mix_sql() -> str:
     """The sample_mix keep decision replayed exactly: same LCG hash, same
     per-stratum rates, strata synthesized from doc_id % 4 like the Spark
     side."""
-    from tsidx.textstats import SAMPLE_MOD, _SAMPLE_A, _SAMPLE_B
+    from tsidx.textstats import SAMPLE_MOD, _SAMPLE_A, _SAMPLE_A2, _SAMPLE_B
 
     a_seed = _SAMPLE_A % SAMPLE_MOD or 1
+    a2_seed = _SAMPLE_A2 % SAMPLE_MOD or 1
     rate_case = " ".join(
         f"WHEN {i} THEN {SAMPLE_RATES[r]}" for i, r in enumerate(_ROLES)
     )
@@ -2194,7 +2195,9 @@ def _sample_mix_sql() -> str:
 SELECT doc_id,
        (['user','assistant','system','tool'])[(doc_id % 4)::INT + 1] AS role
 FROM documents
-WHERE ((doc_id % {SAMPLE_MOD}) * {a_seed} + {_SAMPLE_B}) % {SAMPLE_MOD} <
+WHERE ((doc_id % {SAMPLE_MOD}) * {a_seed} + {_SAMPLE_B}
+       + ((doc_id // {SAMPLE_MOD}) % {SAMPLE_MOD}) * {a2_seed})
+      % {SAMPLE_MOD} <
       (CASE (doc_id % 4)::INT {rate_case} END) * {SAMPLE_MOD}"""
 
 

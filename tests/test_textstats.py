@@ -218,3 +218,26 @@ def test_sample_mix_rate_monotone(spark):
         assert a <= b
 
     check()
+
+
+def test_sample_mix_not_periodic_mod_m(spark):
+    """ids congruent mod SAMPLE_MOD must NOT share verdicts: the hash
+    mixes both base-M digits, so the keep stripe does not repeat with
+    period M over large id spaces."""
+    import pyspark.sql.functions as F
+
+    from tsidx.textstats import SAMPLE_MOD, sample_mix
+
+    base = list(range(0, 400))
+    ids = base + [i + SAMPLE_MOD for i in base] + [i + 2 * SAMPLE_MOD for i in base]
+    docs = spark.createDataFrame(
+        [(i, "s") for i in ids], "doc_id long, role string"
+    )
+    kept = {r["doc_id"] for r in sample_mix(docs, {"s": 0.5}).collect()}
+    v0 = [i in kept for i in base]
+    v1 = [i + SAMPLE_MOD in kept for i in base]
+    v2 = [i + 2 * SAMPLE_MOD in kept for i in base]
+    assert v0 != v1 and v0 != v2 and v1 != v2
+    # and each shifted block still keeps ~half (uniformity preserved)
+    for v in (v1, v2):
+        assert 120 <= sum(v) <= 280

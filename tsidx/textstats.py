@@ -263,6 +263,7 @@ def quality_filter(
 #: keep decision is ``lcg(id) < rate * SAMPLE_MOD`` — rate resolution 1e-6.
 SAMPLE_MOD = 1_000_003
 _SAMPLE_A = 1_103_515_245  # classic LCG multiplier (public domain constants)
+_SAMPLE_A2 = 747_796_405   # second-digit multiplier (PCG-family constant)
 _SAMPLE_B = 12_345
 
 
@@ -280,29 +281,39 @@ def sample_mix(
     engines, and partitionings (no ``rand()``: Spark's per-partition RNG
     changes with the split layout).
 
-    ``h = ((id mod M) · A_seed + B) mod M;  keep ⇔ h < rate · M``
+    ``h = (lo·A_seed + B + hi·A2_seed) mod M;  keep ⇔ h < rate · M``
 
-    with M = ``SAMPLE_MOD`` (prime) and ``A_seed = (A + seed · 99991) mod
-    M`` (nonzero, so each seed is a distinct *bijection* of [0, M) — a
-    seed must change the multiplier, not add an offset: any additive
-    perturbation of an affine hash shifts every h by the same constant
-    and the two "independent" samples would differ only at the threshold
-    boundary). ``id mod M`` first keeps every intermediate below 2^63 at
-    any corpus size, and the whole decision is integer arithmetic any
-    engine reproduces exactly (the DuckDB oracle runs the same formula).
-    Map-only: zero shuffles, composes with the scan; changing the mix
-    re-reads nothing.
+    where ``lo = id mod M``, ``hi = (id div M) mod M``, M =
+    ``SAMPLE_MOD`` (prime), and ``A_seed``/``A2_seed`` are seed-perturbed
+    multipliers (nonzero, so each seed selects a distinct affine map — a
+    seed must change a multiplier, not add an offset: any additive
+    perturbation shifts every h by the same constant and two
+    "independent" samples would differ only at the threshold boundary).
+    Mixing BOTH base-M digits matters at scale: a lo-only hash is
+    periodic with period M ≈ 10^6, so on a 10^12-row corpus ids congruent
+    mod M would receive identical verdicts under every seed (a periodic
+    stripe, not a Bernoulli sample). With the hi digit folded in the
+    period is M² ≈ 10^12 — beyond that, extend with the third digit.
+    Reducing each digit mod M first keeps every intermediate below 2^63,
+    and the whole decision is integer arithmetic any engine reproduces
+    exactly (the DuckDB oracle runs the same formula). Map-only: zero
+    shuffles, composes with the scan; changing the mix re-reads nothing.
 
     Different *seed* values draw decorrelated samples — e.g. train /
     validation splits via ``seed=0`` / ``seed=1`` (each stays an exact
     ``rate`` fraction of each stratum up to the 1/M quantization, since
-    every seed's h is uniform on [0, M)).
+    h is uniform on [0, M) for every seed).
     """
     a_seed = (_SAMPLE_A + int(seed) * 99_991) % SAMPLE_MOD or 1
+    a2_seed = (_SAMPLE_A2 + int(seed) * 99_991) % SAMPLE_MOD or 1
     m = F.lit(SAMPLE_MOD).cast("long")
+    ident = F.col(id_col).cast("long")
+    lo = F.pmod(ident, m)
+    # integer DIV, not `/`: long/long is double division in Spark and
+    # doubles lose integer exactness past 2^53
+    hi = F.pmod(F.expr(f"CAST(`{id_col}` AS BIGINT) DIV {SAMPLE_MOD}"), m)
     h = F.pmod(
-        F.pmod(F.col(id_col).cast("long"), m) * F.lit(a_seed)
-        + F.lit(_SAMPLE_B),
+        lo * F.lit(a_seed) + F.lit(_SAMPLE_B) + hi * F.lit(a2_seed),
         m,
     )
     rate_map = F.create_map(
