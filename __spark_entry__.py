@@ -261,6 +261,34 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_MU = 2000.0
+SIG_MIN_FG_DF = 3
+SIG_TOP_N = 20
+
+
+def _q_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (tsidx/query.py
+    lm_dirichlet_topk) — the standard LM alternative to BM25."""
+    eng = get_engine(spark, sf_dir)
+    return eng.lm_dirichlet_topk(Q_BM25, Q_BM25_K, mu=LM_MU).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
+
+
+def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch-style significant-terms aggregation (JLH score) over
+    the disjunctive match set of Q_AND's terms."""
+    eng = get_engine(spark, sf_dir)
+    return eng.significant_terms(
+        Q_AND, min_fg_df=SIG_MIN_FG_DF, top_n=SIG_TOP_N
+    ).select(
+        "term",
+        "fg_df",
+        "bg_df",
+        F.round("score", 6).alias("score_r"),
+    )
+
+
 def _q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND top-k — bit-identical to the naive BM25 plan by
     construction (safe pruning; tsidx/wand.py), so it shares bm25_topk's
@@ -1595,6 +1623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": _q_mmr_rerank,
         "mmr_consistency": _q_mmr_consistency,
         "bm25_topk": _q_bm25_topk,
+        "lm_dirichlet_topk": _q_lm_dirichlet_topk,
+        "significant_terms": _q_significant_terms,
         "wand_topk": _q_wand_topk,
         "bm25_scores_rare": _q_bm25_scores_rare,
         "bm25_topk_multi": _q_bm25_topk_multi,
@@ -2279,6 +2309,55 @@ SELECT doc_id FROM (
         "bm25_topk": f"""
 SELECT * FROM ({_bm25_scores_sql(Q_BM25)})
 ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
+        "lm_dirichlet_topk": f"""
+WITH {_terms_cte()},
+stats AS (
+  SELECT sum(dl)::DOUBLE AS c_tokens FROM dl
+),
+cfreq AS (
+  SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + tf.tf::DOUBLE / ({LM_MU} * (cfreq.cf / stats.c_tokens)))
+         + ln({LM_MU} / ({LM_MU} + dl.dl::DOUBLE)) AS c
+  FROM tf
+  JOIN cfreq ON tf.term = cfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ({_terms_in(Q_BM25)})
+)
+SELECT doc_id, round(sum(c), 4) AS score_r
+FROM contrib GROUP BY doc_id
+ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
+        "significant_terms": f"""
+WITH {_terms_cte()},
+fg AS (
+  SELECT DISTINCT doc_id FROM trm WHERE term IN ({_terms_in(Q_AND)})
+),
+fgn AS (SELECT count(*)::DOUBLE AS n FROM fg),
+stats AS (SELECT count(*)::DOUBLE AS n_docs FROM dl),
+fgdf AS (
+  SELECT term, count(*)::BIGINT AS fg_df
+  FROM (SELECT DISTINCT t.term, t.doc_id
+        FROM trm t JOIN fg ON t.doc_id = fg.doc_id)
+  GROUP BY term
+),
+bgdf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df FROM trm GROUP BY term
+),
+scored AS (
+  SELECT f.term, f.fg_df, b.bg_df,
+         ((f.fg_df::DOUBLE / fgn.n) - (b.bg_df::DOUBLE / stats.n_docs)) *
+         ((f.fg_df::DOUBLE / fgn.n) / (b.bg_df::DOUBLE / stats.n_docs)) AS score
+  FROM fgdf f
+  JOIN bgdf b ON f.term = b.term
+  CROSS JOIN fgn CROSS JOIN stats
+  WHERE f.fg_df >= {SIG_MIN_FG_DF}
+    AND (f.fg_df::DOUBLE / fgn.n) > (b.bg_df::DOUBLE / stats.n_docs)
+)
+SELECT term, fg_df, bg_df, round(score, 6) AS score_r
+FROM scored ORDER BY score DESC, term LIMIT {SIG_TOP_N}""",
         # WAND is rank- and score-identical to the naive plan by
         # construction, so it shares the bm25_topk oracle verbatim
         "wand_topk": f"""

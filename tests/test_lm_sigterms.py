@@ -1,0 +1,142 @@
+"""LM-Dirichlet ranking and significant-terms aggregation.
+
+Both are verified against an independent driver-side Python computation
+over a tiny transcript corpus (formulas re-derived with math.log /
+collections, not the engine's code path), plus invariants: descending
+order, determinism, empty-query behavior.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from collections import Counter
+
+import pytest
+
+from tsidx.build import build_index
+from tsidx.query import QueryEngine
+from tsidx.tokenize import stem_tokens
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+TEXTS = [
+    "merge the customer table",
+    "customer query planner",
+    "query merge merge conflict",
+    "scan the stream for errors",
+    "customer customer customer service",
+    "the planner picks a scan",
+    "merge window stream",
+    "query the query planner twice",
+]
+
+
+def _ts(i):
+    return datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc) + datetime.timedelta(minutes=i)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    rows = [(f"c{i//4}", i % 4, "user", t, "", _ts(i)) for i, t in enumerate(TEXTS)]
+    idx = build_index(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), block_size=4)
+    return QueryEngine(idx)
+
+
+def _tok_docs():
+    return [stem_tokens(t) for t in TEXTS]
+
+
+def _lm_reference(query: str, mu: float):
+    """Independent Dirichlet query-likelihood computation."""
+    docs = _tok_docs()
+    c_tokens = sum(len(d) for d in docs)
+    cf = Counter(t for d in docs for t in d)
+    qterms = sorted(set(stem_tokens(query)))
+    scores = {}
+    for doc_id, d in enumerate(docs):
+        tf = Counter(d)
+        matched = [t for t in qterms if tf[t] > 0]
+        if not matched:
+            continue
+        s = 0.0
+        for t in matched:
+            s += math.log(1.0 + tf[t] / (mu * (cf[t] / c_tokens)))
+            s += math.log(mu / (mu + len(d)))
+        scores[doc_id] = s
+    return scores
+
+
+def test_lm_dirichlet_matches_reference(engine):
+    mu = 500.0
+    got = {
+        r["doc_id"]: r["score"]
+        for r in engine.lm_dirichlet_scores("customer merge", mu=mu).collect()
+    }
+    want = _lm_reference("customer merge", mu)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_lm_dirichlet_topk_order(engine):
+    rows = engine.lm_dirichlet_topk("customer query", 4, mu=100.0).collect()
+    assert len(rows) == 4
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # deterministic across runs
+    again = engine.lm_dirichlet_topk("customer query", 4, mu=100.0).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_lm_dirichlet_empty_query(engine):
+    assert engine.lm_dirichlet_scores("").count() == 0
+
+
+def test_lm_dirichlet_more_tf_scores_higher(engine):
+    # doc 4 has tf(customer)=3; doc 1 has tf(customer)=1 and is longer-ish
+    got = {
+        r["doc_id"]: r["score"]
+        for r in engine.lm_dirichlet_scores("customer", mu=200.0).collect()
+    }
+    assert got[4] > got[1]
+
+
+def _sig_reference(query: str, min_fg_df: int):
+    docs = _tok_docs()
+    n_docs = len(docs)
+    qterms = set(stem_tokens(query))
+    fg_ids = [i for i, d in enumerate(docs) if qterms & set(d)]
+    fg_n = len(fg_ids)
+    fg_df = Counter(t for i in fg_ids for t in set(docs[i]))
+    bg_df = Counter(t for d in docs for t in set(d))
+    out = {}
+    for t, f in fg_df.items():
+        if f < min_fg_df:
+            continue
+        fg_pct = f / fg_n
+        bg_pct = bg_df[t] / n_docs
+        if fg_pct <= bg_pct:
+            continue
+        out[t] = ((fg_pct - bg_pct) * (fg_pct / bg_pct), f, bg_df[t])
+    return out
+
+
+def test_significant_terms_matches_reference(engine):
+    rows = engine.significant_terms("query", min_fg_df=2, top_n=50).collect()
+    want = _sig_reference("query", 2)
+    got = {r["term"]: (r["score"], r["fg_df"], r["bg_df"]) for r in rows}
+    assert set(got) == set(want)
+    for t, (score, fgd, bgd) in want.items():
+        assert got[t][1] == fgd and got[t][2] == bgd
+        assert got[t][0] == pytest.approx(score, rel=1e-12)
+    # ordering: score desc, term asc
+    keys = [(-r["score"], r["term"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_significant_terms_top_n_and_empty(engine):
+    assert len(engine.significant_terms("query", min_fg_df=1, top_n=2).collect()) == 2
+    assert engine.significant_terms("zzzunknown").count() == 0

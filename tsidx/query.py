@@ -846,6 +846,123 @@ class QueryEngine:
             .select(group_col, "doc_id", "score")
         )
 
+    def lm_dirichlet_scores(
+        self, query: str | list[str], mu: float = 2000.0
+    ) -> DataFrame:
+        """(doc_id, score): query-likelihood ranking with Dirichlet
+        smoothing (Zhai & Lafferty 2001; the Lucene ``LMDirichletSimilarity``
+        family) — the standard alternative to BM25 for verbose queries.
+        Per matched term::
+
+            ln(1 + tf / (mu * (cf / C))) + ln(mu / (mu + dl))
+
+        where ``cf`` is the term's collection frequency (total occurrences
+        across the corpus) and ``C`` the corpus token count
+        (``index.meta["total_tokens"]``). Only matched terms contribute, so
+        the score is comparable within a query, not across queries — the
+        same convention Lucene uses.
+
+        Physical shape: identical to :meth:`bm25_scores` — one pushed
+        ``term IN`` posting scan + decode. ``cf`` is a window sum over the
+        term partition of the already-decoded rows (exact integer sum, no
+        extra scan), and per-doc sums accumulate in sorted-term order, so
+        scores are deterministic and oracle-reproducible.
+        """
+        terms = sorted(set(self.terms_of(query)))
+        spark = self.index.docs.sparkSession
+        if not terms:
+            return spark.createDataFrame([], "doc_id long, score double")
+        from pyspark.sql import Window
+
+        mu = float(mu)
+        c_tokens = float(self.index.meta["total_tokens"])
+        rows = self._live(self.posting_rows(terms))
+        cf = (
+            F.sum(F.col("tf").cast("long"))
+            .over(Window.partitionBy("term"))
+            .cast("double")
+        )
+        tf = F.col("tf").cast("double")
+        dl = F.col("dl").cast("double")
+        contrib = F.log(
+            F.lit(1.0) + tf / (F.lit(mu) * (cf / F.lit(c_tokens)))
+        ) + F.log(F.lit(mu) / (F.lit(mu) + dl))
+        return (
+            rows.withColumn("contrib", contrib)
+            .groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score")
+            )
+        )
+
+    def lm_dirichlet_topk(
+        self, query: str | list[str], k: int, mu: float = 2000.0
+    ) -> DataFrame:
+        """Deterministic top-k by (-score, doc_id) over
+        :meth:`lm_dirichlet_scores`; executes as TakeOrdered."""
+        return (
+            self.lm_dirichlet_scores(query, mu)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
+    def significant_terms(
+        self,
+        query: str | list[str],
+        min_fg_df: int = 3,
+        top_n: int = 20,
+    ) -> DataFrame:
+        """(term, fg_df, bg_df, score): terms statistically over-represented
+        in the query's match set vs the whole corpus — the
+        Elasticsearch-style ``significant_terms`` aggregation, scored with
+        JLH::
+
+            score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+
+        with ``fg_pct = fg_df / |foreground|``, ``bg_pct = bg_df / n_docs``.
+        Terms must appear in at least *min_fg_df* foreground docs and be
+        over-represented (``fg_pct > bg_pct``); the top *top_n* by
+        (score desc, term asc) are returned.
+
+        Physical shape: the foreground doc set is the disjunctive match
+        (gaps-only pushed scan of the query terms); foreground term counts
+        come from ONE full-index posting decode semi-joined against that
+        set (AQE broadcasts the match side while it is small), with the
+        (term) aggregation partially combined map-side. Background df is
+        the existing terms dictionary — no second corpus pass. The full
+        decode is the irreducible cost of a corpus-contrast analytic; it
+        is one index scan, shuffle-free on the big side until the partial
+        agg.
+        """
+        fg_ids = self.match(query).select("doc_id")
+        fg_n = fg_ids.count()
+        spark = self.index.docs.sparkSession
+        out_schema = "term string, fg_df long, bg_df long, score double"
+        if fg_n == 0:
+            return spark.createDataFrame([], out_schema)
+        n_docs = float(self.index.meta["n_docs"])
+        fg_df = (
+            self._live(self.posting_rows_all().select("term", "doc_id"))
+            .join(fg_ids, "doc_id", "semi")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("fg_df"))
+        )
+        fg_pct = F.col("fg_df").cast("double") / F.lit(float(fg_n))
+        bg_pct = F.col("bg_df").cast("double") / F.lit(n_docs)
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        return (
+            fg_df.join(self.index.terms.select("term", F.col("df").cast("long").alias("bg_df")), "term")
+            .filter(F.col("fg_df") >= int(min_fg_df))
+            .withColumn("score", score)
+            .filter(fg_pct > bg_pct)
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(int(top_n))
+        )
+
     def wand_topk(self, query: str | list[str], k: int) -> DataFrame:
         """Block-max WAND top-k (tsidx.wand) — rank- and score-identical to
         :meth:`bm25_topk`, prunes non-competitive posting blocks."""
