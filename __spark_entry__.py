@@ -289,6 +289,31 @@ def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _percolate_registry() -> list[tuple[str, list[str], int]]:
+    """Fixed stored-query registry shared by engine and oracle: one
+    conjunctive, one disjunctive, one minimum-should-match query."""
+    all_t = _sql_query_terms(Q_BM25)
+    return [
+        ("q_all", all_t, len(all_t)),
+        ("q_any", _sql_query_terms(Q_RARE), 1),
+        ("q_two", _sql_query_terms(Q_AND), 2),
+    ]
+
+
+def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search (tsidx/percolate.py): match every doc against the
+    stored-query registry in one posting scan."""
+    from tsidx.percolate import percolate
+
+    eng = get_engine(spark, sf_dir)
+    reg = spark.createDataFrame(
+        _percolate_registry(), "query_id string, terms array<string>, min_match int"
+    )
+    return percolate(eng, reg).select(
+        "query_id", F.col("doc_id").cast("long"), "n_matched"
+    )
+
+
 def _q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND top-k — bit-identical to the naive BM25 plan by
     construction (safe pruning; tsidx/wand.py), so it shares bm25_topk's
@@ -1625,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "lm_dirichlet_topk": _q_lm_dirichlet_topk,
         "significant_terms": _q_significant_terms,
+        "percolate": _q_percolate,
         "wand_topk": _q_wand_topk,
         "bm25_scores_rare": _q_bm25_scores_rare,
         "bm25_topk_multi": _q_bm25_topk_multi,
@@ -2358,6 +2384,22 @@ scored AS (
 )
 SELECT term, fg_df, bg_df, round(score, 6) AS score_r
 FROM scored ORDER BY score DESC, term LIMIT {SIG_TOP_N}""",
+        "percolate": f"""
+WITH {_terms_cte()},
+reg(query_id, term, min_match) AS (
+  VALUES {", ".join(f"('{qid}', '{t}', {mm})" for qid, ts, mm in _percolate_registry() for t in sorted(set(ts)))}
+),
+dterm AS (SELECT DISTINCT doc_id, term FROM trm),
+matched AS (
+  SELECT reg.query_id, dterm.doc_id,
+         count(DISTINCT dterm.term)::BIGINT AS n_matched
+  FROM dterm JOIN reg ON dterm.term = reg.term
+  GROUP BY reg.query_id, dterm.doc_id
+),
+need AS (SELECT query_id, max(min_match) AS mm FROM reg GROUP BY query_id)
+SELECT m.query_id, m.doc_id, m.n_matched
+FROM matched m JOIN need ON m.query_id = need.query_id
+WHERE m.n_matched >= need.mm""",
         # WAND is rank- and score-identical to the naive plan by
         # construction, so it shares the bm25_topk oracle verbatim
         "wand_topk": f"""

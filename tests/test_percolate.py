@@ -1,0 +1,93 @@
+"""Percolate (reverse search) vs an independent Python reference, plus the
+full-scan fallback path and edge cases."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsidx.build import build_index
+from tsidx.percolate import percolate
+from tsidx.query import QueryEngine
+from tsidx.tokenize import stem_tokens
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+REG_SCHEMA = "query_id string, terms array<string>, min_match int"
+
+TEXTS = [
+    "merge the customer table",
+    "customer query planner",
+    "query merge merge conflict",
+    "scan the stream for errors",
+    "customer service desk",
+    "the planner picks a scan plan",
+    "merge window stream",
+    "query the query planner twice",
+]
+
+REGISTRY = [
+    ("all3", stem_tokens("customer query merge"), 3),
+    ("any", stem_tokens("stream scan"), 1),
+    ("two", stem_tokens("query planner merge"), 2),
+    ("impossible", stem_tokens("customer"), 5),  # min_match > len(terms)
+    ("dupes", stem_tokens("merge merge merge"), 1),  # duplicate stored terms
+]
+
+
+def _ts(i):
+    return datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc) + datetime.timedelta(minutes=i)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    rows = [(f"c{i//4}", i % 4, "user", t, "", _ts(i)) for i, t in enumerate(TEXTS)]
+    idx = build_index(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), block_size=4)
+    return QueryEngine(idx)
+
+
+def _reference():
+    docs = [set(stem_tokens(t)) for t in TEXTS]
+    out = set()
+    for qid, terms, mm in REGISTRY:
+        tset = set(terms)
+        for doc_id, d in enumerate(docs):
+            n = len(tset & d)
+            if n >= mm:
+                out.add((qid, doc_id, n))
+    return out
+
+
+def test_percolate_matches_reference(spark, engine):
+    reg = spark.createDataFrame(REGISTRY, REG_SCHEMA)
+    got = {tuple(r) for r in percolate(engine, reg).collect()}
+    assert got == _reference()
+    assert not any(r[0] == "impossible" for r in got)
+
+
+def test_percolate_fallback_scan_identical(spark, engine):
+    """Registry vocabulary above max_pushdown_terms: the full-scan branch
+    must return the identical result set."""
+    reg = spark.createDataFrame(REGISTRY, REG_SCHEMA)
+    fast = {tuple(r) for r in percolate(engine, reg).collect()}
+    full = {tuple(r) for r in percolate(engine, reg, max_pushdown_terms=1).collect()}
+    assert fast == full == _reference()
+
+
+def test_percolate_empty_registry(spark, engine):
+    reg = spark.createDataFrame([], REG_SCHEMA)
+    assert percolate(engine, reg).count() == 0
+
+
+def test_percolate_respects_tombstones(spark, engine):
+    """Deleted docs never match stored queries."""
+    from tsidx.deletes import delete_docs
+
+    idx2 = delete_docs(engine.index, [0, 3])
+    eng2 = QueryEngine(idx2)
+    reg = spark.createDataFrame(REGISTRY, REG_SCHEMA)
+    got = {tuple(r) for r in percolate(eng2, reg).collect()}
+    assert got == {t for t in _reference() if t[1] not in (0, 3)}

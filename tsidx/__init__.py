@@ -38,6 +38,7 @@ __all__ = [
     "prune_terms",
     "pack_shards",
     "tfidf_rows",
+    "percolate",
 ]
 
 
@@ -76,4 +77,8 @@ def __getattr__(name):
         from tsidx.vectors import tfidf_rows
 
         return tfidf_rows
+    if name == "percolate":
+        from tsidx.percolate import percolate
+
+        return percolate
     raise AttributeError(f"module 'tsidx' has no attribute {name!r}")

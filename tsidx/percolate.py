@@ -1,0 +1,71 @@
+"""Percolation (reverse search): match the indexed document stream against
+a registry of STORED queries — the Elasticsearch-percolator shape. At
+pipeline scale this is how standing alerts / routing rules / labeling
+filters are applied to a transcript firehose: thousands of stored queries,
+one pass over the corpus.
+
+No reference counterpart (the reference engine answers ad-hoc queries
+only); north-rule extension.
+
+Registry schema: ``(query_id string, terms array<string>, min_match int)``
+— *terms* are already-stemmed index terms, *min_match* the number of
+distinct terms a doc must contain (``len(terms)`` = conjunctive, ``1`` =
+disjunctive, in between = minimum-should-match).
+
+Physical shape: the registry's distinct vocabulary is collected
+(registry-bounded, never data-scale — a million stored queries over a
+10^6-term dictionary still collect at most the dictionary) and re-planted
+as a pushed ``term IN`` filter on the posting scan, so only the blocks of
+terms ANY stored query uses are read; each gaps-only posting row fans out
+to the stored queries containing its term via a broadcast join, and one
+(query_id, doc_id) aggregation applies each query's threshold. Above
+*max_pushdown_terms* the literal IN list would bloat the plan, so the scan
+falls back to the full index with the same broadcast join — one index
+scan either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["percolate"]
+
+
+def percolate(
+    engine,
+    registry: DataFrame,
+    max_pushdown_terms: int = 10000,
+) -> DataFrame:
+    """(query_id, doc_id, n_matched): every (stored query, document) pair
+    where the doc contains at least the query's ``min_match`` distinct
+    terms. Deterministic; ``n_matched`` counts distinct matched terms.
+    """
+    pairs = registry.select(
+        "query_id", F.explode("terms").alias("term")
+    ).distinct()
+    need = registry.select(
+        "query_id", F.col("min_match").cast("long").alias("min_match")
+    )
+    vocab = [
+        r["term"]
+        for r in pairs.select("term")
+        .distinct()
+        .limit(max_pushdown_terms + 1)
+        .collect()
+    ]
+    if len(vocab) <= max_pushdown_terms:
+        blocks = engine._blocks_for(sorted(vocab))
+    else:  # registry vocabulary too wide for a literal IN — scan all blocks
+        blocks = engine.index.postings
+    rows = engine._live(engine.posting_doc_ids(blocks))
+    matched = (
+        rows.join(F.broadcast(pairs), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").cast("long").alias("n_matched"))
+    )
+    return (
+        matched.join(F.broadcast(need), "query_id")
+        .filter(F.col("n_matched") >= F.col("min_match"))
+        .select("query_id", "doc_id", "n_matched")
+    )
