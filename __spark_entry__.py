@@ -620,6 +620,50 @@ EMB_DUP_TAU = 0.4
 HL_QUERY = "customer query"
 
 
+def _q_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-quantized embeddings (tsidx/ann.py
+    quantize_int8) — deterministic integer arithmetic, oracle-checked."""
+    from tsidx.ann import quantized_cosine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    topk = quantized_cosine_topk(emb, queries, k=ANN_K)
+    return topk.select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.round("sim", 4).alias("sim_r"),
+    )
+
+
+def _q_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the int8-quantized top-k against the exact float path —
+    the quantitative quality gate for the 4x-compressed representation.
+    Both sides are deterministic, so this row is fully oracle-checkable."""
+    from tsidx.ann import cosine_topk, quantized_cosine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = cosine_topk(emb, queries, k=ANN_K).select("query_id", "vec_id")
+    quant = (
+        quantized_cosine_topk(emb, queries, k=ANN_K)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(quant, ["query_id", "vec_id"], "left")
+        .groupBy(F.col("query_id").cast("long").alias("query_id"))
+        .agg(
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(float(ANN_K))).alias(
+                "recall"
+            )
+        )
+    )
+
+
 def _q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First N_MINHASH MinHash values per doc (full hash-pipeline parity)."""
     from tsidx.dedup import minhash_signatures
@@ -1670,6 +1714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dup_clusters": _q_dup_clusters,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "quantized_ann_topk": _q_quantized_ann_topk,
+        "quantized_ann_recall": _q_quantized_ann_recall,
         "minhash_sigs": _q_minhash_sigs,
         "simhash": _q_simhash,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1729,6 +1775,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _H64 = "('0x' || substr(md5({v}),1,15))::BIGINT"
 _P31 = 2147483647
+
+
+def _quant_cte() -> str:
+    """CTE ``qv (vec_id, q)``: per-vector symmetric int8 quantization —
+    floor(x * 127 / max|x| + 0.5), zero vectors to zeros. The exact rule
+    of tsidx.ann.quantize_int8 (floor-based round-half-up, so both systems
+    agree bit-for-bit; quantized values are integer-valued doubles, exact
+    in list_dot_product)."""
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+qv AS (
+  SELECT vec_id,
+         CASE WHEN ma > 0
+              THEN list_transform(v, x -> floor((x * 127.0) / ma + 0.5))
+              ELSE list_transform(v, x -> 0.0) END AS q
+  FROM m
+)"""
 
 
 def _minhash_sql() -> str:
@@ -2756,6 +2821,66 @@ reach AS (
 )
 SELECT v::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id
 FROM reach GROUP BY v""",
+        "quantized_ann_topk": f"""
+WITH {_quant_cte()},
+q AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < {ANN_NQ}),
+sims AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.q, q.qq) /
+         (sqrt(list_dot_product(c.q, c.q)) *
+          sqrt(list_dot_product(q.qq, q.qq))) AS sim
+  FROM q CROSS JOIN qv c WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT query_id, vec_id, round(sim, 4) AS sim_r
+FROM ranked WHERE rn <= {ANN_K}""",
+        "quantized_ann_recall": f"""
+WITH {_quant_cte()},
+fq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < {ANN_NQ}
+),
+sims_e AS (
+  SELECT fq.query_id, e.vec_id,
+         list_dot_product(fq.qe, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(fq.qe, fq.qe)) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS sim
+  FROM fq CROSS JOIN embeddings e WHERE e.vec_id <> fq.query_id
+),
+top_e AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM sims_e) WHERE rn <= {ANN_K}
+),
+qq AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < {ANN_NQ}),
+sims_q AS (
+  SELECT qq.query_id, c.vec_id,
+         list_dot_product(c.q, qq.qq) /
+         (sqrt(list_dot_product(c.q, c.q)) *
+          sqrt(list_dot_product(qq.qq, qq.qq))) AS sim
+  FROM qq CROSS JOIN qv c WHERE c.vec_id <> qq.query_id
+),
+top_q AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM sims_q) WHERE rn <= {ANN_K}
+)
+SELECT e.query_id,
+       sum(CASE WHEN q.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         / {float(ANN_K)} AS recall
+FROM top_e e LEFT JOIN top_q q
+  ON e.query_id = q.query_id AND e.vec_id = q.vec_id
+GROUP BY e.query_id""",
         "ann_cosine_topk": f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

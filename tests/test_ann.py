@@ -184,3 +184,57 @@ def test_ivf_full_probe_equals_exact(emb, queries):
         ).collect()
     )
     assert exact == full
+
+
+def test_quantize_int8_matches_numpy(emb):
+    """Quantization rule floor(x*127/max|x| + 0.5), verified independently."""
+    import numpy as np
+
+    from tsidx.ann import quantize_int8
+
+    got = {r["vec_id"]: list(r["qvec"])
+           for r in quantize_int8(emb).limit(2000).collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for vid, q in got.items():
+        v = vecs[vid]
+        ma = np.abs(v).max()
+        want = (np.floor(v * 127.0 / ma + 0.5).astype(np.int64) if ma > 0
+                else np.zeros(len(v), dtype=np.int64))
+        assert q == want.tolist(), vid
+        assert max(abs(x) for x in q) <= 127
+
+
+def test_quantize_int8_zero_vector(spark):
+    from tsidx.ann import quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: list(r["qvec"]) for r in quantize_int8(df).collect()}
+    assert got[0] == [0, 0, 0]
+    assert got[1] == [64, -127, 32]  # floor(x*127/2 + .5)
+
+
+def test_quantized_topk_recall_vs_exact(emb, queries):
+    """int8 quantization must preserve nearly all of the exact top-k."""
+    from tsidx.ann import quantized_cosine_topk
+
+    k = 10
+    exact = cosine_topk(emb, queries, k=k).collect()
+    quant = quantized_cosine_topk(emb, queries, k=k).collect()
+    ex: dict = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    qt: dict = {}
+    for r in quant:
+        qt.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[q] & qt[q]) / k for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # sims are close to the float sims, not just overlapping ids
+    exact_sims = {(r["query_id"], r["vec_id"]): r["sim"] for r in exact}
+    for r in quant:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_sims:
+            assert abs(r["sim"] - exact_sims[key]) < 0.02
