@@ -863,29 +863,33 @@ class QueryEngine:
         same convention Lucene uses.
 
         Physical shape: identical to :meth:`bm25_scores` — one pushed
-        ``term IN`` posting scan + decode. ``cf`` is a window sum over the
-        term partition of the already-decoded rows (exact integer sum, no
-        extra scan), and per-doc sums accumulate in sorted-term order, so
-        scores are deterministic and oracle-reproducible.
+        ``term IN`` posting scan + decode. ``cf`` comes from the block
+        METADATA (``sum_tf`` per block, an exact integer sum maintained by
+        the build) aggregated per term and broadcast back — no window over
+        the decoded rows, so a hot term's postings are never repartitioned
+        into one task. Like Lucene, collection statistics (cf, C) count
+        logically-deleted docs until compaction; per-doc sums accumulate in
+        sorted-term order, so scores are deterministic and
+        oracle-reproducible.
         """
         terms = sorted(set(self.terms_of(query)))
         spark = self.index.docs.sparkSession
         if not terms:
             return spark.createDataFrame([], "doc_id long, score double")
-        from pyspark.sql import Window
-
         mu = float(mu)
         c_tokens = float(self.index.meta["total_tokens"])
-        rows = self._live(self.posting_rows(terms))
-        cf = (
-            F.sum(F.col("tf").cast("long"))
-            .over(Window.partitionBy("term"))
-            .cast("double")
+        cf_df = (
+            self._blocks_for(terms)
+            .groupBy("term")
+            .agg(F.sum("sum_tf").cast("double").alias("_cf"))
+        )
+        rows = self._live(self.posting_rows(terms)).join(
+            F.broadcast(cf_df), "term"
         )
         tf = F.col("tf").cast("double")
         dl = F.col("dl").cast("double")
         contrib = F.log(
-            F.lit(1.0) + tf / (F.lit(mu) * (cf / F.lit(c_tokens)))
+            F.lit(1.0) + tf / (F.lit(mu) * (F.col("_cf") / F.lit(c_tokens)))
         ) + F.log(F.lit(mu) / (F.lit(mu) + dl))
         return (
             rows.withColumn("contrib", contrib)
