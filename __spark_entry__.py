@@ -620,6 +620,41 @@ EMB_DUP_TAU = 0.4
 HL_QUERY = "customer query"
 
 
+BPE_MERGES = 10
+
+
+def _q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale aggregation feeding BPE training (tsidx/bpe.py)."""
+    from tsidx.bpe import word_counts
+
+    return word_counts(load_documents(spark, sf_dir)).select("word", "n")
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE_MERGES learned merges (rows-only: the iterative loop is
+    not SQL-expressible; pytest verifies against an independent
+    single-node reference implementation)."""
+    from tsidx.bpe import train_bpe
+
+    merges = train_bpe(load_documents(spark, sf_dir), BPE_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_idx long, left string, right string, cnt long",
+    )
+
+
+def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE piece counts under the learned merge table (rows-only;
+    deterministic given the merges, which are themselves deterministic)."""
+    from tsidx.bpe import bpe_segment, train_bpe
+
+    docs = load_documents(spark, sf_dir)
+    merges = train_bpe(docs, BPE_MERGES)
+    return bpe_segment(docs, merges).select(
+        F.col("doc_id").cast("long"), "n_words", "n_pieces"
+    )
+
+
 def _q_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-k over int8-quantized embeddings (tsidx/ann.py
     quantize_int8) — deterministic integer arithmetic, oracle-checked."""
@@ -1716,6 +1751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "quantized_ann_topk": _q_quantized_ann_topk,
         "quantized_ann_recall": _q_quantized_ann_recall,
+        "bpe_word_counts": _q_bpe_word_counts,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
         "minhash_sigs": _q_minhash_sigs,
         "simhash": _q_simhash,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2821,6 +2859,11 @@ reach AS (
 )
 SELECT v::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id
 FROM reach GROUP BY v""",
+        "bpe_word_counts": """
+SELECT word, count(*)::BIGINT AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      FROM documents)
+WHERE word <> '' GROUP BY word""",
         "quantized_ann_topk": f"""
 WITH {_quant_cte()},
 q AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < {ANN_NQ}),

@@ -184,6 +184,27 @@ def main():
 
     p50("wand_topk_batch4", lambda: wand_topk_batch(idx, batch, 10).count())
     p50("more_like_this", lambda: eng.more_like_this(17, 10).collect())
+    p50(
+        "lm_dirichlet_topk",
+        lambda: eng.lm_dirichlet_topk("customer query merge", 25).collect(),
+    )
+    p50(
+        "significant_terms",
+        lambda: eng.significant_terms("table scan join", 3, 20).collect(),
+    )
+
+    from tsidx.percolate import percolate
+    from tsidx.tokenize import stem_tokens
+
+    reg = spark.createDataFrame(
+        [
+            ("q_all", stem_tokens("customer query merge"), 3),
+            ("q_any", stem_tokens("vector stream dup"), 1),
+            ("q_two", stem_tokens("table scan join"), 2),
+        ],
+        "query_id string, terms array<string>, min_match int",
+    )
+    p50("percolate3", lambda: percolate(eng, reg).count())
 
     from tsidx.cooccur import cooccurrence_pmi
 
@@ -260,6 +281,12 @@ def main():
     ivf_topk(emb, queries, k=10, n_centroids=32, n_probes=8).count()
     timings["ivf_ann_topk"] = time.time() - t0
 
+    from tsidx.ann import quantized_cosine_topk
+
+    t0 = time.time()
+    quantized_cosine_topk(emb, queries, k=10).count()
+    timings["quantized_ann_topk"] = time.time() - t0
+
     # curation ops at full transcript scale (640k turns at sf0.1):
     # quality_filter/sample_mix are map-only JVM plans (scan-speed),
     # conv_fingerprint/sessionize one bounded (conv_id) shuffle each
@@ -286,6 +313,14 @@ def main():
     t0 = time.time()
     conversation_fingerprint(transcripts).count()
     timings["conv_fingerprint"] = time.time() - t0
+
+    # BPE vocabulary induction: one corpus-scale word-count agg, then 10
+    # dictionary-bounded merge rounds
+    from tsidx.bpe import train_bpe
+
+    t0 = time.time()
+    train_bpe(transcripts, 10)
+    timings["bpe_train10"] = time.time() - t0
 
     # jittered event times so conversations actually split into sessions
     jittered = transcripts.withColumn(

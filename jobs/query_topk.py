@@ -34,7 +34,7 @@ def main() -> None:
         choices=[
             "topk", "match", "match_all", "phrase", "gapped", "bool",
             "batch", "mlt", "proximity", "after", "decayed", "minshould",
-            "explain",
+            "explain", "lm", "sigterms", "percolate",
         ],
     )
     ap.add_argument("--parallelism", type=int, default=None)
@@ -47,6 +47,13 @@ def main() -> None:
     )
     ap.add_argument("--now", help="--mode decayed reference instant (ISO, UTC)")
     ap.add_argument("--half-life-days", type=float, default=30.0)
+    ap.add_argument("--mu", type=float, default=2000.0, help="--mode lm smoothing")
+    ap.add_argument(
+        "--registry",
+        help="--mode percolate: JSON file of stored queries "
+        '[{"query_id": ..., "query": "raw text", "min_match": n|null}, ...] '
+        "(min_match null/absent = all terms must match)",
+    )
     args = ap.parse_args()
 
     spark = make_spark(args.parallelism, "tsidx-query")
@@ -126,6 +133,28 @@ def main() -> None:
                 ap.error("--mode after requires --after DOC_ID SCORE")
             cur = (int(args.after[0]), float(args.after[1]))
             rows = eng.bm25_topk_after(query, args.k, cur).collect()
+        elif args.mode == "lm":
+            rows = eng.lm_dirichlet_topk(query, args.k, mu=args.mu).collect()
+        elif args.mode == "sigterms":
+            rows = eng.significant_terms(query, top_n=args.k).collect()
+        elif args.mode == "percolate":
+            if not args.registry:
+                ap.error("--mode percolate requires --registry FILE")
+            from tsidx.percolate import percolate
+
+            with open(args.registry) as f:
+                entries = json.load(f)
+            reg_rows = []
+            for ent in entries:
+                terms = eng.terms_of(ent["query"])
+                mm = ent.get("min_match") or len(terms)
+                reg_rows.append((str(ent["query_id"]), terms, int(mm)))
+            reg = spark.createDataFrame(
+                reg_rows, "query_id string, terms array<string>, min_match int"
+            )
+            rows = (
+                percolate(eng, reg).orderBy("query_id", "doc_id").collect()
+            )
         elif args.mode == "decayed":
             if not args.now:
                 ap.error("--mode decayed requires --now")
