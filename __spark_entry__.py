@@ -314,6 +314,21 @@ def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_percolate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-free (streaming-shape) percolation of the raw documents
+    table against the stored-query registry — stateless map-only plan,
+    identical expression batch/streaming (tsidx/percolate.py)."""
+    from tsidx.percolate import percolate_docs
+
+    reg = spark.createDataFrame(
+        _percolate_registry(), "query_id string, terms array<string>, min_match int"
+    )
+    docs = load_documents(spark, sf_dir)
+    return percolate_docs(docs, reg).select(
+        "query_id", F.col("doc_id").cast("long"), "n_matched"
+    )
+
+
 def _q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND top-k — bit-identical to the naive BM25 plan by
     construction (safe pruning; tsidx/wand.py), so it shares bm25_topk's
@@ -621,6 +636,20 @@ HL_QUERY = "customer query"
 
 
 BPE_MERGES = 10
+_BPE_CACHE: dict = {}
+
+
+def _get_bpe_merges(spark: SparkSession, sf_dir: str):
+    """Train once per (session, sf dir): bpe_merges and bpe_token_counts
+    share the same deterministic merge table."""
+    key = (id(spark), os.path.normpath(sf_dir))
+    merges = _BPE_CACHE.get(key)
+    if merges is None:
+        from tsidx.bpe import train_bpe
+
+        merges = train_bpe(load_documents(spark, sf_dir), BPE_MERGES)
+        _BPE_CACHE[key] = merges
+    return merges
 
 
 def _q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,9 +663,7 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE_MERGES learned merges (rows-only: the iterative loop is
     not SQL-expressible; pytest verifies against an independent
     single-node reference implementation)."""
-    from tsidx.bpe import train_bpe
-
-    merges = train_bpe(load_documents(spark, sf_dir), BPE_MERGES)
+    merges = _get_bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "merge_idx long, left string, right string, cnt long",
@@ -646,10 +673,10 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BPE piece counts under the learned merge table (rows-only;
     deterministic given the merges, which are themselves deterministic)."""
-    from tsidx.bpe import bpe_segment, train_bpe
+    from tsidx.bpe import bpe_segment
 
     docs = load_documents(spark, sf_dir)
-    merges = train_bpe(docs, BPE_MERGES)
+    merges = _get_bpe_merges(spark, sf_dir)
     return bpe_segment(docs, merges).select(
         F.col("doc_id").cast("long"), "n_words", "n_pieces"
     )
@@ -1730,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk": _q_lm_dirichlet_topk,
         "significant_terms": _q_significant_terms,
         "percolate": _q_percolate,
+        "percolate_docs": _q_percolate_docs,
         "wand_topk": _q_wand_topk,
         "bm25_scores_rare": _q_bm25_scores_rare,
         "bm25_topk_multi": _q_bm25_topk_multi,
@@ -2503,6 +2531,18 @@ need AS (SELECT query_id, max(min_match) AS mm FROM reg GROUP BY query_id)
 SELECT m.query_id, m.doc_id, m.n_matched
 FROM matched m JOIN need ON m.query_id = need.query_id
 WHERE m.n_matched >= need.mm""",
+        "percolate_docs": f"""
+WITH {_terms_cte()},
+reg(query_id, terms, min_match) AS (
+  VALUES {", ".join("('%s', [%s], %d)" % (qid, ", ".join(f"'{t}'" for t in sorted(set(ts))), mm) for qid, ts, mm in _percolate_registry())}
+),
+stems AS (
+  SELECT doc_id, list(DISTINCT term) AS st FROM trm GROUP BY doc_id
+)
+SELECT reg.query_id, stems.doc_id,
+       len(list_intersect(stems.st, reg.terms))::BIGINT AS n_matched
+FROM stems CROSS JOIN reg
+WHERE len(list_intersect(stems.st, reg.terms)) >= reg.min_match""",
         # WAND is rank- and score-identical to the naive plan by
         # construction, so it shares the bm25_topk oracle verbatim
         "wand_topk": f"""

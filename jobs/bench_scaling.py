@@ -112,9 +112,15 @@ def main() -> None:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(md, "w") as f:
-        f.write(
-            f"""# BENCH — measured scaling efficiency (sandbox evidence for the north rule)
+    # BASELINE.md accumulates curated sections across rounds — never
+    # clobber them: re-measurements append their own section instead.
+    fresh = not os.path.exists(md)
+    with open(md, "a") as f:
+        if not fresh:
+            f.write("\n## Scaling re-measurement (same method as the header section)\n")
+        if fresh:
+            f.write(
+                f"""# BENCH — measured scaling efficiency (sandbox evidence for the north rule)
 
 The north rule requires >= 0.8 throughput scaling efficiency from N to 4N
 executors. No real cluster exists in this sandbox; per the driver
@@ -132,7 +138,7 @@ un-throttled regime) with {args.rounds} interleaved rounds per level,
 reporting each level's best run. Reproduce the probe:
 `python jobs/bench_scaling.py --probe`.
 """
-        )
+            )
         f.write(
             f"""
 - Job: `python jobs/build_index.py --input {args.input} --replicas {args.replicas}

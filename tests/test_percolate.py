@@ -91,3 +91,45 @@ def test_percolate_respects_tombstones(spark, engine):
     reg = spark.createDataFrame(REGISTRY, REG_SCHEMA)
     got = {tuple(r) for r in percolate(eng2, reg).collect()}
     assert got == {t for t in _reference() if t[1] not in (0, 3)}
+
+
+def test_percolate_docs_matches_index_percolate(spark, engine):
+    """Index-free doc percolation agrees with the index-backed path."""
+    from tsidx.percolate import percolate_docs
+
+    reg = spark.createDataFrame(REGISTRY, REG_SCHEMA)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    got = {tuple(r) for r in
+           percolate_docs(docs, reg).select("query_id", "doc_id", "n_matched").collect()}
+    assert got == _reference()
+
+
+def test_percolate_docs_streaming(spark, tmp_path):
+    """The identical expression runs under Structured Streaming (append
+    mode, no state) and emits the same matches as the batch plan."""
+    from pyspark.sql import functions as F
+
+    from tsidx.percolate import percolate_docs
+
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    docs.coalesce(1).write.parquet(in_dir)
+    reg = spark.createDataFrame(REGISTRY, REG_SCHEMA)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    q = (
+        percolate_docs(stream, reg)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in
+           spark.read.parquet(out_dir).select("query_id", "doc_id", "n_matched").collect()}
+    assert got == _reference()

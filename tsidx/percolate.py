@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["percolate"]
+__all__ = ["percolate", "percolate_docs"]
 
 
 def percolate(
@@ -68,4 +68,43 @@ def percolate(
         matched.join(F.broadcast(need), "query_id")
         .filter(F.col("n_matched") >= F.col("min_match"))
         .select("query_id", "doc_id", "n_matched")
+    )
+
+
+def percolate_docs(
+    docs: DataFrame,
+    registry: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Index-free percolation of a DOCUMENT STREAM: (id..., query_id,
+    n_matched) for every (doc, stored query) pair meeting the query's
+    ``min_match``. Same registry schema and matching semantics as
+    :func:`percolate` (distinct-stem containment), but the input is raw
+    text rather than a built index — the shape for routing an incoming
+    transcript firehose to standing alerts BEFORE anything is indexed.
+
+    Entirely STATELESS: one Arrow stem pass per row, then a broadcast
+    join against the (bounded) registry and a per-row
+    ``array_intersect`` — no aggregation, no shuffle of the doc stream,
+    no watermark needed. The identical expression therefore runs under
+    Structured Streaming in append mode (tested) and compiles to a
+    map-only stage in batch.
+    """
+    from tsidx.tokenize import stem_array_udf
+
+    reg = registry.select(
+        "query_id",
+        F.array_distinct("terms").alias("_qterms"),
+        F.col("min_match").cast("long").alias("_mm"),
+    )
+    stems = docs.select(
+        *id_cols, stem_array_udf()(F.col(text_col)).alias("_stems")
+    ).withColumn("_stems", F.array_distinct("_stems"))
+    n_matched = F.size(F.array_intersect("_stems", "_qterms")).cast("long")
+    return (
+        stems.join(F.broadcast(reg))
+        .withColumn("n_matched", n_matched)
+        .filter(F.col("n_matched") >= F.col("_mm"))
+        .select(*id_cols, "query_id", "n_matched")
     )
