@@ -238,3 +238,16 @@ def test_quantized_topk_recall_vs_exact(emb, queries):
         key = (r["query_id"], r["vec_id"])
         if key in exact_sims:
             assert abs(r["sim"] - exact_sims[key]) < 0.02
+
+
+def test_quantized_topk_prequantized_roundtrip(spark, emb, queries, tmp_path):
+    """Stored-quantized corpus path == on-the-fly quantization path."""
+    from tsidx.ann import quantize_read, quantize_write, quantized_cosine_topk
+
+    path = str(tmp_path / "qvecs")
+    quantize_write(emb, path)
+    stored = quantize_read(spark, path)
+    a = sorted(map(tuple, quantized_cosine_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, quantized_cosine_topk(
+        stored, queries, k=5, emb_col="qvec", corpus_quantized=True).collect()))
+    assert a == b
