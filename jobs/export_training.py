@@ -26,6 +26,10 @@
     # PII-style redaction (email/phone/number placeholders + counts)
     python jobs/export_training.py redact --index /tmp/idx --output /tmp/red
 
+    # BPE merge table learned from the corpus (subword vocabulary)
+    python jobs/export_training.py bpe --index /tmp/idx \
+        --output /tmp/merges --merges 64
+
 Each action writes a parquet table through the tsidx.io format seam (so
 `spark.tsidx.format=iceberg` redirects on clusters) and prints one JSON
 line with row counts and wall time.
@@ -50,6 +54,7 @@ def main() -> None:
         "action",
         choices=[
             "tfidf", "pack", "pairs", "context", "quality", "sample", "redact",
+            "bpe",
         ],
     )
     ap.add_argument("--index", required=True)
@@ -77,6 +82,7 @@ def main() -> None:
         help="sample: uniform keep probability over the corpus",
     )
     ap.add_argument("--seed", type=int, default=0, help="sample")
+    ap.add_argument("--merges", type=int, default=64, help="bpe")
     args = ap.parse_args()
 
     spark = make_spark(args.parallelism, f"tsidx-export-{args.action}")
@@ -128,6 +134,14 @@ def main() -> None:
         from tsidx.textstats import redact_text
 
         out_df = redact_text(idx.docs.select("doc_id", "text"))
+    elif args.action == "bpe":
+        from tsidx.bpe import train_bpe
+
+        merges = train_bpe(idx.docs, args.merges)
+        out_df = spark.createDataFrame(
+            [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+            "merge_idx long, left string, right string, cnt long",
+        )
     else:
         from pyspark.sql import functions as F
 
