@@ -884,6 +884,54 @@ def _q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N = 5  # decontamination n-gram length
+DECON_MOD = 29  # docs with doc_id % DECON_MOD == 0 form the benchmark set
+DECON_TAU = 0.5
+LM_ALPHA = 0.1  # add-alpha smoothing for the bigram quality LM
+
+
+def _q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination stats: distinct-5-gram overlap of every
+    corpus doc against a deterministic benchmark slice (doc_id % 29 == 0).
+    One corpus scan + broadcast of the benchmark gram hashes."""
+    from tsidx.decontam import ngram_overlap
+
+    docs = load_documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % DECON_MOD == 0)
+    return ngram_overlap(docs, bench, n=DECON_N, tau=DECON_TAU).select(
+        F.col("doc_id").cast("long"),
+        "n_grams",
+        "n_hit",
+        F.round("overlap_frac", 4).alias("frac_r"),
+        "contaminated",
+    )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline action: corpus docs surviving decontamination."""
+    from tsidx.decontam import decontaminate
+
+    docs = load_documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % DECON_MOD == 0)
+    return decontaminate(docs, bench, n=DECON_N, tau=DECON_TAU).select(
+        F.col("doc_id").cast("long"), F.col("n_chars").cast("long")
+    )
+
+
+def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality score: per-doc cross-entropy (nats) under an
+    add-alpha bigram LM trained on the corpus itself."""
+    from tsidx.lmquality import bigram_lm_score
+
+    docs = load_documents(spark, sf_dir)
+    scored = bigram_lm_score(docs, alpha=LM_ALPHA)
+    return scored.select(
+        F.col("doc_id").cast("long"),
+        "n_bigrams",
+        F.round("xent", 4).alias("xent_r"),
+    )
+
+
 _STREAM_CACHE: dict = {}
 
 
@@ -1831,6 +1879,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "quality_signals": _q_quality_signals,
+        "decontam_overlap": _q_decontam_overlap,
+        "decontaminate": _q_decontaminate,
+        "lm_quality": _q_lm_quality,
     }
 
 
@@ -3254,6 +3305,72 @@ SELECT {EVAL_K}::BIGINT AS k,
 FROM dcg CROSS JOIN idcg CROSS JOIN mrr""",
         "mmr_consistency": f"""
 SELECT {MMR_K}::BIGINT AS k, true AS lam1_equals_topk""",
+        "decontam_overlap": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{DECON_N - 1}], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(t) - {DECON_N} + 2, 1))) AS u(i)
+),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % {DECON_MOD} = 0)
+SELECT d.doc_id,
+       count(dg.g)::BIGINT AS n_grams,
+       count(b.g)::BIGINT AS n_hit,
+       round(coalesce(count(b.g)::DOUBLE / nullif(count(dg.g), 0), 0), 4)
+         AS frac_r,
+       coalesce(count(b.g)::DOUBLE / nullif(count(dg.g), 0), 0) >= {DECON_TAU}
+         AS contaminated
+FROM documents d
+LEFT JOIN dg ON d.doc_id = dg.doc_id
+LEFT JOIN bench b ON dg.g = b.g
+GROUP BY d.doc_id""",
+        "decontaminate": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{DECON_N - 1}], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(t) - {DECON_N} + 2, 1))) AS u(i)
+),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % {DECON_MOD} = 0),
+flags AS (
+  SELECT d.doc_id,
+         coalesce(count(b.g)::DOUBLE / nullif(count(dg.g), 0), 0) AS frac
+  FROM documents d
+  LEFT JOIN dg ON d.doc_id = dg.doc_id
+  LEFT JOIN bench b ON dg.g = b.g
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id, d.n_chars::BIGINT AS n_chars
+FROM documents d JOIN flags USING (doc_id)
+WHERE flags.frac < {DECON_TAU}""",
+        "lm_quality": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+  WHERE i < len(t)
+),
+c12 AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*)::DOUBLE AS c1 FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM toks, unnest(t) AS s(w)),
+nll AS (
+  SELECT bg.doc_id, -ln((c12.c12 + {LM_ALPHA}) / (c1.c1 + {LM_ALPHA} * v.v))
+           AS nll
+  FROM bg JOIN c1 USING (w1) JOIN c12 USING (w1, w2), v
+)
+SELECT d.doc_id,
+       coalesce(n.n_bigrams, 0)::BIGINT AS n_bigrams,
+       n.xent_r
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(nll), 4) AS xent_r
+  FROM nll GROUP BY doc_id
+) n ON d.doc_id = n.doc_id""",
     }
 
 

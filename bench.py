@@ -335,6 +335,23 @@ def main():
     sessionize(jittered, "30 minutes").count()
     timings["sessionize"] = time.time() - t0
 
+    # decontamination + LM quality at full transcript scale: both are
+    # one-corpus-scan designs (benchmark grams broadcast; LM model join)
+    from tsidx.decontam import ngram_overlap
+    from tsidx.lmquality import bigram_lm_score
+
+    docs_flat = transcripts.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+    )
+    bench_slice = docs_flat.filter(F.pmod(F.col("doc_id"), F.lit(1009)) == 0)
+    t0 = time.time()
+    ngram_overlap(docs_flat, bench_slice, n=5).count()
+    timings["decontam_overlap"] = time.time() - t0
+
+    t0 = time.time()
+    bigram_lm_score(docs_flat).count()
+    timings["lm_quality"] = time.time() - t0
+
     total = sum(timings.values())
     print(
         json.dumps(

@@ -1,0 +1,150 @@
+"""Benchmark decontamination (n-gram overlap) and bigram-LM quality scoring."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsidx.decontam import decontaminate, doc_ngrams, ngram_overlap
+from tsidx.lmquality import bigram_lm_score, doc_bigrams, train_bigram_lm
+
+# corpus: doc 0 is a verbatim benchmark leak, doc 1 a partial overlap,
+# doc 2 clean, doc 3 too short for 3-grams, doc 4 repeats one gram.
+CORPUS = [
+    (0, "alpha beta gamma delta epsilon"),
+    (1, "alpha beta gamma zeta eta theta iota"),
+    (2, "one two three four five six"),
+    (3, "tiny doc"),
+    (4, "x y z x y z x y z"),
+]
+BENCH = [(100, "alpha beta gamma delta epsilon kappa")]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string").cache()
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame(BENCH, "doc_id long, text string")
+
+
+def test_doc_ngrams_short_doc_yields_null_row(corpus):
+    rows = doc_ngrams(corpus.where("doc_id = 3"), n=3).collect()
+    assert [(r["doc_id"], r["gram"]) for r in rows] == [(3, None)]
+
+
+def test_doc_ngrams_distinct_within_doc(corpus):
+    # doc 4 has 7 trigram positions but only 3 distinct trigrams
+    grams = sorted(
+        r["gram"] for r in doc_ngrams(corpus.where("doc_id = 4"), n=3).collect()
+    )
+    assert grams == ["x y z", "y z x", "z x y"]
+
+
+def test_ngram_overlap(corpus, bench):
+    got = {
+        r["doc_id"]: r
+        for r in ngram_overlap(corpus, bench, n=3, tau=0.5).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}
+    # doc 0: 3 trigrams, all inside the benchmark text -> fully contaminated
+    assert (got[0]["n_grams"], got[0]["n_hit"]) == (3, 3)
+    assert got[0]["overlap_frac"] == 1.0 and got[0]["contaminated"]
+    # doc 1: 5 trigrams, only "alpha beta gamma" is shared
+    assert (got[1]["n_grams"], got[1]["n_hit"]) == (5, 1)
+    assert not got[1]["contaminated"]
+    # doc 2: clean
+    assert (got[2]["n_hit"], got[2]["contaminated"]) == (0, False)
+    # doc 3: too short -> 0 grams, frac defined as 0.0, not contaminated
+    assert (got[3]["n_grams"], got[3]["overlap_frac"]) == (0, 0.0)
+    assert not got[3]["contaminated"]
+
+
+def test_decontaminate_drops_only_flagged(corpus, bench):
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(corpus, bench, n=3, tau=0.5).collect()
+    )
+    assert kept == [1, 2, 3, 4]
+
+
+def test_overlap_threshold_boundary(corpus, bench):
+    # tau exactly equal to the achieved fraction counts as contaminated
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in ngram_overlap(corpus, bench, n=3, tau=0.2).collect()
+    }
+    assert got[1]  # 1/5 == 0.2 >= tau
+
+
+def test_doc_bigrams_counts(corpus):
+    rows = doc_bigrams(corpus.where("doc_id = 4")).collect()
+    assert len(rows) == 8  # 9 tokens -> 8 adjacent pairs, multiplicity kept
+    assert sum(1 for r in rows if (r["w1"], r["w2"]) == ("x", "y")) == 3
+
+
+def test_doc_bigrams_single_token(spark):
+    one = spark.createDataFrame([(0, "solo")], "doc_id long, text string")
+    assert doc_bigrams(one).count() == 0
+
+
+def test_bigram_lm_self_score_hand_computed(spark):
+    # two docs, tiny closed vocab: verify one probability end-to-end
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    alpha = 0.1
+    got = {r["doc_id"]: r for r in bigram_lm_score(docs, alpha=alpha).collect()}
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1; c1: a=3, b=2; V=3
+    p_ab = (3 + alpha) / (3 + alpha * 3)
+    p_ba = (1 + alpha) / (2 + alpha * 3)
+    p_bc = (1 + alpha) / (2 + alpha * 3)
+    want0 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    want1 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert got[0]["n_bigrams"] == 3
+    assert abs(got[0]["xent"] - want0) < 1e-9
+    assert abs(got[1]["xent"] - want1) < 1e-9
+    assert abs(got[0]["ppl"] - math.exp(want0)) < 1e-9
+
+
+def test_bigram_lm_short_doc_null_score(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "solo")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert got[1]["n_bigrams"] == 0
+    assert got[1]["xent"] is None and got[1]["ppl"] is None
+
+
+def test_bigram_lm_external_model_unseen_bigrams(spark):
+    # train on one corpus, score another containing an unseen bigram —
+    # smoothing must give it a finite positive NLL
+    train = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    score = spark.createDataFrame([(0, "b b")], "doc_id long, text string")
+    model = train_bigram_lm(train)
+    got = bigram_lm_score(score, model=model).collect()[0]
+    alpha = 0.1
+    # c(b,.) = 1 (from "b a"), c(b,b) = 0, V = 2
+    want = -math.log(alpha / (1 + alpha * 2))
+    assert abs(got["xent"] - want) < 1e-9
+
+
+def test_fluent_scores_lower_than_scrambled(spark):
+    # the CCNet property: a doc made of the corpus's dominant bigram
+    # pattern scores lower xent than one of rare transitions
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "mat the on sat cat the"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["xent"] for r in bigram_lm_score(docs).collect()}
+    assert got[0] < got[100]
+
+
+def test_plans_no_corpus_shuffle_on_decontam(corpus, bench):
+    # the benchmark side must broadcast: no SortMergeJoin/shuffle of the
+    # corpus gram stream in the physical plan
+    plan = ngram_overlap(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
