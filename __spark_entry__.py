@@ -932,6 +932,34 @@ def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_N = 5  # repeated-span window length (tokens)
+SPAN_MIN_COUNT = 2
+
+
+def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup detection (Lee et al. 2021): merged token ranges
+    covered by 5-grams occurring >= 2 times corpus-wide."""
+    from tsidx.spans import repeated_spans
+
+    docs = load_documents(spark, sf_dir)
+    return repeated_spans(docs, SPAN_N, min_count=SPAN_MIN_COUNT).select(
+        F.col("doc_id").cast("long"),
+        F.col("span_start").cast("long"),
+        F.col("span_end").cast("long"),
+        F.col("n_grams").cast("long"),
+    )
+
+
+def _q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup action: text with repeated spans removed."""
+    from tsidx.spans import strip_repeated_spans
+
+    docs = load_documents(spark, sf_dir)
+    return strip_repeated_spans(docs, SPAN_N, min_count=SPAN_MIN_COUNT).select(
+        F.col("doc_id").cast("long"), "clean_text", "n_removed"
+    )
+
+
 _STREAM_CACHE: dict = {}
 
 
@@ -1882,6 +1910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": _q_decontam_overlap,
         "decontaminate": _q_decontaminate,
         "lm_quality": _q_lm_quality,
+        "repeated_spans": _q_repeated_spans,
+        "strip_spans": _q_strip_spans,
     }
 
 
@@ -3371,6 +3401,74 @@ FROM documents d LEFT JOIN (
   SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(nll), 4) AS xent_r
   FROM nll GROUP BY doc_id
 ) n ON d.doc_id = n.doc_id""",
+        "repeated_spans": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+{SPAN_N - 1}], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(t) - {SPAN_N} + 2, 1))) AS u(i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= {SPAN_MIN_COUNT}),
+flagged AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+grp AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos > lag_pos + {SPAN_N} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lag_pos
+        FROM flagged)
+)
+SELECT doc_id,
+       min(pos)::BIGINT AS span_start,
+       (max(pos) + {SPAN_N} - 1)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_grams
+FROM grp GROUP BY doc_id, grp""",
+        "strip_spans": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+{SPAN_N - 1}], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(t) - {SPAN_N} + 2, 1))) AS u(i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= {SPAN_MIN_COUNT}),
+flagged AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+grp AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos > lag_pos + {SPAN_N} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lag_pos
+        FROM flagged)
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_N} - 1 AS e
+  FROM grp GROUP BY doc_id, grp
+),
+tokpos AS (
+  SELECT doc_id, t[i] AS tok, i
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+),
+marked AS (
+  SELECT tp.doc_id, tp.tok, tp.i,
+         bool_or(tp.i BETWEEN sp.s AND sp.e) AS inspan
+  FROM tokpos tp LEFT JOIN spans sp ON tp.doc_id = sp.doc_id
+  GROUP BY tp.doc_id, tp.tok, tp.i
+),
+span_docs AS (SELECT DISTINCT doc_id FROM spans)
+SELECT d.doc_id,
+       CASE WHEN sd.doc_id IS NOT NULL
+            THEN coalesce(string_agg(m.tok, ' ' ORDER BY m.i)
+                            FILTER (WHERE NOT coalesce(m.inspan, false)), '')
+            ELSE trim(d.text) END AS clean_text,
+       CASE WHEN sd.doc_id IS NOT NULL
+            THEN count(*) FILTER (WHERE coalesce(m.inspan, false))
+            ELSE 0 END::BIGINT AS n_removed
+FROM documents d
+LEFT JOIN span_docs sd ON d.doc_id = sd.doc_id
+LEFT JOIN marked m ON d.doc_id = m.doc_id
+GROUP BY d.doc_id, d.text, sd.doc_id""",
     }
 
 

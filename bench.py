@@ -352,6 +352,14 @@ def main():
     bigram_lm_score(docs_flat).count()
     timings["lm_quality"] = time.time() - t0
 
+    # substring dedup: gram-hash shuffle is the irreducible cost (the
+    # distributed analog of Lee et al.'s suffix sort)
+    from tsidx.spans import repeated_spans
+
+    t0 = time.time()
+    repeated_spans(docs_flat, n=8, min_count=2).count()
+    timings["repeated_spans"] = time.time() - t0
+
     total = sum(timings.values())
     print(
         json.dumps(
