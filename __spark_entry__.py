@@ -932,6 +932,79 @@ def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.95
+SEMDEDUP_C = 16  # k-means clusters for the SemDeDup bucketing
+SEMDEDUP_MOD = 17  # vec_id % 17 == 0 gets a planted near-copy
+SEMDEDUP_ID_OFFSET = 100000
+SEMDEDUP_EPS = 0.1  # perturbation weight for the planted copies
+SEMDEDUP_RECALL_BOUND = 0.9
+
+
+def semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + deterministic planted near-copies: every vec with
+    ``vec_id % 17 == 0`` gets a twin at ``vec_id + 100000`` perturbed by
+    ``v[i] += 0.1 * v[(i+1) mod dim]`` (cosine ~0.995 to its source; the
+    base corpus's max pairwise cosine is ~0.51, so the planted pairs are
+    exactly the tau=0.95 ground truth). All arithmetic in double on both
+    engines so the oracle replays bit-identically."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.where(F.col("vec_id") % SEMDEDUP_MOD == 0).select(
+        (F.col("vec_id") + SEMDEDUP_ID_OFFSET).alias("vec_id"),
+        F.expr(
+            f"transform(embedding, (x, i) -> x + {SEMDEDUP_EPS} *"
+            " element_at(embedding, ((i + 1) % size(embedding)) + 1))"
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
+def _q_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs twin of SemDeDup at tau=0.95 over the planted
+    corpus — the SQL-expressible ground truth for the recall gate."""
+    from tsidx.ann import cosine_dup_pairs_exact
+
+    corpus = semdedup_corpus(spark, sf_dir)
+    return cosine_dup_pairs_exact(corpus, tau=SEMDEDUP_TAU).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.round("sim", 4).alias("sim_r"),
+    )
+
+
+def _q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-bucketed pairs — approximate by design (pairs
+    straddling a k-means boundary are missed); no SQL oracle, gated by
+    semdedup_recall."""
+    from tsidx.ann import semdedup_pairs
+
+    corpus = semdedup_corpus(spark, sf_dir)
+    return semdedup_pairs(
+        corpus, tau=SEMDEDUP_TAU, n_centroids=SEMDEDUP_C
+    ).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.round("sim", 4).alias("sim_r"),
+    )
+
+
+def _q_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable recall gate: SemDeDup pairs vs the exact twin."""
+    truth = {
+        (r["id_a"], r["id_b"]) for r in _q_semdedup_exact(spark, sf_dir).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"]) for r in _q_semdedup_pairs(spark, sf_dir).collect()
+    }
+    recall = len(truth & cand) / len(truth) if truth else 1.0
+    return spark.createDataFrame(
+        [(len(truth), bool(recall >= SEMDEDUP_RECALL_BOUND))],
+        "n_true_pairs long, recall_ok boolean",
+    )
+
+
 SPAN_N = 5  # repeated-span window length (tokens)
 SPAN_MIN_COUNT = 2
 
@@ -1912,6 +1985,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": _q_lm_quality,
         "repeated_spans": _q_repeated_spans,
         "strip_spans": _q_strip_spans,
+        "semdedup_exact": _q_semdedup_exact,
+        "semdedup_pairs": _q_semdedup_pairs,
+        "semdedup_recall": _q_semdedup_recall,
     }
 
 
@@ -3469,6 +3545,28 @@ FROM documents d
 LEFT JOIN span_docs sd ON d.doc_id = sd.doc_id
 LEFT JOIN marked m ON d.doc_id = m.doc_id
 GROUP BY d.doc_id, d.text, sd.doc_id""",
+        "semdedup_exact": f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+planted AS (
+  SELECT vec_id + {SEMDEDUP_ID_OFFSET} AS vec_id,
+         [v[i] + {SEMDEDUP_EPS} * v[(i % len(v)) + 1]
+          for i in range(1, len(v) + 1)] AS v
+  FROM base WHERE vec_id % {SEMDEDUP_MOD} = 0
+),
+e AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))), 4) AS sim_r
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) *
+       sqrt(list_dot_product(b.v, b.v))) >= {SEMDEDUP_TAU}""",
+        "semdedup_recall": """
+SELECT count(*)::BIGINT AS n_true_pairs, true AS recall_ok
+FROM embeddings WHERE vec_id % 17 = 0""",
     }
 
 

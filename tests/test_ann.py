@@ -251,3 +251,51 @@ def test_quantized_topk_prequantized_roundtrip(spark, emb, queries, tmp_path):
     b = sorted(map(tuple, quantized_cosine_topk(
         stored, queries, k=5, emb_col="qvec", corpus_quantized=True).collect()))
     assert a == b
+
+
+def test_semdedup_recovers_planted_dups(spark, emb):
+    """SemDeDup (cluster-bucketed) finds planted near-copies; the exact
+    all-pairs twin is the ground truth."""
+    from tsidx.ann import cosine_dup_pairs_exact, semdedup_keep, semdedup_pairs
+
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + 0.1 *"
+            " element_at(embedding, ((i + 1) % size(embedding)) + 1))"
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_dup_pairs_exact(corpus, tau=0.95).collect()
+    }
+    assert exact  # the plant produced true near-dups
+    assert all(b - a == 50000 for a, b in exact)
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(corpus, tau=0.95, n_centroids=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(approx))
+    # no false positives: every reported pair really is >= tau
+    assert approx <= exact
+
+    kept = semdedup_keep(corpus, tau=0.95, n_centroids=8)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # every dropped id is the higher id of a reported pair
+    dropped = {b for _, b in approx}
+    assert kept_ids == (
+        {r["vec_id"] for r in corpus.select("vec_id").collect()} - dropped
+    )
+
+
+def test_semdedup_no_pairs_on_spread_corpus(emb):
+    """The raw synthetic embeddings have max pairwise cosine ~0.51:
+    at the SemDeDup operating point nothing is a duplicate."""
+    from tsidx.ann import semdedup_pairs
+
+    assert semdedup_pairs(emb, tau=0.95, n_centroids=8).count() == 0

@@ -36,6 +36,8 @@ __all__ = [
     "ivf_write",
     "ivf_read",
     "mmr_rerank",
+    "semdedup_pairs",
+    "semdedup_keep",
 ]
 
 
@@ -554,6 +556,76 @@ def embedding_dup_pairs(
     )
     sim = (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim")
     return cand.select("id_a", "id_b", sim).filter(F.col("sim") >= tau)
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    tau: float = 0.95,
+    n_centroids: int = 64,
+    n_iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    assigned: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023) semantic near-duplicate pairs:
+    ``(id_a, id_b, sim)`` with ``id_a < id_b`` and cosine >= *tau*,
+    candidates restricted to same-k-means-cluster pairs.
+
+    The cluster partition is what makes the quadratic step tractable at
+    100 TB: with C ~ sqrt(N) balanced clusters the per-cluster self-join
+    is ~N/C rows a side, so total candidate volume is ~N^(3/2) instead
+    of N^2 — and each cluster's pairs compute independently after one
+    map-only assignment pass (broadcast centroids, no vector shuffle
+    except the cid-keyed candidate join). Pairs straddling a cluster
+    boundary are missed by design (recall measured by the
+    ``semdedup_recall`` gate vs the exact all-pairs twin
+    :func:`cosine_dup_pairs_exact`); the original paper accepts the same
+    approximation. Pass precomputed *centroids*/*assigned* to reuse an
+    IVF index's clustering.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, n_centroids, n_iters, id_col, emb_col
+        )
+    if assigned is None:
+        assigned = ivf_assign(corpus, centroids, id_col, emb_col)
+    c = _with_norm(assigned.select(id_col, emb_col, "cid"), emb_col, "_n")
+    a = c.select(
+        F.col(id_col).alias("id_a"), F.col("_e").alias("ea"),
+        F.col("_n").alias("na"), "cid",
+    )
+    b = c.select(
+        F.col(id_col).alias("id_b"), F.col("_e").alias("eb"),
+        F.col("_n").alias("nb"), "cid",
+    )
+    cand = a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
+    sim = (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+        "sim"
+    )
+    return cand.select("id_a", "id_b", sim).filter(F.col("sim") >= tau)
+
+
+def semdedup_keep(
+    corpus: DataFrame,
+    tau: float = 0.95,
+    n_centroids: int = 64,
+    n_iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    assigned: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The SemDeDup action: the corpus with semantic near-duplicates
+    dropped — a vector is removed iff it has a lower-id near-duplicate
+    in its cluster (the min-id-representative rule, matching the exact
+    dedup operators' ``keep_id = min(id)`` convention; deterministic and
+    local, no connected-components iteration)."""
+    pairs = semdedup_pairs(
+        corpus, tau, n_centroids, n_iters, centroids, assigned, id_col, emb_col
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(drop, on=id_col, how="left_anti")
 
 
 def mmr_rerank(
