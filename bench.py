@@ -353,7 +353,11 @@ def main():
     timings["lm_quality"] = time.time() - t0
 
     # substring dedup: gram-hash shuffle is the irreducible cost (the
-    # distributed analog of Lee et al.'s suffix sort)
+    # distributed analog of Lee et al.'s suffix sort). NB the replicated
+    # bench corpus is the op's worst case — every gram repeats 128x, so
+    # 100% of positions flag and flow through the span-merge window
+    # (real corpora flag a few percent); a fold-merge alternative was
+    # measured slower (O(spans^2) array copies), see PLANS.md
     from tsidx.spans import repeated_spans
 
     t0 = time.time()

@@ -14,11 +14,12 @@ Scale design (100 TB corpus, benchmark ~10^4-10^6 grams):
   job is one corpus scan -> generate grams (JVM ``transform``/``slice``,
   whole-stage codegen) -> broadcast-hash-join -> partial-agg groupBy on
   ``doc_id`` (map-side combine; doc_id keys are unique, no skew).
-- Grams are compared by ``xxhash64``, not by string: the join key is 8
-  bytes regardless of n, and the broadcast table carries only hashes.
-  A hash collision can only *over*-flag (safe direction for
-  decontamination); at 64 bits and 10^6 benchmark grams the collision
-  probability per corpus gram is ~5e-14.
+- Grams are compared by a 62-bit key (two packed 31-bit polynomial
+  rolling hashes over per-token xxhash64, shared with ``tsidx.spans``),
+  not by string: the join key is 8 bytes regardless of n, no gram
+  string is ever materialized (~2x faster at bench scale), and the
+  broadcast table carries only hashes. A collision can only *over*-flag
+  (safe direction for decontamination).
 - Per-doc gram sets are deduplicated with ``array_distinct`` *before*
   the explode, so a pathological doc repeating one n-gram 10^6 times
   contributes one row, not 10^6.
@@ -32,7 +33,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["doc_ngrams", "benchmark_grams", "ngram_overlap", "decontaminate"]
+__all__ = [
+    "doc_ngrams",
+    "doc_ngram_hashes",
+    "benchmark_grams",
+    "ngram_overlap",
+    "decontaminate",
+]
 
 
 def doc_ngrams(
@@ -66,23 +73,50 @@ def doc_ngrams(
     )
 
 
+def doc_ngram_hashes(
+    docs: DataFrame,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id_col, gram_hash)`` — DISTINCT 62-bit n-gram hashes per doc
+    (two packed 31-bit polynomial rolling hashes over per-token
+    xxhash64; see ``tsidx.spans``). No gram strings are materialized —
+    ~2x faster than join+hash at bench scale. Docs with fewer than ``n``
+    tokens yield one ``gram_hash IS NULL`` row (``explode_outer``)."""
+    from tsidx.spans import _gram_struct_expr, _with_token_hashes
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashes = F.when(
+        F.size(toks) >= n,
+        F.expr(f"transform({_gram_struct_expr(text_col, n)}, g -> g.gram_hash)"),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return _with_token_hashes(docs, text_col).select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(hashes)).alias("gram_hash"),
+    )
+
+
 def benchmark_grams(
     benchmark: DataFrame,
     n: int,
     *,
     text_col: str = "text",
 ) -> DataFrame:
-    """``(gram_hash)`` — distinct ``xxhash64`` of every benchmark n-gram.
+    """``(gram_hash)`` — distinct hash of every benchmark n-gram.
 
-    This is the broadcast side: distinct-aggregate first (partial agg
-    prunes duplicates map-side), then hash. Null grams (too-short
-    benchmark rows) are dropped.
+    This is the broadcast side: distinct-aggregate (partial agg prunes
+    duplicates map-side). Null hashes (too-short benchmark rows) are
+    dropped.
     """
     bid = benchmark.columns[0]
     return (
-        doc_ngrams(benchmark, n, id_col=bid, text_col=text_col)
-        .where(F.col("gram").isNotNull())
-        .select(F.xxhash64("gram").alias("gram_hash"))
+        doc_ngram_hashes(benchmark, n, id_col=bid, text_col=text_col)
+        .where(F.col("gram_hash").isNotNull())
+        .select("gram_hash")
         .distinct()
     )
 
@@ -109,14 +143,12 @@ def ngram_overlap(
     doc_id agg.
     """
     bench = F.broadcast(benchmark_grams(benchmark, n, text_col=text_col))
-    grams = doc_ngrams(corpus, n, id_col=id_col, text_col=text_col).select(
-        id_col, "gram", F.xxhash64("gram").alias("gram_hash")
-    )
+    grams = doc_ngram_hashes(corpus, n, id_col=id_col, text_col=text_col)
     joined = grams.join(
         bench.withColumn("_hit", F.lit(1)), on="gram_hash", how="left"
     )
     agg = joined.groupBy(id_col).agg(
-        F.count("gram").alias("n_grams"),
+        F.count("gram_hash").alias("n_grams"),
         F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
     )
     frac = F.when(
