@@ -932,6 +932,36 @@ def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPL_BUCKETS = 3
+DSIR_MOD = 23  # docs with doc_id % 23 == 0 form the DSIR target domain
+
+
+def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partition by bigram-LM cross-entropy
+    terciles (thresholds = exact percentiles of the rounded xent)."""
+    from tsidx.lmquality import ppl_buckets
+
+    docs = load_documents(spark, sf_dir)
+    return ppl_buckets(docs, PPL_BUCKETS, alpha=LM_ALPHA).select(
+        F.col("doc_id").cast("long"), "n_bigrams", "xent_r",
+        F.col("bucket").cast("long"),
+    )
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights: bigram-LM log-likelihood ratio of a
+    deterministic target slice (doc_id % 23 == 0) vs the raw corpus."""
+    from tsidx.lmquality import dsir_log_weights
+
+    docs = load_documents(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % DSIR_MOD == 0)
+    return dsir_log_weights(docs, target, alpha=LM_ALPHA).select(
+        F.col("doc_id").cast("long"),
+        "n_bigrams",
+        F.round("log_w", 4).alias("log_w_r"),
+    )
+
+
 SEMDEDUP_TAU = 0.95
 SEMDEDUP_C = 16  # k-means clusters for the SemDeDup bucketing
 SEMDEDUP_MOD = 17  # vec_id % 17 == 0 gets a planted near-copy
@@ -1988,6 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_exact": _q_semdedup_exact,
         "semdedup_pairs": _q_semdedup_pairs,
         "semdedup_recall": _q_semdedup_recall,
+        "ppl_buckets": _q_ppl_buckets,
+        "dsir_weights": _q_dsir_weights,
     }
 
 
@@ -1998,6 +2030,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _H64 = "('0x' || substr(md5({v}),1,15))::BIGINT"
 _P31 = 2147483647
+
+#: shared DuckDB CTE chain: the add-alpha bigram LM over `documents`
+#: (tokens -> bigrams -> c12/c1/V -> per-bigram negative log-likelihood)
+_LM_CTE_SQL = f"""toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+  WHERE i < len(t)
+),
+c12 AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*)::DOUBLE AS c1 FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM toks, unnest(t) AS s(w)),
+nll AS (
+  SELECT bg.doc_id, -ln((c12.c12 + {LM_ALPHA}) / (c1.c1 + {LM_ALPHA} * v.v))
+           AS nll
+  FROM bg JOIN c1 USING (w1) JOIN c12 USING (w1, w2), v
+)"""
 
 
 def _quant_cte() -> str:
@@ -3454,22 +3505,7 @@ SELECT d.doc_id, d.n_chars::BIGINT AS n_chars
 FROM documents d JOIN flags USING (doc_id)
 WHERE flags.frac < {DECON_TAU}""",
         "lm_quality": f"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
-),
-bg AS (
-  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
-  WHERE i < len(t)
-),
-c12 AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bg GROUP BY w1, w2),
-c1 AS (SELECT w1, count(*)::DOUBLE AS c1 FROM bg GROUP BY w1),
-v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM toks, unnest(t) AS s(w)),
-nll AS (
-  SELECT bg.doc_id, -ln((c12.c12 + {LM_ALPHA}) / (c1.c1 + {LM_ALPHA} * v.v))
-           AS nll
-  FROM bg JOIN c1 USING (w1) JOIN c12 USING (w1, w2), v
-)
+WITH {_LM_CTE_SQL}
 SELECT d.doc_id,
        coalesce(n.n_bigrams, 0)::BIGINT AS n_bigrams,
        n.xent_r
@@ -3567,6 +3603,52 @@ WHERE list_dot_product(a.v, b.v) /
         "semdedup_recall": """
 SELECT count(*)::BIGINT AS n_true_pairs, true AS recall_ok
 FROM embeddings WHERE vec_id % 17 = 0""",
+        "ppl_buckets": f"""
+WITH {_LM_CTE_SQL},
+xe AS (
+  SELECT d.doc_id, coalesce(n.n_bigrams, 0)::BIGINT AS n_bigrams, n.xent_r
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(nll), 4) AS xent_r
+    FROM nll GROUP BY doc_id) n ON d.doc_id = n.doc_id
+),
+th AS (
+  SELECT quantile_cont(xent_r, [1.0/{PPL_BUCKETS}, 2.0/{PPL_BUCKETS}]) AS th
+  FROM xe WHERE xent_r IS NOT NULL
+)
+SELECT doc_id, n_bigrams, xent_r,
+       CASE WHEN xent_r IS NULL THEN NULL
+            ELSE (CASE WHEN xent_r > th[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN xent_r > th[2] THEN 1 ELSE 0 END)
+       END::BIGINT AS bucket
+FROM xe, th""",
+        "dsir_weights": f"""
+WITH {_LM_CTE_SQL},
+tdoc AS (SELECT doc_id, text FROM documents WHERE doc_id % {DSIR_MOD} = 0),
+ttoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM tdoc
+),
+tbg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM ttoks, unnest(range(1, greatest(len(t), 1))) AS u(i) WHERE i < len(t)
+),
+t12 AS (SELECT w1, w2, count(*)::DOUBLE AS t12 FROM tbg GROUP BY w1, w2),
+t1 AS (SELECT w1, count(*)::DOUBLE AS t1 FROM tbg GROUP BY w1),
+llr AS (
+  SELECT bg.doc_id,
+         ln((coalesce(t12.t12, 0) + {LM_ALPHA}) /
+            (coalesce(t1.t1, 0) + {LM_ALPHA} * v.v))
+       - ln((coalesce(c12.c12, 0) + {LM_ALPHA}) /
+            (coalesce(c1.c1, 0) + {LM_ALPHA} * v.v)) AS llr
+  FROM bg LEFT JOIN c1 USING (w1) LEFT JOIN c12 USING (w1, w2)
+          LEFT JOIN t1 USING (w1) LEFT JOIN t12 USING (w1, w2), v
+)
+SELECT d.doc_id,
+       coalesce(n.n_bigrams, 0)::BIGINT AS n_bigrams,
+       n.log_w_r
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(sum(llr), 4) AS log_w_r
+  FROM llr GROUP BY doc_id
+) n ON d.doc_id = n.doc_id""",
     }
 
 

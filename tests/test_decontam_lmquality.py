@@ -8,7 +8,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from tsidx.decontam import decontaminate, doc_ngrams, ngram_overlap
-from tsidx.lmquality import bigram_lm_score, doc_bigrams, train_bigram_lm
+from tsidx.lmquality import (
+    bigram_lm_score,
+    doc_bigrams,
+    dsir_log_weights,
+    ppl_buckets,
+    train_bigram_lm,
+)
 
 # corpus: doc 0 is a verbatim benchmark leak, doc 1 a partial overlap,
 # doc 2 clean, doc 3 too short for 3-grams, doc 4 repeats one gram.
@@ -140,6 +146,68 @@ def test_fluent_scores_lower_than_scrambled(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["xent"] for r in bigram_lm_score(docs).collect()}
     assert got[0] < got[100]
+
+
+def test_ppl_buckets_head_tail_and_null(spark):
+    # 20 fluent docs + 1 scrambled: terciles of 21 values land on the
+    # fluent xent, so fluent -> bucket 0 (head) and scrambled -> 2 (tail);
+    # a 1-token doc has no bigrams -> NULL bucket.
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "mat the on sat cat the"))
+    rows.append((101, "solo"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["bucket"] for r in ppl_buckets(docs, 3).collect()}
+    assert all(got[i] == 0 for i in range(20))
+    assert got[100] == 2
+    assert got[101] is None
+
+
+def test_ppl_buckets_monotone_in_xent(spark):
+    # buckets must be a non-decreasing function of xent_r
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows += [(100 + i, f"w{i} the cat sat q{i}") for i in range(6)]
+    rows.append((200, "mat the on sat cat the"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r["xent_r"], r["bucket"]) for r in ppl_buckets(docs, 3).collect()
+    )
+    buckets = [b for _, b in out]
+    assert buckets == sorted(buckets)
+    assert set(buckets) <= {0, 1, 2}
+
+
+def test_dsir_log_weights_hand_computed(spark):
+    # raw corpus: "a b" and "a c"; target: just "a b". V=3, alpha=0.1.
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c")], "doc_id long, text string"
+    )
+    target = docs.where("doc_id = 0")
+    alpha = 0.1
+    got = {r["doc_id"]: r for r in dsir_log_weights(docs, target).collect()}
+    # doc 0, bigram (a,b): t12=1, t1=1; c12=1, c1=2
+    want0 = math.log((1 + alpha) / (1 + alpha * 3)) - math.log(
+        (1 + alpha) / (2 + alpha * 3)
+    )
+    # doc 1, bigram (a,c): t12=0, t1=1; c12=1, c1=2
+    want1 = math.log(alpha / (1 + alpha * 3)) - math.log(
+        (1 + alpha) / (2 + alpha * 3)
+    )
+    assert got[0]["n_bigrams"] == 1 and got[1]["n_bigrams"] == 1
+    assert abs(got[0]["log_w"] - want0) < 1e-9
+    assert abs(got[1]["log_w"] - want1) < 1e-9
+    assert got[0]["log_w"] > got[1]["log_w"]
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    # docs resembling the target domain get higher importance weights
+    rows = [(i, "stocks rose as markets rallied today") for i in range(5)]
+    rows += [(10 + i, "the cat sat on the mat again") for i in range(5)]
+    rows.append((100, "solo"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where("doc_id < 5")
+    got = {r["doc_id"]: r for r in dsir_log_weights(docs, target).collect()}
+    assert got[0]["log_w"] > got[10]["log_w"]
+    assert got[100]["log_w"] is None and got[100]["n_bigrams"] == 0
 
 
 def test_plans_no_corpus_shuffle_on_decontam(corpus, bench):

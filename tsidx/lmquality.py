@@ -39,7 +39,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["doc_bigrams", "train_bigram_lm", "bigram_lm_score"]
+__all__ = [
+    "doc_bigrams",
+    "train_bigram_lm",
+    "bigram_lm_score",
+    "ppl_buckets",
+    "dsir_log_weights",
+]
 
 
 def doc_bigrams(
@@ -136,4 +142,111 @@ def bigram_lm_score(
             F.col("xent"),
             F.exp("xent").alias("ppl"),
         )
+    )
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    *,
+    model: tuple[DataFrame, DataFrame, int] | None = None,
+    alpha: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """CCNet's head/middle/tail partition: per-doc ``(id_col, n_bigrams,
+    xent_r, bucket)`` where ``bucket`` in [0, n_buckets) is assigned by
+    exact cross-entropy quantile thresholds (bucket 0 = lowest
+    perplexity = "head"). Docs with < 2 tokens get bucket NULL.
+
+    Scale note: thresholds here use the exact ``percentile`` aggregate
+    (a sort of the xent column — fine up to ~10^9 docs on a cluster,
+    and what makes the operator oracle-checkable); at the extreme scale
+    swap in ``percentile_approx``, which changes thresholds by the
+    sketch error only. Bucketing compares ROUNDED xent (`round_digits`)
+    against thresholds computed from the same rounded values, so a
+    1-ulp ``ln`` difference between engines cannot flip a bucket unless
+    a value sits exactly on a rounding boundary.
+    """
+    scored = bigram_lm_score(
+        docs, model=model, alpha=alpha, id_col=id_col, text_col=text_col
+    ).select(
+        id_col, "n_bigrams", F.round("xent", round_digits).alias("xent_r")
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    th_row = scored.where(F.col("xent_r").isNotNull()).agg(
+        F.percentile("xent_r", F.lit(qs)).alias("th")
+    )
+    bucket = F.when(F.col("xent_r").isNull(), F.lit(None).cast("int")).otherwise(
+        F.aggregate(
+            F.col("th"),
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.col("xent_r") > t, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(th_row))
+        .select(id_col, "n_bigrams", "xent_r", bucket.alias("bucket"))
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    alpha: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR (Xie et al., 2023) importance log-weights: per-doc
+    ``(id_col, n_bigrams, log_w)`` where ``log_w = sum over the doc's
+    bigrams of ln p_target(w2|w1) - ln p_raw(w2|w1)`` — the
+    log-likelihood ratio between a bigram LM of the *target* domain and
+    one of the raw corpus. Resampling the corpus with probability
+    proportional to ``exp(log_w)`` (or keeping the top quantile) yields
+    a target-like training mix. Docs with < 2 tokens get log_w NULL.
+
+    Both models are trained with the same add-alpha smoothing and the
+    SAME vocabulary size (the raw corpus's V) so the ratio is not
+    dominated by vocabulary mismatch. Plan shape: two LM trainings (two
+    partial-agg groupBys each), one scoring pass over the corpus bigram
+    stream with both models joined (target model broadcast — the target
+    set is curated and small by construction; raw model joined on the
+    shared (w1, w2) key).
+    """
+    raw_c12, raw_c1, vocab = train_bigram_lm(
+        docs, id_col=id_col, text_col=text_col
+    )
+    tid = target.columns[0]
+    tgt_bg = doc_bigrams(target, id_col=tid, text_col=text_col)
+    tgt_c12 = F.broadcast(
+        tgt_bg.groupBy("w1", "w2").agg(F.count("*").alias("t12"))
+    )
+    tgt_c1 = F.broadcast(tgt_bg.groupBy("w1").agg(F.count("*").alias("t1")))
+
+    bg = doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    av = F.lit(alpha) * vocab
+    p_raw = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha)) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + av
+    )
+    p_tgt = (F.coalesce(F.col("t12"), F.lit(0)) + F.lit(alpha)) / (
+        F.coalesce(F.col("t1"), F.lit(0)) + av
+    )
+    scored = (
+        bg.join(raw_c1, on="w1", how="left")
+        .join(raw_c12, on=["w1", "w2"], how="left")
+        .join(tgt_c1, on="w1", how="left")
+        .join(tgt_c12, on=["w1", "w2"], how="left")
+        .select(id_col, (F.log(p_tgt) - F.log(p_raw)).alias("llr"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("llr").alias("log_w"),
+    )
+    return docs.select(id_col).join(agg, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.col("log_w"),
     )
