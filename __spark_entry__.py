@@ -934,6 +934,7 @@ def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PPL_BUCKETS = 3
 DSIR_MOD = 23  # docs with doc_id % 23 == 0 form the DSIR target domain
+DSIR_FRAC = 0.25  # resampling keeps the top quarter by perturbed weight
 
 
 def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,6 +960,18 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long"),
         "n_bigrams",
         F.round("log_w", 4).alias("log_w_r"),
+    )
+
+
+def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR step 2: Gumbel-top-quantile resampling — keep the top
+    DSIR_FRAC of docs by log_w + hash-derived Gumbel noise."""
+    from tsidx.lmquality import dsir_resample
+
+    docs = load_documents(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % DSIR_MOD == 0)
+    return dsir_resample(docs, target, DSIR_FRAC, alpha=LM_ALPHA).select(
+        F.col("doc_id").cast("long"), "n_bigrams", "key_r", "keep"
     )
 
 
@@ -2020,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_recall": _q_semdedup_recall,
         "ppl_buckets": _q_ppl_buckets,
         "dsir_weights": _q_dsir_weights,
+        "dsir_resample": _q_dsir_resample,
     }
 
 
@@ -2049,6 +2063,67 @@ nll AS (
            AS nll
   FROM bg JOIN c1 USING (w1) JOIN c12 USING (w1, w2), v
 )"""
+
+
+#: shared DuckDB CTE chain (requires _LM_CTE_SQL before it): the DSIR
+#: target-domain bigram LM (doc_id % DSIR_MOD slice) and the per-bigram
+#: target-vs-raw log-likelihood ratio stream `llr (doc_id, llr)`
+_DSIR_LLR_CTE_SQL = f"""tdoc AS (SELECT doc_id, text FROM documents WHERE doc_id % {DSIR_MOD} = 0),
+ttoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM tdoc
+),
+tbg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM ttoks, unnest(range(1, greatest(len(t), 1))) AS u(i) WHERE i < len(t)
+),
+t12 AS (SELECT w1, w2, count(*)::DOUBLE AS t12 FROM tbg GROUP BY w1, w2),
+t1 AS (SELECT w1, count(*)::DOUBLE AS t1 FROM tbg GROUP BY w1),
+llr AS (
+  SELECT bg.doc_id,
+         ln((coalesce(t12.t12, 0) + {LM_ALPHA}) /
+            (coalesce(t1.t1, 0) + {LM_ALPHA} * v.v))
+       - ln((coalesce(c12.c12, 0) + {LM_ALPHA}) /
+            (coalesce(c1.c1, 0) + {LM_ALPHA} * v.v)) AS llr
+  FROM bg LEFT JOIN c1 USING (w1) LEFT JOIN c12 USING (w1, w2)
+          LEFT JOIN t1 USING (w1) LEFT JOIN t12 USING (w1, w2), v
+)"""
+
+
+def _dsir_resample_sql() -> str:
+    """The dsir_resample keep decision replayed exactly: same LLR sum,
+    same affine id hash -> Gumbel noise, same rounded perturbed key and
+    exact (1 - frac) percentile threshold."""
+    from tsidx.textstats import SAMPLE_MOD, _SAMPLE_A, _SAMPLE_A2, _SAMPLE_B
+
+    a_seed = _SAMPLE_A % SAMPLE_MOD or 1
+    a2_seed = _SAMPLE_A2 % SAMPLE_MOD or 1
+    m = SAMPLE_MOD
+    hash_sql = (
+        f"((doc_id % {m}) * {a_seed} + {_SAMPLE_B}"
+        f" + ((doc_id // {m}) % {m}) * {a2_seed}) % {m}"
+    )
+    return f"""
+WITH {_LM_CTE_SQL},
+{_DSIR_LLR_CTE_SQL},
+w AS (
+  SELECT d.doc_id, coalesce(n.n_bigrams, 0)::BIGINT AS n_bigrams, n.log_w
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(llr) AS log_w
+    FROM llr GROUP BY doc_id
+  ) n ON d.doc_id = n.doc_id
+),
+keyed AS (
+  SELECT doc_id, n_bigrams,
+         round(log_w + -ln(-ln((({hash_sql}) + 0.5) / {m}.0)), 4) AS key_r
+  FROM w
+),
+th AS (
+  SELECT quantile_cont(key_r, {1.0 - DSIR_FRAC}) AS th
+  FROM keyed WHERE key_r IS NOT NULL
+)
+SELECT doc_id, n_bigrams, key_r,
+       CASE WHEN key_r IS NULL THEN false ELSE key_r >= th END AS keep
+FROM keyed, th"""
 
 
 def _quant_cte() -> str:
@@ -3623,25 +3698,7 @@ SELECT doc_id, n_bigrams, xent_r,
 FROM xe, th""",
         "dsir_weights": f"""
 WITH {_LM_CTE_SQL},
-tdoc AS (SELECT doc_id, text FROM documents WHERE doc_id % {DSIR_MOD} = 0),
-ttoks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM tdoc
-),
-tbg AS (
-  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-  FROM ttoks, unnest(range(1, greatest(len(t), 1))) AS u(i) WHERE i < len(t)
-),
-t12 AS (SELECT w1, w2, count(*)::DOUBLE AS t12 FROM tbg GROUP BY w1, w2),
-t1 AS (SELECT w1, count(*)::DOUBLE AS t1 FROM tbg GROUP BY w1),
-llr AS (
-  SELECT bg.doc_id,
-         ln((coalesce(t12.t12, 0) + {LM_ALPHA}) /
-            (coalesce(t1.t1, 0) + {LM_ALPHA} * v.v))
-       - ln((coalesce(c12.c12, 0) + {LM_ALPHA}) /
-            (coalesce(c1.c1, 0) + {LM_ALPHA} * v.v)) AS llr
-  FROM bg LEFT JOIN c1 USING (w1) LEFT JOIN c12 USING (w1, w2)
-          LEFT JOIN t1 USING (w1) LEFT JOIN t12 USING (w1, w2), v
-)
+{_DSIR_LLR_CTE_SQL}
 SELECT d.doc_id,
        coalesce(n.n_bigrams, 0)::BIGINT AS n_bigrams,
        n.log_w_r
@@ -3649,6 +3706,7 @@ FROM documents d LEFT JOIN (
   SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(sum(llr), 4) AS log_w_r
   FROM llr GROUP BY doc_id
 ) n ON d.doc_id = n.doc_id""",
+        "dsir_resample": _dsir_resample_sql(),
     }
 
 

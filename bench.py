@@ -352,6 +352,19 @@ def main():
     bigram_lm_score(docs_flat).count()
     timings["lm_quality"] = time.time() - t0
 
+    # perplexity partitioning + DSIR weighting at full transcript scale:
+    # both reuse the bigram-LM scoring pass (one model join each; the DSIR
+    # target model is broadcast from a 1/1009 deterministic slice)
+    from tsidx.lmquality import dsir_log_weights, ppl_buckets
+
+    t0 = time.time()
+    ppl_buckets(docs_flat, 3).count()
+    timings["ppl_buckets"] = time.time() - t0
+
+    t0 = time.time()
+    dsir_log_weights(docs_flat, bench_slice).count()
+    timings["dsir_weights"] = time.time() - t0
+
     # substring dedup: gram-hash shuffle is the irreducible cost (the
     # distributed analog of Lee et al.'s suffix sort). NB the replicated
     # bench corpus is the op's worst case — every gram repeats 128x, so

@@ -12,6 +12,7 @@ from tsidx.lmquality import (
     bigram_lm_score,
     doc_bigrams,
     dsir_log_weights,
+    dsir_resample,
     ppl_buckets,
     train_bigram_lm,
 )
@@ -208,6 +209,39 @@ def test_dsir_prefers_target_like_docs(spark):
     got = {r["doc_id"]: r for r in dsir_log_weights(docs, target).collect()}
     assert got[0]["log_w"] > got[10]["log_w"]
     assert got[100]["log_w"] is None and got[100]["n_bigrams"] == 0
+
+
+def test_dsir_resample_top_quantile_and_short_docs(spark):
+    # 40 scoreable docs + 1 short: frac=0.5 keeps exactly the top half
+    # by perturbed key; the short doc is never kept
+    rows = [(i, f"stocks w{i % 7} rose as markets w{i % 5} rallied") for i in range(40)]
+    rows.append((100, "solo"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where("doc_id % 4 = 0")
+    out = dsir_resample(docs, target, 0.5).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert not got[100]["keep"] and got[100]["key_r"] is None
+    keyed = sorted(
+        ((r["key_r"], r["doc_id"]) for r in out if r["key_r"] is not None),
+        reverse=True,
+    )
+    kept = {r["doc_id"] for r in out if r["keep"]}
+    # the kept set is a prefix of the descending key order, ~half the docs
+    assert 19 <= len(kept) <= 21
+    assert kept == {d for _, d in keyed[: len(kept)]}
+
+
+def test_dsir_resample_seed_decorrelates(spark):
+    rows = [(i, f"stocks w{i % 7} rose as markets w{i % 5} rallied") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where("doc_id % 4 = 0")
+    k0 = {r["doc_id"] for r in dsir_resample(docs, target, 0.5).collect() if r["keep"]}
+    k1 = {
+        r["doc_id"]
+        for r in dsir_resample(docs, target, 0.5, seed=1).collect()
+        if r["keep"]
+    }
+    assert k0 != k1  # different seeds draw different samples
 
 
 def test_plans_no_corpus_shuffle_on_decontam(corpus, bench):

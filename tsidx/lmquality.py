@@ -45,6 +45,7 @@ __all__ = [
     "bigram_lm_score",
     "ppl_buckets",
     "dsir_log_weights",
+    "dsir_resample",
 ]
 
 
@@ -249,4 +250,64 @@ def dsir_log_weights(
         id_col,
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
         F.col("log_w"),
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    frac: float,
+    *,
+    seed: int = 0,
+    alpha: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """DSIR step 2 — the resampling action: per-doc ``(id_col, n_bigrams,
+    key_r, keep)`` where ``keep`` marks the top *frac* of scoreable docs
+    by ``log_w + Gumbel`` (Gumbel-top-k sampling without replacement,
+    i.e. docs are drawn with probability proportional to ``exp(log_w)``,
+    the DSIR importance weight). Docs with < 2 tokens are never kept —
+    they carry no importance evidence.
+
+    The Gumbel noise is NOT ``rand()`` (Spark's per-partition RNG changes
+    with the split layout): it is derived from the same seed-perturbed
+    affine id hash as ``sample_mix`` — ``u = (h(id) + 0.5) / M`` in
+    (0, 1), ``g = -ln(-ln u)`` — so the sample is reproducible across
+    runs, engines, and partitionings, and different seeds draw
+    decorrelated samples. The keep threshold is the exact
+    ``1 - frac`` percentile of the ROUNDED perturbed key (same
+    engine-stability argument as :func:`ppl_buckets`; swap in
+    ``percentile_approx`` past ~10^9 docs). Plan shape: the
+    :func:`dsir_log_weights` scoring pass, a map-only key column, one
+    tiny percentile agg broadcast back — no extra corpus shuffle.
+    """
+    from tsidx.textstats import SAMPLE_MOD, _SAMPLE_A, _SAMPLE_A2, _SAMPLE_B
+
+    w = dsir_log_weights(
+        docs, target, alpha=alpha, id_col=id_col, text_col=text_col
+    )
+    a_seed = (_SAMPLE_A + int(seed) * 99_991) % SAMPLE_MOD or 1
+    a2_seed = (_SAMPLE_A2 + int(seed) * 99_991) % SAMPLE_MOD or 1
+    m = F.lit(SAMPLE_MOD).cast("long")
+    ident = F.col(id_col).cast("long")
+    lo = F.pmod(ident, m)
+    hi = F.pmod(F.expr(f"CAST(`{id_col}` AS BIGINT) DIV {SAMPLE_MOD}"), m)
+    h = F.pmod(lo * F.lit(a_seed) + F.lit(_SAMPLE_B) + hi * F.lit(a2_seed), m)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(SAMPLE_MOD))
+    gumbel = -F.log(-F.log(u))
+    keyed = w.withColumn(
+        "key_r", F.round(F.col("log_w") + gumbel, round_digits)
+    )
+    th_row = keyed.where(F.col("key_r").isNotNull()).agg(
+        F.percentile("key_r", F.lit(1.0 - float(frac))).alias("th")
+    )
+    return keyed.crossJoin(F.broadcast(th_row)).select(
+        id_col,
+        "n_bigrams",
+        "key_r",
+        F.when(F.col("key_r").isNull(), F.lit(False))
+        .otherwise(F.col("key_r") >= F.col("th"))
+        .alias("keep"),
     )
