@@ -963,6 +963,36 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: target domain-mixture weights over the documents `source` strata
+#: (strata not listed are dropped by the mixture plan)
+MIX_WEIGHTS = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2}
+
+
+def _q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pile/Dolma-style mixture planning: water-filled per-source keep
+    rates realizing the target token mixture with no upsampling."""
+    from tsidx.textstats import mixture_rates
+
+    docs = load_documents(spark, sf_dir)
+    return mixture_rates(docs, MIX_WEIGHTS).select(
+        "source",
+        "n_tokens",
+        F.round("rate", 6).alias("rate_r"),
+        "expected_tokens",
+    )
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture applied: deterministic hash-Bernoulli keep at the
+    water-filled per-source rate."""
+    from tsidx.textstats import mixture_sample
+
+    docs = load_documents(spark, sf_dir)
+    return mixture_sample(docs, MIX_WEIGHTS).select(
+        F.col("doc_id").cast("long"), "source"
+    )
+
+
 def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR step 2: Gumbel-top-quantile resampling — keep the top
     DSIR_FRAC of docs by log_w + hash-derived Gumbel noise."""
@@ -2034,6 +2064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": _q_ppl_buckets,
         "dsir_weights": _q_dsir_weights,
         "dsir_resample": _q_dsir_resample,
+        "mixture_rates": _q_mixture_rates,
+        "mixture_sample": _q_mixture_sample,
     }
 
 
@@ -2124,6 +2156,42 @@ th AS (
 SELECT doc_id, n_bigrams, key_r,
        CASE WHEN key_r IS NULL THEN false ELSE key_r >= th END AS keep
 FROM keyed, th"""
+
+
+def _mixture_cte() -> str:
+    """Shared DuckDB CTE chain ``cw (source, n_tokens, w), tmin (t)`` for
+    the water-filled mixture plan — weights cast to DOUBLE so the
+    arithmetic matches Spark's double literals bit-for-bit (DuckDB bare
+    decimals are DECIMAL-typed)."""
+    w_case = " ".join(
+        f"WHEN '{s}' THEN {MIX_WEIGHTS[s]}::DOUBLE" for s in sorted(MIX_WEIGHTS)
+    )
+    return f"""cnt AS (
+  SELECT source,
+         sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+cw AS (SELECT source, n_tokens, CASE source {w_case} END AS w FROM cnt),
+tmin AS (SELECT min(n_tokens / w) AS t FROM cw WHERE w IS NOT NULL)"""
+
+
+def _mixture_sample_sql() -> str:
+    """The mixture_sample keep decision replayed exactly: same token
+    counts, same water-filled rate, same affine id hash as sample_mix."""
+    from tsidx.textstats import SAMPLE_MOD, _SAMPLE_A, _SAMPLE_A2, _SAMPLE_B
+
+    a_seed = _SAMPLE_A % SAMPLE_MOD or 1
+    a2_seed = _SAMPLE_A2 % SAMPLE_MOD or 1
+    m = SAMPLE_MOD
+    return f"""
+WITH {_mixture_cte()},
+r AS (
+  SELECT source, w * t / n_tokens AS rate FROM cw, tmin WHERE w IS NOT NULL
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE ((d.doc_id % {m}) * {a_seed} + {_SAMPLE_B}
+       + ((d.doc_id // {m}) % {m}) * {a2_seed}) % {m} < rate * {m}"""
 
 
 def _quant_cte() -> str:
@@ -3707,6 +3775,13 @@ FROM documents d LEFT JOIN (
   FROM llr GROUP BY doc_id
 ) n ON d.doc_id = n.doc_id""",
         "dsir_resample": _dsir_resample_sql(),
+        "mixture_rates": f"""
+WITH {_mixture_cte()}
+SELECT source, n_tokens,
+       coalesce(round(w * t / n_tokens, 6), 0.0) AS rate_r,
+       coalesce(round(w * t, 4), 0.0) AS expected_tokens
+FROM cw, tmin""",
+        "mixture_sample": _mixture_sample_sql(),
     }
 
 

@@ -241,3 +241,43 @@ def test_sample_mix_not_periodic_mod_m(spark):
     # and each shifted block still keeps ~half (uniformity preserved)
     for v in (v1, v2):
         assert 120 <= sum(v) <= 280
+
+
+def test_mixture_rates_water_fill(spark):
+    # srcA: 100 tokens, srcB: 300 tokens, srcC unlisted.
+    # weights 0.5/0.5 -> T = min(100/0.5, 300/0.5) = 200;
+    # rateA = 0.5*200/100 = 1.0 (binding), rateB = 0.5*200/300 = 1/3.
+    from tsidx.textstats import mixture_rates
+
+    rows = [(i, " ".join(["tok"] * 10), "srcA") for i in range(10)]
+    rows += [(100 + i, " ".join(["tok"] * 10), "srcB") for i in range(30)]
+    rows += [(500 + i, "x y", "srcC") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: r
+        for r in mixture_rates(docs, {"srcA": 0.5, "srcB": 0.5}).collect()
+    }
+    assert got["srcA"]["n_tokens"] == 100 and got["srcB"]["n_tokens"] == 300
+    assert abs(got["srcA"]["rate"] - 1.0) < 1e-12
+    assert abs(got["srcB"]["rate"] - 1 / 3) < 1e-12
+    assert got["srcC"]["rate"] == 0.0
+    assert got["srcA"]["expected_tokens"] == 100.0
+    assert got["srcB"]["expected_tokens"] == 100.0
+
+
+def test_mixture_sample_binding_stratum_kept_whole(spark):
+    from tsidx.textstats import mixture_sample
+
+    rows = [(i, " ".join(["tok"] * 10), "srcA") for i in range(20)]
+    rows += [(1000 + i, " ".join(["tok"] * 10), "srcB") for i in range(200)]
+    rows += [(9000 + i, "x y", "srcC") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = mixture_sample(docs, {"srcA": 0.5, "srcB": 0.5}).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # binding stratum (rate 1.0) is kept whole; unlisted stratum dropped
+    assert by_src["srcA"] == set(range(20))
+    assert "srcC" not in by_src
+    # srcB keeps ~rate = 0.1 of 200 docs (hash-Bernoulli, wide tolerance)
+    assert 8 <= len(by_src["srcB"]) <= 36

@@ -19,6 +19,8 @@ __all__ = [
     "quality_signals",
     "quality_filter",
     "sample_mix",
+    "mixture_rates",
+    "mixture_sample",
     "ngram_counts",
     "redact_text",
     "REDACT_RULES",
@@ -403,4 +405,91 @@ def redact_text(
         F.col(id_col).alias("doc_id"),
         out.alias("text"),
         n_red.cast("long").alias("n_redactions"),
+    )
+
+
+def mixture_rates(
+    docs: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture planning (Pile/Dolma-style data mixing): given
+    target mixture *weights* (proportions of the output token budget per
+    stratum), return per-stratum ``(strata_col, n_tokens, rate,
+    expected_tokens)`` where ``rate`` is the Bernoulli keep probability
+    that realizes the largest achievable corpus with EXACTLY the target
+    mixture and no upsampling:
+
+        T = min_s n_s / w_s        (the binding stratum is kept whole)
+        rate_s = w_s * T / n_s     (<= 1 by construction)
+
+    Strata absent from *weights* get rate 0 (dropped). Plan shape: one
+    token-count aggregation over the corpus (map-side combined, keyed by
+    the bounded stratum column), then scalar arithmetic on the
+    |strata|-row result — the corpus is scanned once and never shuffled
+    on a data-scale key.
+
+    No reference-repo equivalent; training-data-pipeline operator per
+    the build brief (mixture weighting a la The Pile appendix / Dolma).
+    """
+    wmap = F.create_map(
+        *[F.lit(x) for s in sorted(weights) for x in (s, float(weights[s]))]
+    )
+    counts = (
+        docs.groupBy(strata_col)
+        .agg(
+            F.sum(
+                F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+            ).cast("long").alias("n_tokens")
+        )
+        .withColumn("w", wmap[F.col(strata_col)])
+    )
+    t_row = counts.where(F.col("w").isNotNull()).agg(
+        F.min(F.col("n_tokens") / F.col("w")).alias("t")
+    )
+    return counts.crossJoin(F.broadcast(t_row)).select(
+        strata_col,
+        "n_tokens",
+        F.coalesce(
+            F.col("w") * F.col("t") / F.col("n_tokens"), F.lit(0.0)
+        ).alias("rate"),
+        F.coalesce(
+            F.round(F.col("w") * F.col("t"), 4), F.lit(0.0)
+        ).alias("expected_tokens"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Apply :func:`mixture_rates`: keep each doc of stratum *s* with the
+    water-filled probability ``rate_s``, decided by the same
+    seed-perturbed affine id hash as :func:`sample_mix` (reproducible
+    across runs, engines, and partitionings; no ``rand()``). The binding
+    stratum (rate 1) is kept whole; strata not in *weights* are dropped.
+    The rates table is |strata|-sized and broadcast — the corpus itself
+    is scanned once, map-only."""
+    rates = F.broadcast(
+        mixture_rates(docs, weights, strata_col, text_col).select(
+            strata_col, "rate"
+        )
+    )
+    a_seed = (_SAMPLE_A + int(seed) * 99_991) % SAMPLE_MOD or 1
+    a2_seed = (_SAMPLE_A2 + int(seed) * 99_991) % SAMPLE_MOD or 1
+    m = F.lit(SAMPLE_MOD).cast("long")
+    ident = F.col(id_col).cast("long")
+    lo = F.pmod(ident, m)
+    hi = F.pmod(F.expr(f"CAST(`{id_col}` AS BIGINT) DIV {SAMPLE_MOD}"), m)
+    h = F.pmod(lo * F.lit(a_seed) + F.lit(_SAMPLE_B) + hi * F.lit(a2_seed), m)
+    return (
+        docs.join(rates, on=strata_col, how="inner")
+        .withColumn("_h", h)
+        .filter(F.col("_h") < F.col("rate") * SAMPLE_MOD)
+        .drop("_h", "rate")
     )
