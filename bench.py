@@ -345,11 +345,17 @@ def main():
     )
     bench_slice = docs_flat.filter(F.pmod(F.col("doc_id"), F.lit(1009)) == 0)
     t0 = time.time()
-    ngram_overlap(docs_flat, bench_slice, n=5).count()
+    # sum(n_hit), not count(): count lets Catalyst drop the unique-key
+    # benchmark-probe join entirely (see the lm_quality note above)
+    ngram_overlap(docs_flat, bench_slice, n=5).agg(F.sum("n_hit")).collect()
     timings["decontam_overlap"] = time.time() - t0
 
+    # NB: these results end in a unique-key left join (all-docs frame
+    # joined to the per-doc aggregate), and Catalyst ELIMINATES that join
+    # under a bare .count() — measuring nothing. Aggregate a right-side
+    # column instead to force the full pipeline.
     t0 = time.time()
-    bigram_lm_score(docs_flat).count()
+    bigram_lm_score(docs_flat).agg(F.sum("xent")).collect()
     timings["lm_quality"] = time.time() - t0
 
     # perplexity partitioning + DSIR weighting at full transcript scale:
@@ -358,11 +364,11 @@ def main():
     from tsidx.lmquality import dsir_log_weights, ppl_buckets
 
     t0 = time.time()
-    ppl_buckets(docs_flat, 3).count()
+    ppl_buckets(docs_flat, 3).agg(F.sum("bucket")).collect()
     timings["ppl_buckets"] = time.time() - t0
 
     t0 = time.time()
-    dsir_log_weights(docs_flat, bench_slice).count()
+    dsir_log_weights(docs_flat, bench_slice).agg(F.sum("log_w")).collect()
     timings["dsir_weights"] = time.time() - t0
 
     # substring dedup: gram-hash shuffle is the irreducible cost (the
