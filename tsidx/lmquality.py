@@ -184,6 +184,11 @@ def ppl_buckets(
     ).select(
         id_col, "n_bigrams", F.round("xent", round_digits).alias("xent_r")
     )
+    # The scored frame feeds BOTH the threshold aggregate and the output
+    # join; a lazy localCheckpoint materializes the scoring pipeline once
+    # (narrow per-doc rows) instead of re-running the LM train+join for
+    # each branch — measured 13.3s -> 1.0s on 640k turns, identical sums.
+    scored = scored.localCheckpoint(eager=False)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     th_row = scored.where(F.col("xent_r").isNotNull()).agg(
         F.percentile("xent_r", F.lit(qs)).alias("th")
@@ -309,6 +314,9 @@ def dsir_resample(
     keyed = w.withColumn(
         "key_r", F.round(F.col("log_w") + gumbel, round_digits)
     )
+    # as in ppl_buckets: one materialization of the weights pipeline for
+    # both the threshold aggregate and the output join
+    keyed = keyed.localCheckpoint(eager=False)
     th_row = keyed.where(F.col("key_r").isNotNull()).agg(
         F.percentile("key_r", F.lit(1.0 - float(frac))).alias("th")
     )
