@@ -445,6 +445,10 @@ def mixture_rates(
         )
         .withColumn("w", wmap[F.col(strata_col)])
     )
+    # counts feeds both the min-aggregate and the output; materialize the
+    # |strata|-row result once so the corpus token-count scan doesn't run
+    # twice (same pattern as tsidx.lmquality.ppl_buckets)
+    counts = counts.localCheckpoint(eager=False)
     t_row = counts.where(F.col("w").isNotNull()).agg(
         F.min(F.col("n_tokens") / F.col("w")).alias("t")
     )
