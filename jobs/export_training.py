@@ -30,6 +30,18 @@
     python jobs/export_training.py bpe --index /tmp/idx \
         --output /tmp/merges --merges 64
 
+    # CCNet head/middle/tail perplexity partition (bigram-LM terciles)
+    python jobs/export_training.py pplbuckets --index /tmp/idx \
+        --output /tmp/ppl --buckets 3
+
+    # DSIR importance weights vs a target slice (--frac also resamples)
+    python jobs/export_training.py dsir --index /tmp/idx \
+        --output /tmp/dsir --target /data/target_docs [--frac 0.25]
+
+    # water-filled domain-mixture sample (exact target token mixture)
+    python jobs/export_training.py mixture --index /tmp/idx \
+        --output /tmp/mix --strata-col role --weights user=0.5,assistant=0.5
+
 Each action writes a parquet table through the tsidx.io format seam (so
 `spark.tsidx.format=iceberg` redirects on clusters) and prints one JSON
 line with row counts and wall time.
@@ -54,7 +66,7 @@ def main() -> None:
         "action",
         choices=[
             "tfidf", "pack", "pairs", "context", "quality", "sample", "redact",
-            "bpe",
+            "bpe", "pplbuckets", "dsir", "mixture",
         ],
     )
     ap.add_argument("--index", required=True)
@@ -81,8 +93,26 @@ def main() -> None:
         "--rate", type=float, default=0.1,
         help="sample: uniform keep probability over the corpus",
     )
-    ap.add_argument("--seed", type=int, default=0, help="sample")
+    ap.add_argument("--seed", type=int, default=0, help="sample/dsir/mixture")
     ap.add_argument("--merges", type=int, default=64, help="bpe")
+    ap.add_argument("--buckets", type=int, default=3, help="pplbuckets")
+    ap.add_argument(
+        "--target", default=None,
+        help="dsir: parquet/iceberg path of target-domain docs (doc_id, text)",
+    )
+    ap.add_argument(
+        "--target-mod", type=int, default=None,
+        help="dsir: deterministic target slice doc_id %% N == 0 (no --target)",
+    )
+    ap.add_argument(
+        "--frac", type=float, default=None,
+        help="dsir: also resample, keeping the top FRAC by Gumbel-perturbed weight",
+    )
+    ap.add_argument("--strata-col", default="role", help="mixture")
+    ap.add_argument(
+        "--weights", default=None,
+        help="mixture: target proportions, e.g. user=0.5,assistant=0.5",
+    )
     args = ap.parse_args()
 
     spark = make_spark(args.parallelism, f"tsidx-export-{args.action}")
@@ -141,6 +171,38 @@ def main() -> None:
         out_df = spark.createDataFrame(
             [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
             "merge_idx long, left string, right string, cnt long",
+        )
+    elif args.action == "pplbuckets":
+        from tsidx.lmquality import ppl_buckets
+
+        out_df = ppl_buckets(idx.docs.select("doc_id", "text"), args.buckets)
+    elif args.action == "dsir":
+        from pyspark.sql import functions as F
+
+        from tsidx.lmquality import dsir_log_weights, dsir_resample
+
+        docs = idx.docs.select("doc_id", "text")
+        if args.target:
+            target = read_table(spark, args.target).select("doc_id", "text")
+        elif args.target_mod:
+            target = docs.where(F.col("doc_id") % args.target_mod == 0)
+        else:
+            raise SystemExit("dsir requires --target or --target-mod")
+        if args.frac is not None:
+            out_df = dsir_resample(docs, target, args.frac, seed=args.seed)
+        else:
+            out_df = dsir_log_weights(docs, target)
+    elif args.action == "mixture":
+        from tsidx.textstats import mixture_sample
+
+        if not args.weights:
+            raise SystemExit("mixture requires --weights k=v[,k=v...]")
+        weights = {
+            k: float(v)
+            for k, v in (kv.split("=", 1) for kv in args.weights.split(","))
+        }
+        out_df = mixture_sample(
+            idx.docs, weights, strata_col=args.strata_col, seed=args.seed
         )
     else:
         from pyspark.sql import functions as F

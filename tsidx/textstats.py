@@ -424,7 +424,11 @@ def mixture_rates(
         T = min_s n_s / w_s        (the binding stratum is kept whole)
         rate_s = w_s * T / n_s     (<= 1 by construction)
 
-    Strata absent from *weights* get rate 0 (dropped). Plan shape: one
+    Strata absent from *weights* get rate 0 (dropped). A weighted
+    stratum with NO corpus rows is treated as unavailable: the water
+    fill runs over the strata actually present, so their RELATIVE
+    proportions are exact while the missing stratum contributes
+    nothing (it cannot be conjured). Plan shape: one
     token-count aggregation over the corpus (map-side combined, keyed by
     the bounded stratum column), then scalar arithmetic on the
     |strata|-row result — the corpus is scanned once and never shuffled
