@@ -993,6 +993,23 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: leakage-safe split fractions (sorted-label cumulative intervals)
+SPLIT_FRACS = {"test": 0.1, "train": 0.8, "valid": 0.1}
+
+
+def _q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: every doc of a synthetic
+    8-doc conversation group lands in the same split."""
+    from tsidx.textstats import group_split
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") / 8).cast("long").alias("grp")
+    )
+    return group_split(docs, SPLIT_FRACS, group_col="grp").select(
+        F.col("doc_id").cast("long"), "grp", "split"
+    )
+
+
 def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR step 2: Gumbel-top-quantile resampling — keep the top
     DSIR_FRAC of docs by log_w + hash-derived Gumbel noise."""
@@ -2066,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": _q_dsir_resample,
         "mixture_rates": _q_mixture_rates,
         "mixture_sample": _q_mixture_sample,
+        "group_split": _q_group_split,
     }
 
 
@@ -2192,6 +2210,32 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN r USING (source)
 WHERE ((d.doc_id % {m}) * {a_seed} + {_SAMPLE_B}
        + ((d.doc_id // {m}) % {m}) * {a2_seed}) % {m} < rate * {m}"""
+
+
+def _group_split_sql() -> str:
+    """The group_split assignment replayed exactly: same md5-derived
+    group hash (top 60 bits mod SAMPLE_MOD), same sorted-label
+    cumulative intervals, last label as the open-ended fallback."""
+    from tsidx.textstats import SAMPLE_MOD
+
+    cum = 0.0
+    bounds = []
+    for label in sorted(SPLIT_FRACS):
+        cum += float(SPLIT_FRACS[label])
+        bounds.append((label, cum))
+    h = (
+        f"(('0x' || substr(md5(grp::VARCHAR || ':0'), 1, 15))::BIGINT"
+        f" % {SAMPLE_MOD})"
+    )
+    case = " ".join(
+        f"WHEN {h} < {u!r}::DOUBLE * {SAMPLE_MOD} THEN '{la}'"
+        for la, u in bounds[:-1]
+    )
+    return f"""
+WITH g AS (SELECT doc_id, doc_id // 8 AS grp FROM documents)
+SELECT doc_id, grp,
+       CASE {case} ELSE '{bounds[-1][0]}' END AS split
+FROM g"""
 
 
 def _quant_cte() -> str:
@@ -3782,6 +3826,7 @@ SELECT source, n_tokens,
        coalesce(round(w * t, 4), 0.0) AS expected_tokens
 FROM cw, tmin""",
         "mixture_sample": _mixture_sample_sql(),
+        "group_split": _group_split_sql(),
     }
 
 

@@ -38,6 +38,10 @@
     python jobs/export_training.py dsir --index /tmp/idx \
         --output /tmp/dsir --target /data/target_docs [--frac 0.25]
 
+    # leakage-safe conversation-level train/valid/test split
+    python jobs/export_training.py split --index /tmp/idx \
+        --output /tmp/splits --weights train=0.8,valid=0.1,test=0.1
+
     # water-filled domain-mixture sample (exact target token mixture)
     python jobs/export_training.py mixture --index /tmp/idx \
         --output /tmp/mix --strata-col role --weights user=0.5,assistant=0.5
@@ -66,7 +70,7 @@ def main() -> None:
         "action",
         choices=[
             "tfidf", "pack", "pairs", "context", "quality", "sample", "redact",
-            "bpe", "pplbuckets", "dsir", "mixture",
+            "bpe", "pplbuckets", "dsir", "mixture", "split",
         ],
     )
     ap.add_argument("--index", required=True)
@@ -109,9 +113,11 @@ def main() -> None:
         help="dsir: also resample, keeping the top FRAC by Gumbel-perturbed weight",
     )
     ap.add_argument("--strata-col", default="role", help="mixture")
+    ap.add_argument("--group-col", default="conv_id", help="split")
     ap.add_argument(
         "--weights", default=None,
-        help="mixture: target proportions, e.g. user=0.5,assistant=0.5",
+        help="mixture/split: proportions, e.g. user=0.5,assistant=0.5 "
+        "or train=0.8,valid=0.1,test=0.1",
     )
     args = ap.parse_args()
 
@@ -192,6 +198,18 @@ def main() -> None:
             out_df = dsir_resample(docs, target, args.frac, seed=args.seed)
         else:
             out_df = dsir_log_weights(docs, target)
+    elif args.action == "split":
+        from tsidx.textstats import group_split
+
+        if not args.weights:
+            raise SystemExit("split requires --weights, e.g. train=0.8,valid=0.1,test=0.1")
+        fracs = {
+            k: float(v)
+            for k, v in (kv.split("=", 1) for kv in args.weights.split(","))
+        }
+        out_df = group_split(
+            idx.docs, fracs, group_col=args.group_col, seed=args.seed
+        )
     elif args.action == "mixture":
         from tsidx.textstats import mixture_sample
 

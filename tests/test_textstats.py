@@ -281,3 +281,45 @@ def test_mixture_sample_binding_stratum_kept_whole(spark):
     assert "srcC" not in by_src
     # srcB keeps ~rate = 0.1 of 200 docs (hash-Bernoulli, wide tolerance)
     assert 8 <= len(by_src["srcB"]) <= 36
+
+
+def test_group_split_no_leakage_and_proportions(spark):
+    from tsidx.textstats import group_split
+
+    rows = [(i, f"c{i // 4}") for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id long, conv_id string")
+    out = group_split(docs, {"train": 0.8, "valid": 0.1, "test": 0.1}).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conv_id"], set()).add(r["split"])
+    # leakage-safe: every group maps to exactly one split
+    assert all(len(s) == 1 for s in by_conv.values())
+    splits = [next(iter(s)) for s in by_conv.values()]
+    n = len(splits)
+    assert 0.7 < splits.count("train") / n < 0.9
+    assert 0.05 < splits.count("valid") / n < 0.16
+    assert 0.05 < splits.count("test") / n < 0.16
+
+
+def test_group_split_deterministic_and_seeded(spark):
+    from tsidx.textstats import group_split
+
+    docs = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(500)], "doc_id long, conv_id string"
+    )
+    fr = {"train": 0.5, "valid": 0.5}
+    a = {r["conv_id"]: r["split"] for r in group_split(docs, fr).collect()}
+    b = {r["conv_id"]: r["split"] for r in group_split(docs, fr).collect()}
+    assert a == b  # same seed -> identical assignment
+    c = {r["conv_id"]: r["split"] for r in group_split(docs, fr, seed=1).collect()}
+    assert a != c  # different seed -> different assignment
+
+
+def test_group_split_fracs_must_sum_to_one(spark):
+    import pytest as _pytest
+
+    from tsidx.textstats import group_split
+
+    docs = spark.createDataFrame([(1, "c")], "doc_id long, conv_id string")
+    with _pytest.raises(ValueError):
+        group_split(docs, {"train": 0.5, "valid": 0.1})

@@ -21,6 +21,7 @@ __all__ = [
     "sample_mix",
     "mixture_rates",
     "mixture_sample",
+    "group_split",
     "ngram_counts",
     "redact_text",
     "REDACT_RULES",
@@ -501,3 +502,59 @@ def mixture_sample(
         .filter(F.col("_h") < F.col("rate") * SAMPLE_MOD)
         .drop("_h", "rate")
     )
+
+
+def group_split(
+    docs: DataFrame,
+    fracs: dict[str, float],
+    group_col: str = "conv_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Leakage-safe dataset splitting: append a ``split`` column such
+    that EVERY row of a group (conversation, document family, source
+    shard) lands in the same split — the train/valid/test partition a
+    training pipeline needs when rows of one group are near-duplicates
+    of each other (per-row Bernoulli splits leak a conversation's turns
+    across train and eval).
+
+    Groups are assigned by hashing the group key ONCE: ``h =
+    md5(group ':' seed)``'s top 60 bits mod ``SAMPLE_MOD``, mapped
+    through the cumulative *fracs* intervals in sorted-label order.
+    md5 (not xxhash64) so any engine reproduces the exact assignment —
+    the DuckDB oracle twin runs the same bytes-in, bytes-out formula.
+    Fractions must sum to ~1 (every group gets a split). Map-only: the
+    hash is a per-row expression on the group key; no shuffle, no
+    group materialization.
+    """
+    total = sum(fracs.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fracs must sum to 1, got {total}")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(group_col).cast("string"), F.lit(str(seed))
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SAMPLE_MOD
+    )
+    cum = 0.0
+    bounds = []
+    for label in sorted(fracs):
+        cum += float(fracs[label])
+        bounds.append((label, cum))
+    # intervals evaluate lowest-first (h < cum_1*M -> label_1, else
+    # h < cum_2*M -> label_2, ...); the LAST interval is the open-ended
+    # fallback so float rounding of the final cum cannot leave a sliver
+    # of unassigned groups
+    expr = F.lit(bounds[-1][0])
+    for label, upper in reversed(bounds[:-1]):
+        expr = F.when(h < upper * SAMPLE_MOD, F.lit(label)).otherwise(expr)
+    return docs.withColumn("split", expr)
