@@ -1157,6 +1157,53 @@ def _q_streaming_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.terms.select("term", F.col("df").cast("long").alias("df"))
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact-dedup (`tsidx.streaming.dedup_stream`):
+    the documents table replayed as TWO file-source micro-batches
+    (maxFilesPerTrigger=1 — every doc arrives twice, so cross-batch
+    state must suppress the replays); the surviving key set equals the
+    batch DISTINCT regardless of which copy survived. Keys are the
+    md5-derived 60-bit text hash so the DuckDB twin is exact."""
+    import tempfile
+
+    from tsidx.streaming import dedup_stream
+
+    key = (id(spark), os.path.normpath(sf_dir), "sdedup")
+    out_dir = _STREAM_CACHE.get(key)
+    if out_dir is None:
+        base = tempfile.mkdtemp(prefix="tsidx_sdedup_")
+        in_dir = os.path.join(base, "in")
+        out_dir = os.path.join(base, "out")
+        docs = load_documents(spark, sf_dir).select(
+            "doc_id",
+            "text",
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("tkey"),
+        )
+        docs.coalesce(1).write.parquet(os.path.join(in_dir, "f1"))
+        docs.coalesce(1).write.parquet(os.path.join(in_dir, "f2"))
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(os.path.join(in_dir, "f1")).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+        )
+        q = (
+            dedup_stream(stream, key_cols=["tkey"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        _STREAM_CACHE[key] = out_dir
+    return spark.read.parquet(out_dir).select("tkey").distinct()
+
+
 def _q_multistream_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-stream build (reference extractor streams,
     ``inverted_index.py:13-24``): index over BOTH the ``text`` and ``role``
@@ -2029,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup_pairs": _q_lsh_dedup_pairs,
         "highlight": _q_highlight,
         "streaming_term_df": _q_streaming_term_df,
+        "streaming_dedup": _q_streaming_dedup,
         "multistream_term_df": _q_multistream_term_df,
         "lsh_ann_recall": _q_lsh_ann_recall,
         "media_features": _q_media_features,
@@ -3827,6 +3875,8 @@ SELECT source, n_tokens,
 FROM cw, tmin""",
         "mixture_sample": _mixture_sample_sql(),
         "group_split": _group_split_sql(),
+        "streaming_dedup": f"""
+SELECT DISTINCT {_H64.format(v='text')} AS tkey FROM documents""",
     }
 
 

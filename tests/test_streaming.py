@@ -160,3 +160,101 @@ def test_stream_build_file_source(spark, halves, tmp_path):
     eng = QueryEngine(idx)
     got = [(r["doc_id"], r["score"]) for r in eng.bm25_topk("fire heat", 5).collect()]
     assert got == oracle.bm25_topk("fire heat", 5)
+
+
+def test_dedup_stream_cross_batch(spark, halves, tmp_path):
+    """Duplicates in a LATER batch are suppressed by state from an
+    earlier one (maxFilesPerTrigger=1 forces two micro-batches)."""
+    from tsidx.streaming import dedup_stream
+
+    first, _ = halves
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    df = spark.createDataFrame(rows_for(first, "a"), SCHEMA).coalesce(1)
+    df.write.parquet(str(in_dir / "f1"))
+    # second file: same texts again under different conv_ids
+    spark.createDataFrame(rows_for(first, "b"), SCHEMA).coalesce(1).write.parquet(
+        str(in_dir / "f2")
+    )
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    texts = sorted(r["text"] for r in got.collect())
+    assert texts == sorted(set(first))  # one survivor per distinct text
+    assert got.count() == len(set(first))
+
+
+def test_dedup_stream_composes_with_stream_build(spark, halves, tmp_path):
+    """dedup -> incremental index build: the duplicated corpus indexes
+    as if it had been ingested once; BM25 matches the single-copy oracle
+    up to docID relabeling (same text multiset -> same scores)."""
+    from tsidx.streaming import dedup_stream
+
+    first, _ = halves
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    path = str(tmp_path / "sidx")
+    spark.createDataFrame(
+        rows_for(first + first, "a"), SCHEMA
+    ).coalesce(1).write.parquet(str(in_dir / "f1"))
+
+    stream = spark.readStream.schema(SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(in_dir))
+    q = stream_build(
+        dedup_stream(stream), path, block_size=32, trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    idx = read_stream_index(spark, path)
+    assert idx.meta["n_docs"] == len(set(first))
+    oracle = OracleIndex()
+    oracle.add_corpus(sorted(set(first)))
+    eng = QueryEngine(idx)
+    got = [
+        round(r["score"], 9)
+        for r in eng.bm25_topk("fire heat", 5).collect()
+    ]
+    want = [round(s, 9) for _, s in oracle.bm25_topk("fire heat", 5)]
+    assert got == want
+
+
+def test_dedup_stream_watermarked(spark, halves, tmp_path):
+    """dropDuplicatesWithinWatermark path: duplicates arriving within
+    the horizon are suppressed; state is bounded by the watermark."""
+    from tsidx.streaming import dedup_stream
+
+    first, _ = halves
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(
+        rows_for(first + first, "a"), SCHEMA
+    ).coalesce(1).write.parquet(str(in_dir / "f1"))
+    stream = spark.readStream.schema(SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(in_dir))
+    q = (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == len(set(first))

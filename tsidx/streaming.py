@@ -51,7 +51,53 @@ __all__ = [
     "stream_build",
     "read_stream_index",
     "compact_stream_index",
+    "dedup_stream",
 ]
+
+
+def dedup_stream(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    key_cols: list[str] | None = None,
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact-dedup a streaming corpus: one survivor per distinct text,
+    across batches, via Spark's stateful ``dropDuplicates`` — the
+    continuous-ingestion twin of ``tsidx.dedup.exact_dedup_groups``
+    (compose with :func:`stream_build` to index only first arrivals).
+
+    The state key is ``(length, xxhash64(text), xxhash64(text, 1))``
+    — 128+ bits, so the corpus-scale collision probability stays
+    negligible where a single 64-bit hash would collide ~10^4 times at
+    10^12 docs (birthday bound), while keeping per-key state ~24 bytes
+    instead of the full text. Pass ``key_cols`` to dedup on existing
+    columns instead.
+
+    WHICH duplicate survives is whichever arrives first at the state
+    store — deterministic per run order, not across partitionings (the
+    batch analog keeps min-id; a streaming operator cannot, it has not
+    seen the future). Unbounded corpora must bound the state: pass
+    ``watermark`` (e.g. "1 hour") to use ``dropDuplicatesWithinWatermark``,
+    which only suppresses duplicates arriving within the horizon and
+    lets state expire — the production setting when duplicates cluster
+    in time (replays, retries, crawl revisits).
+    """
+    if key_cols:
+        keyed, keys = stream, list(key_cols)
+    else:
+        keyed = (
+            stream.withColumn("_tlen", F.length(F.col(text_col)))
+            .withColumn("_th1", F.xxhash64(F.col(text_col)))
+            .withColumn("_th2", F.xxhash64(F.col(text_col), F.lit(1)))
+        )
+        keys = ["_tlen", "_th1", "_th2"]
+    if watermark:
+        out = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    else:
+        out = keyed.dropDuplicates(keys)
+    return out.drop("_tlen", "_th1", "_th2") if not key_cols else out
 
 
 def _state_path(path: str) -> str:
