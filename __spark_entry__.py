@@ -261,6 +261,67 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RM3_FB_DOCS = 10
+RM3_FB_TERMS = 5
+RM3_ALPHA = 0.6
+
+
+def _q_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback: two BM25 passes with a driver-side
+    relevance model in between (rounded selections -> engine-replayable)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.rm3_topk(
+        Q_BM25, Q_BM25_K, RM3_FB_DOCS, RM3_FB_TERMS, RM3_ALPHA
+    ).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
+
+
+def _rm3_sql() -> str:
+    """The full RM3 two-pass pipeline replayed in SQL: pass-1 scores ->
+    top-fb_docs -> relevance-model weights over their tf rows -> top
+    fb_terms -> interpolated weights -> weighted second pass."""
+    terms = _terms_in(Q_BM25)
+    nq = len(set(_sql_query_terms(Q_BM25)))
+    return f"""
+WITH {_terms_cte()},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * ((tf.tf * {K1 + 1.0}) /
+            (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl))) AS c
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+),
+p1 AS (
+  SELECT doc_id, round(sum(c), 4) AS score_r
+  FROM contrib WHERE term IN ({terms}) GROUP BY doc_id
+),
+fb AS (SELECT doc_id, score_r FROM p1 ORDER BY score_r DESC, doc_id LIMIT {RM3_FB_DOCS}),
+rm AS (
+  SELECT tf.term,
+         round(sum((tf.tf::DOUBLE / dl.dl) * fb.score_r), 6) AS w
+  FROM tf JOIN fb USING (doc_id) JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.term
+),
+expn AS (SELECT term, w FROM rm ORDER BY w DESC, term LIMIT {RM3_FB_TERMS}),
+z AS (SELECT sum(w) AS z FROM expn),
+qt AS (SELECT unnest([{terms}]) AS term),
+wts AS (
+  SELECT coalesce(qt.term, expn.term) AS term,
+         round({RM3_ALPHA} * (CASE WHEN qt.term IS NOT NULL
+                                   THEN 1.0 / {nq} ELSE 0.0 END)
+               + {1.0 - RM3_ALPHA} * coalesce(expn.w / z.z, 0.0), 6) AS wt
+  FROM qt FULL OUTER JOIN expn ON qt.term = expn.term CROSS JOIN z
+)
+SELECT c.doc_id, round(sum(wts.wt * c.c), 4) AS score_r
+FROM contrib c JOIN wts ON c.term = wts.term
+GROUP BY c.doc_id
+ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}"""
+
+
 LM_MU = 2000.0
 SIG_MIN_FG_DF = 3
 SIG_TOP_N = 20
@@ -2040,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": _q_mmr_rerank,
         "mmr_consistency": _q_mmr_consistency,
         "bm25_topk": _q_bm25_topk,
+        "rm3_topk": _q_rm3_topk,
         "lm_dirichlet_topk": _q_lm_dirichlet_topk,
         "significant_terms": _q_significant_terms,
         "percolate": _q_percolate,
@@ -2909,6 +2971,7 @@ SELECT doc_id FROM (
         "bm25_topk": f"""
 SELECT * FROM ({_bm25_scores_sql(Q_BM25)})
 ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
+        "rm3_topk": _rm3_sql(),
         "lm_dirichlet_topk": f"""
 WITH {_terms_cte()},
 stats AS (

@@ -184,6 +184,7 @@ def main():
 
     p50("wand_topk_batch4", lambda: wand_topk_batch(idx, batch, 10).count())
     p50("more_like_this", lambda: eng.more_like_this(17, 10).collect())
+    p50("rm3_topk", lambda: eng.rm3_topk("customer query merge", 25).collect())
     p50(
         "lm_dirichlet_topk",
         lambda: eng.lm_dirichlet_topk("customer query merge", 25).collect(),

@@ -461,3 +461,41 @@ def test_write_read_roundtrip(tmp_path, spark, built, oracle):
     engine = QueryEngine(loaded)
     got = [(r["doc_id"], r["score"]) for r in engine.bm25_topk("fire heat", 5).collect()]
     assert got == oracle.bm25_topk("fire heat", 5)
+
+
+def test_rm3_no_expansion_preserves_bm25_order(built):
+    # fb_terms=0: weights collapse to alpha/|q| on the original terms —
+    # a positive scalar times BM25, so the ranking must be unchanged
+    eng = QueryEngine(built)
+    base = [r["doc_id"] for r in eng.bm25_topk("fire heat", 10).collect()]
+    rm3 = [
+        r["doc_id"]
+        for r in eng.rm3_topk("fire heat", 10, fb_terms=0).collect()
+    ]
+    assert rm3 == base
+
+
+def test_rm3_expansion_widens_recall(built):
+    # expansion terms from the feedback docs let docs WITHOUT any
+    # original query term enter the candidate set
+    eng = QueryEngine(built)
+    base = {r["doc_id"] for r in eng.bm25_scores("thrall quench").collect()}
+    rm3 = {
+        r["doc_id"]
+        for r in eng.rm3_topk(
+            "thrall quench", 200, fb_docs=5, fb_terms=10
+        ).collect()
+    }
+    assert rm3 - base  # at least one expansion-only doc ranked
+
+
+def test_rm3_deterministic(built):
+    eng = QueryEngine(built)
+    a = [(r["doc_id"], r["score"]) for r in eng.rm3_topk("fire heat", 10).collect()]
+    b = [(r["doc_id"], r["score"]) for r in eng.rm3_topk("fire heat", 10).collect()]
+    assert a == b
+
+
+def test_rm3_empty_query(built):
+    eng = QueryEngine(built)
+    assert eng.rm3_topk("zzzunknown", 10).count() == 0

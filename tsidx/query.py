@@ -399,6 +399,93 @@ class QueryEngine:
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
 
+    def rm3_topk(
+        self,
+        query: str | list[str],
+        k: int,
+        fb_docs: int = 10,
+        fb_terms: int = 5,
+        orig_weight: float = 0.6,
+    ) -> DataFrame:
+        """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 relevance
+        models; the RM3 interpolation of Abdul-Jaleel et al. 2004): run
+        the query, build a relevance model from the top *fb_docs* results,
+        expand the query with its top *fb_terms* terms, and re-rank with
+        interpolated weights
+
+            w'(t) = orig_weight · p(t|q) + (1 − orig_weight) · p(t|RM)
+            p(t|RM) ∝ Σ_{d ∈ FB} (tf(t,d) / dl(d)) · score(d)
+
+        Every selection uses ROUNDED values with total-order tiebreaks
+        (feedback docs by (score@4 desc, doc_id); expansion terms by
+        (weight@6 desc, term); final by (score@raw desc, doc_id)) so the
+        whole two-pass pipeline replays identically on any engine — the
+        DuckDB oracle runs the same spec end to end.
+
+        Plan shape: pass 1 is the standard pushed term-IN scan ending in
+        TakeOrdered(fb_docs); the relevance model is built DRIVER-side
+        from the fb docs' own texts (one pushed ``doc_id IN`` fetch of
+        ≤ fb_docs rows, re-tokenized like :meth:`more_like_this` — never
+        a posting-scan transpose); pass 2 is one weighted term-IN scan
+        over ≤ |q| + fb_terms terms. Driver state is O(fb_docs · doc_len).
+        """
+        import math
+
+        from tsidx.tokenize import term_freqs
+
+        def r6(x: float) -> float:
+            # half-up to 6 decimals — matches DuckDB/Spark round(), NOT
+            # Python's banker's rounding
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        spark = self.index.docs.sparkSession
+        q_terms = sorted(set(self.terms_of(query)))
+        if not q_terms:
+            return spark.createDataFrame([], "doc_id long, score double")
+        first = self.bm25_scores(query).select(
+            "doc_id", F.round("score", 4).alias("score_r")
+        )
+        fb_rows = (
+            first.orderBy(F.desc("score_r"), F.asc("doc_id"))
+            .limit(int(fb_docs))
+            .collect()
+        )
+        score_by = {r["doc_id"]: float(r["score_r"]) for r in fb_rows}
+        rmw: dict[str, float] = {}
+        if score_by:
+            texts = (
+                self.index.docs.filter(
+                    F.col("doc_id").isin(list(score_by))
+                )
+                .select("doc_id", "text")
+                .collect()
+            )
+            for row in sorted(texts, key=lambda r: r["doc_id"]):
+                tfs, dl = term_freqs(row["text"], self._stem_cache)
+                if not dl:
+                    continue
+                s = score_by[row["doc_id"]]
+                for t, f in tfs.items():
+                    rmw[t] = rmw.get(t, 0.0) + (f / dl) * s
+        ranked = sorted(
+            ((t, r6(w)) for t, w in rmw.items()), key=lambda x: (-x[1], x[0])
+        )[: int(fb_terms)]
+        z = sum(w for _, w in ranked)
+        alpha = float(orig_weight)
+        exp_p = {t: w / z for t, w in ranked} if z > 0 else {}
+        weights = {
+            t: r6(
+                alpha * (1.0 / len(q_terms) if t in q_terms else 0.0)
+                + (1.0 - alpha) * exp_p.get(t, 0.0)
+            )
+            for t in sorted(set(q_terms) | set(exp_p))
+        }
+        return (
+            self._bm25_scores_terms(sorted(weights), weights=weights)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
     def bm25_topk_after(
         self, query: str | list[str], k: int, after: tuple[int, float]
     ) -> DataFrame:
