@@ -323,3 +323,35 @@ def test_group_split_fracs_must_sum_to_one(spark):
     docs = spark.createDataFrame([(1, "c")], "doc_id long, conv_id string")
     with _pytest.raises(ValueError):
         group_split(docs, {"train": 0.5, "valid": 0.1})
+
+
+def test_group_split_matches_pure_python_md5(spark):
+    """Differential check against a third implementation: replicate the
+    md5-hash -> cumulative-interval assignment with hashlib and compare
+    every group's split."""
+    import hashlib
+
+    from tsidx.textstats import SAMPLE_MOD, group_split
+
+    fracs = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    docs = spark.createDataFrame(
+        [(i, f"conv-{i}") for i in range(300)], "doc_id long, conv_id string"
+    )
+    got = {
+        r["conv_id"]: r["split"] for r in group_split(docs, fracs).collect()
+    }
+
+    bounds = []
+    cum = 0.0
+    for label in sorted(fracs):
+        cum += fracs[label]
+        bounds.append((label, cum))
+
+    def expect(conv):
+        h = int(hashlib.md5(f"{conv}:0".encode()).hexdigest()[:15], 16) % SAMPLE_MOD
+        for label, upper in bounds[:-1]:
+            if h < upper * SAMPLE_MOD:
+                return label
+        return bounds[-1][0]
+
+    assert got == {f"conv-{i}": expect(f"conv-{i}") for i in range(300)}
