@@ -743,6 +743,31 @@ def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROCCHIO_FB_K = 4
+ROCCHIO_ALPHA = 1.0
+ROCCHIO_BETA = 0.75
+
+
+def _q_rocchio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback in embedding space: two cosine
+    passes with a rounded feedback-centroid query update in between."""
+    from tsidx.ann import rocchio_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    topk = rocchio_topk(
+        emb, queries, k=ANN_K, fb_k=ROCCHIO_FB_K,
+        alpha=ROCCHIO_ALPHA, beta=ROCCHIO_BETA,
+    )
+    return topk.select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.round("sim", 4).alias("sim_r"),
+    )
+
+
 def _q_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-k over int8-quantized embeddings (tsidx/ann.py
     quantize_int8) — deterministic integer arithmetic, oracle-checked."""
@@ -2125,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dup_clusters": _q_dup_clusters,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "rocchio_topk": _q_rocchio_topk,
         "quantized_ann_topk": _q_quantized_ann_topk,
         "quantized_ann_recall": _q_quantized_ann_recall,
         "bpe_word_counts": _q_bpe_word_counts,
@@ -3492,6 +3518,56 @@ ranked AS (
 )
 SELECT query_id, vec_id, round(sim, 4) AS sim_r
 FROM ranked WHERE rn <= {ANN_K}""",
+        "rocchio_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < {ANN_NQ}
+),
+sims1 AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qe, q.qe)) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+),
+fb AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM sims1) WHERE rn <= {ROCCHIO_FB_K}
+),
+dims AS (
+  SELECT fb.query_id, u.i AS pos, e.embedding[u.i]::DOUBLE AS v
+  FROM fb JOIN embeddings e USING (vec_id),
+       unnest(range(1, len(e.embedding) + 1)) AS u(i)
+),
+cent AS (SELECT query_id, pos, round(avg(v), 6) AS m FROM dims GROUP BY 1, 2),
+qdims AS (
+  SELECT q.query_id, u.i AS pos, q.qe[u.i] AS qv
+  FROM q, unnest(range(1, len(q.qe) + 1)) AS u(i)
+),
+q2 AS (
+  SELECT qd.query_id,
+         list(round({ROCCHIO_ALPHA} * qd.qv + {ROCCHIO_BETA} * cent.m, 6)
+              ORDER BY qd.pos) AS qe2
+  FROM qdims qd JOIN cent USING (query_id, pos)
+  GROUP BY qd.query_id
+),
+sims2 AS (
+  SELECT q2.query_id, e.vec_id,
+         list_dot_product(q2.qe2, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q2.qe2, q2.qe2)) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS sim
+  FROM q2 CROSS JOIN embeddings e WHERE e.vec_id <> q2.query_id
+)
+SELECT query_id, vec_id, round(sim, 4) AS sim_r FROM (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM sims2) WHERE rn <= {ANN_K}""",
         "minhash_sigs": _minhash_sql(),
         "simhash": _simhash_sql(),
         # exact brute-force twin of the banded-LSH plan (banding is exact

@@ -299,3 +299,68 @@ def test_semdedup_no_pairs_on_spread_corpus(emb):
     from tsidx.ann import semdedup_pairs
 
     assert semdedup_pairs(emb, tau=0.95, n_centroids=8).count() == 0
+
+
+def test_rocchio_matches_numpy_differential(emb, queries):
+    """Full numpy replay of the Rocchio pipeline (same roundings, same
+    tiebreaks) must reproduce the engine's top-k lists exactly."""
+    import numpy as np
+
+    from tsidx.ann import rocchio_topk
+
+    fb_k, k, alpha, beta = 4, 6, 1.0, 0.75
+    got = rocchio_topk(emb, queries, k=k, fb_k=fb_k, alpha=alpha, beta=beta).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["sim"]))
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    qs = {r["query_id"]: np.array(r["q_emb"], dtype=np.float64) for r in queries.collect()}
+
+    def topk(qid, qv, n):
+        sims = []
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            s = float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            sims.append((-s, vid))
+        sims.sort()
+        return [vid for _, vid in sims[:n]]
+
+    for qid, qv in qs.items():
+        fb = topk(qid, qv, fb_k)
+        cent = np.round(np.mean([vecs[i] for i in fb], axis=0), 6)
+        q2 = np.round(alpha * qv + beta * cent, 6)
+        want = topk(qid, q2, k)
+        assert [vid for vid, _ in by_q[qid]] == want, qid
+
+
+def test_rocchio_pulls_query_toward_feedback_cluster(spark):
+    """Planted geometry: after feedback from the tight cluster, a second
+    cluster member overtakes an isolated vector that pass 1 ranked higher."""
+    from tsidx.ann import rocchio_topk
+
+    rows = [
+        (0, [1.0, 0.0]),          # the query vector
+        (1, [0.95, 0.3122]),      # isolated, very close to q
+        (2, [0.6, 0.8]),          # cluster member A
+        (3, [0.55, 0.835]),       # cluster member B
+        (4, [0.58, 0.8146]),      # cluster member C
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    base = [r["vec_id"] for r in cosine_topk(emb, q, k=4).collect()]
+    assert base[0] == 1  # pass 1: the isolated near-duplicate wins
+    rocchio = [
+        r["vec_id"]
+        for r in rocchio_topk(emb, q, k=4, fb_k=3, alpha=0.0, beta=1.0).collect()
+    ]
+    # alpha=0: pure centroid query; fb = {1, 2, 4} and its centroid sits
+    # between the cluster members, so one of them overtakes the isolated
+    # pass-1 winner
+    assert rocchio[0] in (2, 3, 4)

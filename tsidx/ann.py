@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cosine_topk",
+    "rocchio_topk",
     "cosine_dup_pairs_exact",
     "quantize_int8",
     "quantize_write",
@@ -710,3 +711,71 @@ def mmr_rerank(
         pair = unit @ unit[pick]
         max_sim_to_sel = np.maximum(max_sim_to_sel, pair)
     return spark.createDataFrame(out, out_schema)
+
+
+def rocchio_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    fb_k: int = 5,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+) -> DataFrame:
+    """Rocchio (1971) pseudo-relevance feedback in embedding space — the
+    vector twin of ``QueryEngine.rm3_topk``: retrieve ``fb_k`` neighbors,
+    move each query toward their centroid, retrieve again:
+
+        q' = alpha · q + beta · mean(top-fb_k embeddings)
+
+    (no negative term: with pseudo-feedback there are no judged
+    non-relevant docs). Feedback docs stay eligible in the second pass.
+    Centroid dims and q' dims are ROUNDED to 6 decimals so the float
+    average's accumulation order can never flip downstream ranks — the
+    DuckDB oracle replays the exact pipeline. Plan shape: pass 1 is
+    :func:`cosine_topk` (one corpus scan, broadcast queries); the
+    centroid step is a (query, dim) aggregation over fb_k·dim rows per
+    query — bounded, never corpus-scale; pass 2 is another
+    :func:`cosine_topk` with the updated (still broadcast-sized) query
+    set.
+    """
+    fb = cosine_topk(
+        corpus, queries, fb_k, id_col, emb_col, query_id_col, query_emb_col
+    ).select(query_id_col, id_col)
+    dims = fb.join(corpus.select(id_col, emb_col), on=id_col).select(
+        query_id_col,
+        F.posexplode(_as_double(F.col(emb_col))).alias("pos", "v"),
+    )
+    cent = dims.groupBy(query_id_col, "pos").agg(
+        F.round(F.avg("v"), 6).alias("m")
+    )
+    qdims = queries.select(
+        query_id_col,
+        F.posexplode(_as_double(F.col(query_emb_col))).alias("pos", "qv"),
+    )
+    q2 = (
+        qdims.join(cent, on=[query_id_col, "pos"])
+        .select(
+            query_id_col,
+            F.struct(
+                "pos",
+                F.round(
+                    F.lit(float(alpha)) * F.col("qv")
+                    + F.lit(float(beta)) * F.col("m"),
+                    6,
+                ).alias("v"),
+            ).alias("pv"),
+        )
+        .groupBy(query_id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("pv")), lambda s: s["v"]
+            ).alias(query_emb_col)
+        )
+    )
+    return cosine_topk(
+        corpus, q2, k, id_col, emb_col, query_id_col, query_emb_col
+    )
