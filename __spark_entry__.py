@@ -2009,6 +2009,16 @@ SESSION_GAP_MIN = 30
 _SESSION_E0 = 1767225600  # epoch of 2026-01-01T00:00:00Z
 
 
+def _q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time rollup of the events stream table (count, value
+    sum, distinct users per (hour, event_type)); same expression runs
+    watermarked under Structured Streaming."""
+    from tsidx.sessions import event_window_stats
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return event_window_stats(ev, "1 hour")
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (session_window) over jittered transcript
     event times: every conversation splits into two sessions at the
@@ -2119,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "conv_fingerprint": _q_conv_fingerprint,
         "sessionize": _q_sessionize,
+        "event_window_stats": _q_event_window_stats,
         "conv_minhash": _q_conv_minhash,
         "trending_terms": _q_trending_terms,
         "ngram_counts": _q_ngram_counts,
@@ -4014,6 +4025,12 @@ SELECT source, n_tokens,
 FROM cw, tmin""",
         "mixture_sample": _mixture_sample_sql(),
         "group_split": _group_split_sql(),
+        "event_window_stats": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value_r,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1, 2""",
         "streaming_dedup": f"""
 SELECT DISTINCT {_H64.format(v='text')} AS tkey FROM documents""",
     }

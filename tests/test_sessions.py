@@ -154,3 +154,78 @@ def test_streaming_term_trend_counts_and_late_drop(spark, tmp_path):
     assert got[(w0, "fire")] == 2      # late 'fire' at minute 1 NOT counted
     assert got[(w0, "heat")] == 1
     assert got[(w1, "heat")] == 1      # 'heated' stems to 'heat'
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _event_rows():
+    import datetime
+
+    base = datetime.datetime(2026, 3, 1, 10, 0, tzinfo=datetime.timezone.utc)
+    rows = []
+    for i in range(12):
+        rows.append(
+            (
+                i,
+                base + datetime.timedelta(minutes=20 * i),
+                100 + i % 3,
+                "click" if i % 2 == 0 else "view",
+                float(i),
+                "{}",
+            )
+        )
+    return rows
+
+
+def test_event_window_stats_hand_computed(spark):
+    from tsidx.sessions import event_window_stats
+
+    ev = spark.createDataFrame(_event_rows(), EVENTS_SCHEMA)
+    got = {
+        (r["window_start"].hour, r["event_type"]): r
+        for r in event_window_stats(ev, "1 hour").collect()
+    }
+    # hour 10 holds events 0,1,2 (minutes 0/20/40): clicks {0,2}, view {1}
+    assert got[(10, "click")]["n_events"] == 2
+    assert got[(10, "click")]["sum_value_r"] == 2.0  # values 0 + 2
+    assert got[(10, "click")]["n_users"] == 2  # users 100, 102
+    assert got[(10, "view")]["n_events"] == 1
+    # 12 events x 20 min span exactly 4 hours -> 8 (hour, type) groups
+    assert len(got) == 8
+
+
+def test_event_window_stats_streaming_parity(spark, tmp_path):
+    from tsidx.sessions import event_window_stats
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(_event_rows(), EVENTS_SCHEMA).coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
+    # streaming mode auto-swaps count_distinct -> approx_count_distinct;
+    # exact at this cardinality (<=3 users/window), so parity still holds
+    agg = event_window_stats(stream, "1 hour", watermark="0 seconds")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            event_window_stats(
+                spark.createDataFrame(_event_rows(), EVENTS_SCHEMA), "1 hour"
+            ).collect(),
+        )
+    )
+    # append mode finalizes all but the last (watermark-open) window
+    assert set(got) <= set(batch)
+    assert len(got) >= len(batch) - 2
