@@ -61,7 +61,13 @@ def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _TURNS_PER_CONV).cast("int").alias("turn_idx"),
         role.alias("role"),
         F.col("text"),
-        F.lit("").alias("tool"),
+        # tool-role turns (doc_id % 4 == 3) carry a deterministic tool name
+        F.when(
+            F.col("doc_id") % len(_ROLES) == len(_ROLES) - 1,
+            F.format_string("tool%d", (F.col("doc_id") % 5).cast("int")),
+        )
+        .otherwise(F.lit(""))
+        .alias("tool"),
         (F.lit(base) + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("ts"),
     )
 
@@ -2019,6 +2025,22 @@ def _q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_window_stats(ev, "1 hour")
 
 
+def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-conversation turn-taking structure: counts and mean
+    inter-turn latency per (role, next_role) pair."""
+    from tsidx.dialog import role_transitions
+
+    return role_transitions(documents_as_transcripts(spark, sf_dir))
+
+
+def _q_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool profile of tool-role turns: call count, distinct
+    conversations, mean payload token length."""
+    from tsidx.dialog import tool_usage
+
+    return tool_usage(documents_as_transcripts(spark, sf_dir))
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (session_window) over jittered transcript
     event times: every conversation splits into two sessions at the
@@ -2130,6 +2152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_fingerprint": _q_conv_fingerprint,
         "sessionize": _q_sessionize,
         "event_window_stats": _q_event_window_stats,
+        "role_transitions": _q_role_transitions,
+        "tool_usage": _q_tool_usage,
         "conv_minhash": _q_conv_minhash,
         "trending_terms": _q_trending_terms,
         "ngram_counts": _q_ngram_counts,
@@ -4025,6 +4049,26 @@ SELECT source, n_tokens,
 FROM cw, tmin""",
         "mixture_sample": _mixture_sample_sql(),
         "group_split": _group_split_sql(),
+        # roles cycle every 4 turns and ts = E0 + 60s * doc_id, so the
+        # within-conv successor of doc_id is doc_id + 1 (same conv block)
+        "role_transitions": f"""
+WITH t AS (
+  SELECT doc_id, doc_id // {_TURNS_PER_CONV} AS conv,
+         (['user','assistant','system','tool'])[(doc_id % 4)::INT + 1] AS role
+  FROM documents)
+SELECT a.role AS role, b.role AS next_role, count(*)::BIGINT AS n,
+       round(avg(60.0 * (b.doc_id - a.doc_id)), 4) AS avg_gap_s_r
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 AND b.conv = a.conv
+GROUP BY 1, 2""",
+        # tool name = 'tool' || doc_id % 5 on tool-role turns (doc_id % 4 = 3)
+        "tool_usage": f"""
+SELECT 'tool' || (doc_id % 5)::INT AS tool,
+       count(*)::BIGINT AS n_calls,
+       count(DISTINCT doc_id // {_TURNS_PER_CONV})::BIGINT AS n_convs,
+       round(avg(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END), 4) AS avg_len_r
+FROM documents WHERE doc_id % 4 = 3 GROUP BY 1""",
         "event_window_stats": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*)::BIGINT AS n_events,
