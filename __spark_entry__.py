@@ -2025,6 +2025,31 @@ def _q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_window_stats(ev, "1 hour")
 
 
+def _q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over the events table: each click attributed to the
+    same user's most recent prior view (left-outer; unmatched clicks keep
+    nulls). One shuffle on user_id, single window pass — no inequality-
+    join row explosion."""
+    from tsidx.asof import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    j = asof_join(clicks, views, "user_id", payload=[])
+    return j.select(
+        "event_id",
+        F.col("ts_r").alias("prior_view_ts"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("gap_us"),
+    )
+
+
 def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-conversation turn-taking structure: counts and mean
     inter-turn latency per (role, next_role) pair."""
@@ -2154,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_stats": _q_event_window_stats,
         "role_transitions": _q_role_transitions,
         "tool_usage": _q_tool_usage,
+        "asof_attribution": _q_asof_attribution,
         "conv_minhash": _q_conv_minhash,
         "trending_terms": _q_trending_terms,
         "ngram_counts": _q_ngram_counts,
@@ -4049,6 +4075,14 @@ SELECT source, n_tokens,
 FROM cw, tmin""",
         "mixture_sample": _mixture_sample_sql(),
         "group_split": _group_split_sql(),
+        "asof_attribution": """
+SELECT c.event_id,
+       max(v.ts) AS prior_view_ts,
+       (epoch_us(c.ts) - epoch_us(max(v.ts)))::BIGINT AS gap_us
+FROM events c LEFT JOIN events v
+  ON v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts
+WHERE c.event_type = 'click'
+GROUP BY c.event_id, c.ts""",
         # roles cycle every 4 turns and ts = E0 + 60s * doc_id, so the
         # within-conv successor of doc_id is doc_id + 1 (same conv block)
         "role_transitions": f"""
