@@ -2050,6 +2050,27 @@ def _q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join over the events table: each purchase opens a
+    30-minute attribution window and matches the same user's clicks inside
+    it. One (user_id, time-bucket) equi-join shuffle — no broadcast
+    nested-loop / cartesian blow-up from the raw inequality predicate."""
+    from tsidx.asof import interval_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    j = interval_join(clicks, windows, "user_id", bucket_s=1800)
+    return j.select("click_id", "purchase_id")
+
+
 def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-conversation turn-taking structure: counts and mean
     inter-turn latency per (role, next_role) pair."""
@@ -2180,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": _q_role_transitions,
         "tool_usage": _q_tool_usage,
         "asof_attribution": _q_asof_attribution,
+        "interval_overlap": _q_interval_overlap,
         "conv_minhash": _q_conv_minhash,
         "trending_terms": _q_trending_terms,
         "ngram_counts": _q_ngram_counts,
@@ -4083,6 +4105,12 @@ FROM events c LEFT JOIN events v
   ON v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts
 WHERE c.event_type = 'click'
 GROUP BY c.event_id, c.ts""",
+        "interval_overlap": """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
         # roles cycle every 4 turns and ts = E0 + 60s * doc_id, so the
         # within-conv successor of doc_id is doc_id + 1 (same conv block)
         "role_transitions": f"""
