@@ -2071,6 +2071,31 @@ def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("click_id", "purchase_id")
 
 
+def _q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (nulls, cardinality, range, avg length)
+    of the documents table — one aggregation pass, reshaped in-plan."""
+    from tsidx.profile import profile_columns
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return profile_columns(docs)
+
+
+def _profile_docs_sql() -> str:
+    parts = []
+    for c in ("doc_id", "text", "lang", "source", "n_chars"):
+        parts.append(
+            f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_val,
+       max(CAST({c} AS VARCHAR)) AS max_val,
+       round(avg(length(CAST({c} AS VARCHAR))), 4) AS avg_len
+FROM documents"""
+        )
+    return "\nUNION ALL".join(parts)
+
+
 def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-conversation turn-taking structure: counts and mean
     inter-turn latency per (role, next_role) pair."""
@@ -2202,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_usage": _q_tool_usage,
         "asof_attribution": _q_asof_attribution,
         "interval_overlap": _q_interval_overlap,
+        "profile_docs": _q_profile_docs,
         "conv_minhash": _q_conv_minhash,
         "trending_terms": _q_trending_terms,
         "ngram_counts": _q_ngram_counts,
@@ -4111,6 +4137,7 @@ FROM events c JOIN events p
   ON c.user_id = p.user_id
  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 30 MINUTE
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
+        "profile_docs": _profile_docs_sql(),
         # roles cycle every 4 turns and ts = E0 + 60s * doc_id, so the
         # within-conv successor of doc_id is doc_id + 1 (same conv block)
         "role_transitions": f"""
