@@ -2096,6 +2096,16 @@ FROM documents"""
     return "\nUNION ALL".join(parts)
 
 
+def _q_index_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity gate: every structural invariant of the built index
+    (block ranges, varbyte decode round-trip, term df consistency, dense
+    docIDs, meta counts) must hold — all n_bad are zero on a healthy
+    index. The oracle row set is the literal all-zeros table."""
+    from tsidx.fsck import fsck_index
+
+    return fsck_index(get_index(spark, sf_dir)).orderBy("check")
+
+
 def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-conversation turn-taking structure: counts and mean
     inter-turn latency per (role, next_role) pair."""
@@ -2228,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": _q_asof_attribution,
         "interval_overlap": _q_interval_overlap,
         "profile_docs": _q_profile_docs,
+        "index_fsck": _q_index_fsck,
         "conv_minhash": _q_conv_minhash,
         "trending_terms": _q_trending_terms,
         "ngram_counts": _q_ngram_counts,
@@ -4138,6 +4149,10 @@ FROM events c JOIN events p
  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 30 MINUTE
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
         "profile_docs": _profile_docs_sql(),
+        "index_fsck": """
+SELECT unnest(['block_decode', 'block_id_range', 'doc_ids_dense',
+               'meta_counts', 'term_df']) AS check,
+       0::BIGINT AS n_bad""",
         # roles cycle every 4 turns and ts = E0 + 60s * doc_id, so the
         # within-conv successor of doc_id is doc_id + 1 (same conv block)
         "role_transitions": f"""

@@ -1,0 +1,88 @@
+"""fsck_index: all-zeros on healthy indexes; targeted corruption is caught."""
+
+import dataclasses
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsidx.build import build_index
+from tsidx.fsck import fsck_index
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "the five boxing wizards jump quickly",
+    "sphinx of black quartz judge my vow",
+    "how vexingly quick daft zebras jump",
+    "the jay pig fox zebra and my wolves quack",
+] * 4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(f"c{i // 4}", i % 4, "user", t) for i, t in enumerate(TEXTS)],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+
+
+def _result(idx):
+    return {r["check"]: r["n_bad"] for r in fsck_index(idx).collect()}
+
+
+@pytest.mark.parametrize("codec", ["varbyte", "array"])
+def test_healthy_index_all_zero(corpus, codec):
+    idx = build_index(corpus, block_size=8, codec=codec)
+    got = _result(idx)
+    assert set(got) >= {
+        "block_id_range", "block_decode", "term_df", "doc_ids_dense",
+        "meta_counts",
+    }
+    assert all(v == 0 for v in got.values()), got
+
+
+def test_corrupt_block_metadata_caught(corpus):
+    idx = build_index(corpus, block_size=8)
+    # shift one block's min_doc outside its block range
+    bad_postings = idx.postings.withColumn(
+        "min_doc",
+        F.when(F.col("term") == "fox", F.col("min_doc") + 1000).otherwise(
+            F.col("min_doc")
+        ),
+    )
+    bad = dataclasses.replace(idx, postings=bad_postings)
+    got = _result(bad)
+    assert got["block_id_range"] > 0
+    assert got["block_decode"] > 0  # decoded first id no longer == min_doc
+
+
+def test_corrupt_term_df_caught(corpus):
+    idx = build_index(corpus, block_size=8)
+    bad_terms = idx.terms.withColumn(
+        "df",
+        F.when(F.col("term") == "fox", F.col("df") + 1).otherwise(F.col("df")),
+    )
+    got = _result(dataclasses.replace(idx, terms=bad_terms))
+    assert got["term_df"] == 1
+    assert got["block_id_range"] == 0
+
+
+def test_missing_doc_caught(corpus):
+    idx = build_index(corpus, block_size=8)
+    bad_docs = idx.docs.filter(F.col("doc_id") != 3)
+    got = _result(dataclasses.replace(idx, docs=bad_docs))
+    assert got["doc_ids_dense"] == 1
+    assert got["meta_counts"] >= 1  # docs count no longer matches meta
+
+
+def test_corrupt_varbyte_stream_caught(corpus):
+    idx = build_index(corpus, block_size=8)
+    # truncate one tf stream: decoded lengths disagree with block_df
+    bad_postings = idx.postings.withColumn(
+        "tfs",
+        F.when(
+            F.col("term") == "fox", F.substring(F.col("tfs"), 1, 0).cast("binary")
+        ).otherwise(F.col("tfs")),
+    )
+    got = _result(dataclasses.replace(idx, postings=bad_postings))
+    assert got["block_decode"] > 0

@@ -1,0 +1,164 @@
+"""Index integrity checker (fsck): verify every structural invariant of a
+built index against its own metadata — the maintenance job you run before
+trusting a 10^12-doc index that was built, merged, resumed, and updated
+across many cluster runs.
+
+Checks (one output row each, ``(check, n_bad)``):
+
+- ``block_id_range``    — every posting block's [min_doc, max_doc] lies
+                          inside the docID range its block_id names.
+- ``block_decode``      — the varbyte streams decode to exactly block_df
+                          strictly-increasing docIDs whose first/last match
+                          min_doc/max_doc and whose tf/dl streams reproduce
+                          max_tf / min_dl / sum_tf (Arrow-batched decode —
+                          bounded per-block work, nothing on the driver).
+- ``term_df``           — per-term sum of block_df equals the terms table's
+                          global df (full outer join catches orphans on
+                          either side).
+- ``doc_ids_dense``     — docs carry exactly n_docs distinct docIDs
+                          covering 0..n_docs-1 (the deterministic dense
+                          assignment every query path relies on).
+- ``meta_counts``       — meta.json's n_docs / total_tokens match the
+                          tables (total tokens = sum of sum_tf over all
+                          posting blocks).
+- ``manifest_counts``   — per-shard lineage doc counts sum to n_docs
+                          (skipped when the index has no manifest).
+
+All checks are distributed aggregations; the only driver-side values are
+the per-check bad counts. Runs on either postings codec (varbyte or
+array).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsidx.index import InvertedIndex
+
+__all__ = ["fsck_index"]
+
+
+def _decode_check(batches):
+    import pandas as pd
+
+    from tsidx.compress import decode_posting_block
+
+    for pdf in batches:
+        bad = 0
+        for df_, mn, mx, mtf, mdl, stf, g, t, d in zip(
+            pdf["block_df"], pdf["min_doc"], pdf["max_doc"], pdf["max_tf"],
+            pdf["min_dl"], pdf["sum_tf"], pdf["doc_gaps"], pdf["tfs"],
+            pdf["dls"],
+        ):
+            ids, tfs, dls = decode_posting_block(bytes(g), bytes(t), bytes(d))
+            ok = (
+                len(ids) == df_ == len(tfs) == len(dls)
+                and len(ids) > 0
+                and int(ids[0]) == mn
+                and int(ids[-1]) == mx
+                and bool((ids[1:] > ids[:-1]).all())
+                and int(tfs.max()) == mtf
+                and int(dls.min()) == mdl
+                and int(tfs.sum(dtype="int64")) == stf
+            )
+            bad += 0 if ok else 1
+        yield pd.DataFrame({"n_bad": [bad]})
+
+
+def _array_check(postings: DataFrame) -> DataFrame:
+    """JVM-side twin of the decode check for the uncompressed array codec."""
+    p = postings.select(
+        "block_df", "min_doc", "max_doc", "max_tf", "min_dl", "sum_tf",
+        "plist",
+    )
+    ids = F.transform("plist", lambda s: s["doc_id"])
+    tfs = F.transform("plist", lambda s: s["tf"])
+    bad = ~(
+        (F.size("plist") == F.col("block_df"))
+        & (F.element_at(ids, 1) == F.col("min_doc"))
+        & (F.element_at(ids, -1) == F.col("max_doc"))
+        & (F.array_max(tfs) == F.col("max_tf"))
+        & (F.array_min(F.transform("plist", lambda s: s["dl"])) == F.col("min_dl"))
+        & (F.aggregate(tfs, F.lit(0).cast("long"), lambda a, x: a + x) == F.col("sum_tf"))
+        & F.forall(
+            F.zip_with(ids, F.slice(ids, 2, 2_147_483_647), lambda a, b: b > a),
+            lambda x: x,
+        )
+    )
+    return p.select(F.when(bad, 1).otherwise(0).alias("n_bad"))
+
+
+def fsck_index(index: InvertedIndex) -> DataFrame:
+    """Run every integrity check; returns ``(check string, n_bad long)``
+    rows — all zeros on a healthy index."""
+    spark = index.postings.sparkSession
+    meta = index.meta
+    bsz = int(meta["block_size"])
+
+    checks: list[tuple[str, int]] = []
+
+    range_bad = index.postings.filter(
+        (F.col("min_doc") > F.col("max_doc"))
+        | (F.floor(F.col("min_doc") / bsz) != F.col("block_id"))
+        | (F.floor(F.col("max_doc") / bsz) != F.col("block_id"))
+        | (F.col("block_df") <= 0)
+    ).count()
+    checks.append(("block_id_range", range_bad))
+
+    if meta["codec"] == "varbyte":
+        decoded = index.postings.select(
+            "block_df", "min_doc", "max_doc", "max_tf", "min_dl", "sum_tf",
+            "doc_gaps", "tfs", "dls",
+        ).mapInPandas(_decode_check, schema="n_bad long")
+    else:
+        decoded = _array_check(index.postings)
+    decode_bad = decoded.agg(F.sum("n_bad")).collect()[0][0] or 0
+    checks.append(("block_decode", int(decode_bad)))
+
+    per_term = index.postings.groupBy("term").agg(
+        F.sum("block_df").alias("df_sum")
+    )
+    df_bad = (
+        per_term.join(index.terms, "term", "full_outer")
+        .filter(
+            F.col("df_sum").isNull()
+            | F.col("df").isNull()
+            | (F.col("df_sum") != F.col("df"))
+        )
+        .count()
+    )
+    checks.append(("term_df", df_bad))
+
+    n_docs = int(meta["n_docs"])
+    stats = index.docs.agg(
+        F.count_distinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    dense_ok = (
+        stats["n"] == n_docs
+        and stats["nd"] == n_docs
+        and (n_docs == 0 or (stats["mn"] == 0 and stats["mx"] == n_docs - 1))
+    )
+    checks.append(("doc_ids_dense", 0 if dense_ok else 1))
+
+    total_tokens = (
+        index.postings.agg(F.sum("sum_tf")).collect()[0][0] or 0
+    )
+    meta_bad = sum(
+        1
+        for got, want in (
+            (stats["n"], n_docs),
+            (int(total_tokens), int(meta["total_tokens"])),
+        )
+        if got != want
+    )
+    checks.append(("meta_counts", meta_bad))
+
+    if index.manifest is not None:
+        mdocs = index.manifest.agg(F.sum("doc_count")).collect()[0][0] or 0
+        checks.append(("manifest_counts", 0 if int(mdocs) == n_docs else 1))
+
+    return spark.createDataFrame(checks, "check string, n_bad long")
