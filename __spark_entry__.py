@@ -2096,6 +2096,19 @@ FROM documents"""
     return "\nUNION ALL".join(parts)
 
 
+SHUFFLE_SEED = 7
+
+
+def _q_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle of the documents table:
+    dense position in md5(seed:doc_id) order via the distributed
+    prefix-sum (no single-partition row_number window)."""
+    from tsidx.pack import shuffled_positions
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return shuffled_positions(docs, SHUFFLE_SEED)
+
+
 def _q_index_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integrity gate: every structural invariant of the built index
     (block ranges, varbyte decode round-trip, term df consistency, dense
@@ -2239,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": _q_interval_overlap,
         "profile_docs": _q_profile_docs,
         "index_fsck": _q_index_fsck,
+        "shuffle_positions": _q_shuffle_positions,
         "conv_minhash": _q_conv_minhash,
         "trending_terms": _q_trending_terms,
         "ngram_counts": _q_ngram_counts,
@@ -4153,6 +4167,13 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
 SELECT unnest(['block_decode', 'block_id_range', 'doc_ids_dense',
                'meta_counts', 'term_df']) AS check,
        0::BIGINT AS n_bad""",
+        "shuffle_positions": f"""
+SELECT doc_id,
+       md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       row_number() OVER (
+           ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR))
+       ) - 1 AS position
+FROM documents""",
         # roles cycle every 4 turns and ts = E0 + 60s * doc_id, so the
         # within-conv successor of doc_id is doc_id + 1 (same conv block)
         "role_transitions": f"""

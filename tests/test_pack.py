@@ -61,3 +61,42 @@ def test_pack_shard_invariants(docs, sonnets):
 def test_pack_bad_budget(docs):
     with pytest.raises(ValueError):
         pack_shards(docs, 0)
+
+
+def test_shuffled_positions_matches_single_node(docs, sonnets):
+    import hashlib
+
+    from tsidx.pack import shuffled_positions
+
+    keys = {
+        d: hashlib.md5(f"42:{d}".encode()).hexdigest()
+        for d in range(len(sonnets))
+    }
+    expected = {
+        d: pos for pos, d in enumerate(sorted(keys, key=keys.get))
+    }
+    got = {
+        r["doc_id"]: (r["position"], r["shuffle_key"])
+        for r in shuffled_positions(docs, 42).collect()
+    }
+    assert len(got) == len(sonnets)
+    for d, (pos, key) in got.items():
+        assert key == keys[d]
+        assert pos == expected[d], (d, pos, expected[d])
+
+
+def test_shuffled_positions_partitioning_invariant(docs):
+    from tsidx.pack import shuffled_positions
+
+    a = {
+        r["doc_id"]: r["position"]
+        for r in shuffled_positions(docs, 7, num_partitions=3).collect()
+    }
+    b = {
+        r["doc_id"]: r["position"]
+        for r in shuffled_positions(
+            docs.repartition(11), 7, num_partitions=13
+        ).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(len(a)))

@@ -25,7 +25,46 @@ from pyspark.sql import functions as F
 from tsidx.docids import _prefix_sum_offsets
 from tsidx.textstats import token_counts
 
-__all__ = ["pack_shards"]
+__all__ = ["pack_shards", "shuffled_positions"]
+
+
+def shuffled_positions(
+    docs: DataFrame,
+    seed: int | str,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training shuffle: every row gets a dense
+    ``position`` (0..n-1) in the order of ``md5(seed ':' id)`` — the
+    reproducible permutation training loaders need (same seed -> same
+    order on any cluster size, any partitioning, any retry).
+
+    Scale shape: a naive ``row_number() OVER (ORDER BY hash)`` funnels the
+    corpus through ONE window partition; here the hash-ordered table goes
+    through the same distributed prefix-sum as docID assignment
+    (range-partition on the hash, in-partition cumsum, driver-collected
+    per-partition totals — one bounded collect of num_partitions longs).
+    Ties are broken by the id inside the hash preimage, so the order is a
+    total one. Compose with :func:`pack_shards` semantics via
+    ``position DIV docs_per_shard`` for shuffled fixed-size shards.
+    """
+    spark = docs.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    n = max(1, min(n, 20000))
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    sized = docs.select(
+        key.alias("shuffle_key"),
+        F.col(id_col),
+        F.lit(1).cast("long").alias("size"),
+    )
+    off = _prefix_sum_offsets(sized, "shuffle_key", n)
+    return off.select(
+        id_col, "shuffle_key", F.col("offset").alias("position")
+    )
 
 
 def pack_shards(
