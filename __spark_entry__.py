@@ -2096,6 +2096,37 @@ FROM documents"""
     return "\nUNION ALL".join(parts)
 
 
+def _q_index_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary diff between the full index and a re-build over a
+    filtered corpus (doc_id % 10 != 0 dropped): per-term df deltas with
+    added/removed/changed status — the weekly-rebuild maintenance view."""
+    from tsidx.build import build_index
+    from tsidx.index import diff_indexes
+
+    full = get_index(spark, sf_dir)
+    tx = documents_as_transcripts(spark, sf_dir)
+    orig_id = (
+        F.substring("conv_id", 2, 6).cast("long") * _TURNS_PER_CONV
+        + F.col("turn_idx")
+    )
+    sub = build_index(tx.filter(orig_id % 10 != 0), block_size=1024)
+    return diff_indexes(full, sub)
+
+
+SAMPLE_FIXED_N = 10
+
+
+def _q_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sample: the 40 smallest-md5 docs per source
+    stratum (deterministic fixed-budget counterpart of sample_mix)."""
+    from tsidx.textstats import sample_fixed_n
+
+    docs = load_documents(spark, sf_dir)
+    return sample_fixed_n(docs, SAMPLE_FIXED_N, seed=3).select(
+        "doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
 SHUFFLE_SEED = 7
 
 
@@ -2253,6 +2284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_docs": _q_profile_docs,
         "index_fsck": _q_index_fsck,
         "shuffle_positions": _q_shuffle_positions,
+        "index_diff": _q_index_diff,
+        "sample_fixed_n": _q_sample_fixed_n,
         "conv_minhash": _q_conv_minhash,
         "trending_terms": _q_trending_terms,
         "ngram_counts": _q_ngram_counts,
@@ -4167,6 +4200,34 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
 SELECT unnest(['block_decode', 'block_id_range', 'doc_ids_dense',
                'meta_counts', 'term_df']) AS check,
        0::BIGINT AS n_bad""",
+        "index_diff": f"""
+WITH {_terms_cte()},
+dfa AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+toks_b AS (
+  SELECT doc_id, unnest({_toks_sql()}) AS tok
+  FROM documents WHERE trim(text) <> '' AND doc_id % 10 <> 0
+),
+trm_b AS (SELECT doc_id, {_stem_case_sql()} AS term FROM toks_b),
+dfb AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM trm_b GROUP BY term
+)
+SELECT coalesce(dfa.term, dfb.term) AS term,
+       coalesce(dfa.df, 0) AS df_a,
+       coalesce(dfb.df, 0) AS df_b,
+       CASE WHEN dfa.term IS NULL THEN 'added'
+            WHEN dfb.term IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM dfa FULL OUTER JOIN dfb ON dfa.term = dfb.term
+WHERE coalesce(dfa.df, -1) <> coalesce(dfb.df, -1)""",
+        "sample_fixed_n": f"""
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {SAMPLE_FIXED_N}""",
         "shuffle_positions": f"""
 SELECT doc_id,
        md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,

@@ -101,3 +101,30 @@ def test_merge_rejects_meta_mismatch(spark, sonnets):
     b = build_index(_df(spark, sonnets[32:64], "b"), block_size=64)
     with pytest.raises(ValueError, match="block_size"):
         merge_indexes(a, b)
+
+
+def test_diff_indexes(spark):
+    from tsidx.build import build_index
+    from tsidx.index import diff_indexes
+
+    texts = [
+        "alpha beta gamma",
+        "alpha beta",
+        "alpha delta",
+        "epsilon zeta",
+    ]
+    rows = [(f"c{i}", 0, "user", t) for i, t in enumerate(texts)]
+    schema = "conv_id string, turn_idx int, role string, text string"
+    a = build_index(spark.createDataFrame(rows, schema), block_size=4)
+    b = build_index(spark.createDataFrame(rows[:3], schema), block_size=4)
+    got = {r["term"]: (r["df_a"], r["df_b"], r["status"])
+           for r in diff_indexes(a, b).collect()}
+    # epsilon/zeta only in a; alpha df 3->3 unchanged (absent); beta 2->2
+    # unchanged; gamma 1->1 unchanged; delta 1->1 unchanged
+    assert got == {
+        "epsilon": (1, 0, "removed"),
+        "zeta": (1, 0, "removed"),
+    }
+    # and the reverse direction reports additions
+    rev = {r["term"]: r["status"] for r in diff_indexes(b, a).collect()}
+    assert rev == {"epsilon": "added", "zeta": "added"}

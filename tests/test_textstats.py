@@ -355,3 +355,39 @@ def test_group_split_matches_pure_python_md5(spark):
         return bounds[-1][0]
 
     assert got == {f"conv-{i}": expect(f"conv-{i}") for i in range(300)}
+
+
+def test_sample_fixed_n_exact_and_deterministic(spark):
+    import hashlib
+
+    from tsidx.textstats import sample_fixed_n
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_fixed_n(df, 5, seed=9).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert {len(v) for v in by_src.values()} == {5}
+    # matches the single-node selection: n smallest md5(seed:id) per group
+    for src, members in by_src.items():
+        ids = [i for i, s in rows if s == src]
+        want = sorted(ids, key=lambda d: hashlib.md5(f"9:{d}".encode()).hexdigest())[:5]
+        got = [r["doc_id"] for r in sorted(members, key=lambda r: r["sample_rank"])]
+        assert got == want, (src, got, want)
+    # partitioning-invariant
+    again = {
+        (r["doc_id"], r["sample_rank"])
+        for r in sample_fixed_n(df.repartition(7), 5, seed=9).collect()
+    }
+    assert again == {(r["doc_id"], r["sample_rank"]) for r in out}
+
+
+def test_sample_fixed_n_small_stratum_keeps_all(spark):
+    from tsidx.textstats import sample_fixed_n
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    out = sample_fixed_n(df, 10, seed=0).collect()
+    assert len(out) == 3

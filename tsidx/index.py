@@ -39,6 +39,7 @@ from tsidx.io import read_table, write_table
 __all__ = [
     "InvertedIndex",
     "merge_indexes",
+    "diff_indexes",
     "POSTINGS_ARRAY_SCHEMA",
     "POSTINGS_VARBYTE_SCHEMA",
 ]
@@ -164,6 +165,40 @@ class InvertedIndex:
         """(term, df) ordered by descending df — the reference frequency
         table (``inverted_index.py:148-153``)."""
         return self.terms.select("term", "df").orderBy(F.desc("df"), F.asc("term"))
+
+
+def diff_indexes(a: "InvertedIndex", b: "InvertedIndex") -> DataFrame:
+    """Vocabulary-level diff between two index builds: one row per term
+    whose document frequency changed — ``(term, df_a, df_b, status)``
+    with status ``added`` (only in b), ``removed`` (only in a), or
+    ``changed``. The maintenance view for comparing a re-build against
+    last week's index (did the filter change drop a domain? did the
+    tokenizer change explode the vocabulary?).
+
+    Plan: full-outer join of the two (term, df) tables — both are
+    vocabulary-sized (Heaps' law: ~10^7 rows even at 10^12 docs), so the
+    join is a bounded-key shuffle, never corpus-scale; unchanged terms
+    are filtered before anything is returned.
+    """
+    ta = a.terms.select("term", F.col("df").alias("df_a"))
+    tb = b.terms.select("term", F.col("df").alias("df_b"))
+    j = ta.join(tb, "term", "full_outer")
+    return (
+        j.filter(
+            F.col("df_a").isNull()
+            | F.col("df_b").isNull()
+            | (F.col("df_a") != F.col("df_b"))
+        )
+        .select(
+            "term",
+            F.coalesce("df_a", F.lit(0)).alias("df_a"),
+            F.coalesce("df_b", F.lit(0)).alias("df_b"),
+            F.when(F.col("df_a").isNull(), "added")
+            .when(F.col("df_b").isNull(), "removed")
+            .otherwise("changed")
+            .alias("status"),
+        )
+    )
 
 
 def merge_indexes(a: "InvertedIndex", b: "InvertedIndex") -> "InvertedIndex":

@@ -19,6 +19,7 @@ __all__ = [
     "quality_signals",
     "quality_filter",
     "sample_mix",
+    "sample_fixed_n",
     "mixture_rates",
     "mixture_sample",
     "group_split",
@@ -327,6 +328,40 @@ def sample_mix(
         docs.withColumn("_h", h)
         .filter(rate.isNotNull() & (F.col("_h") < rate * SAMPLE_MOD))
         .drop("_h")
+    )
+
+
+def sample_fixed_n(
+    docs: DataFrame,
+    n: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic EXACT-size stratified sample: the *n* rows of each
+    stratum with the smallest ``md5(seed ':' id)`` — the fixed-budget
+    counterpart of :func:`sample_mix` (Bernoulli gives a binomial count;
+    eval sets and per-domain caps need exactly n). Reproducible across
+    runs, engines, and partitionings; strata with fewer than n rows keep
+    everything. Adds ``sample_rank`` (1..n within the stratum).
+
+    Scale shape: rank-per-group is one shuffle on the stratum key, and
+    Spark's WindowGroupLimit pushes the ``rank <= n`` bound into a
+    per-partition partial top-n BEFORE the exchange — shuffle volume is
+    O(partitions x strata x n), not the corpus. A hot stratum therefore
+    never funnels its full row count through one window partition.
+    """
+    if n <= 0:
+        raise ValueError("sample_fixed_n: n must be positive")
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
     )
 
 
