@@ -12,6 +12,12 @@
     # hot-term (stopword) pruning: drop terms with df above the cap
     python jobs/maintain_index.py prune --index /tmp/idx --max-df-ratio 0.5
 
+    # integrity check (exit 2 when any invariant fails)
+    python jobs/maintain_index.py fsck --index /tmp/idx
+
+    # vocabulary diff vs another build
+    python jobs/maintain_index.py diff --index /tmp/old --other /tmp/new
+
 ``delete`` and ``apply-deletes`` rewrite the one-shot index layout in place
 via a temp-dir swap; ``compact`` operates on streaming-built indexes
 (tsidx/streaming.py) and preserves the resume/replay guarantees.
@@ -61,7 +67,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "action",
-        choices=["delete", "apply-deletes", "compact", "update", "prune", "vocab"],
+        choices=[
+            "delete", "apply-deletes", "compact", "update", "prune",
+            "vocab", "fsck", "diff",
+        ],
     )
     ap.add_argument("--index", required=True)
     ap.add_argument("--doc-ids", type=int, nargs="*", default=[])
@@ -74,6 +83,9 @@ def main() -> None:
     )
     ap.add_argument(
         "--top-v", type=int, default=25, help="vocab: report size"
+    )
+    ap.add_argument(
+        "--other", help="diff: path of the second (newer) index"
     )
     ap.add_argument(
         "--updates",
@@ -95,6 +107,38 @@ def main() -> None:
         from tsidx.index import InvertedIndex
 
         idx = InvertedIndex.read(spark, args.index)
+        if args.action == "fsck":
+            from tsidx.fsck import fsck_index
+
+            rows = fsck_index(idx).collect()
+            checks = {r["check"]: int(r["n_bad"]) for r in rows}
+            out = {
+                "job": "fsck",
+                "checks": checks,
+                "ok": all(v == 0 for v in checks.values()),
+                "sec": round(time.time() - t0, 3),
+                "index": args.index,
+            }
+            print(json.dumps(out))
+            spark.stop()
+            raise SystemExit(0 if out["ok"] else 2)
+        if args.action == "diff":
+            from tsidx.index import diff_indexes
+
+            if not args.other:
+                raise SystemExit("diff requires --other INDEX_PATH")
+            other = InvertedIndex.read(spark, args.other)
+            rows = diff_indexes(idx, other).orderBy("term").collect()
+            out = {
+                "job": "diff",
+                "n_diff": len(rows),
+                "head": [
+                    [r["term"], r["df_a"], r["df_b"], r["status"]]
+                    for r in rows[:50]
+                ],
+            }
+            print(json.dumps({**out, "sec": round(time.time() - t0, 3)}))
+            return
         if args.action == "vocab":
             from tsidx.prune import vocab_coverage
 
