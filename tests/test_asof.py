@@ -193,3 +193,58 @@ def test_interval_join_differential_vs_brute_force(spark):
         for r in interval_join(points, intervals, "k", bucket_s=120).collect()
     }
     assert got == expected
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("bucket_s", [1, 7, 1000, 10_000_000])
+def test_bucketed_plan_bit_identical(spark, direction, bucket_s):
+    """The hot-key split plan must equal the single-window plan exactly,
+    for any bucket size (1 s buckets exercise the carry path heavily;
+    the huge bucket collapses to one bucket per key)."""
+    rng = np.random.default_rng(13)
+    n_l, n_r, n_keys = 250, 200, 5
+    base = 1_767_225_600
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_l),
+            "ts": pd.to_datetime(
+                base + rng.integers(0, 3000, n_l), unit="s", utc=True
+            ),
+            "lv": np.arange(n_l),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_r),
+            "ts": pd.to_datetime(
+                base + rng.integers(0, 3000, n_r), unit="s", utc=True
+            ),
+            "rv": np.arange(n_r),
+        }
+    )
+    left = spark.createDataFrame(lpd, "k long, ts timestamp, lv long")
+    right = spark.createDataFrame(rpd, "k long, ts timestamp, rv long")
+    plain = {
+        r["lv"]: (r["rv_r"], r["ts_r"])
+        for r in asof_join(left, right, "k", direction=direction).collect()
+    }
+    split = {
+        r["lv"]: (r["rv_r"], r["ts_r"])
+        for r in asof_join(
+            left, right, "k", direction=direction, split_bucket_s=bucket_s
+        ).collect()
+    }
+    assert split == plain
+
+
+def test_bucketed_tolerance_and_ties(spark):
+    left = spark.createDataFrame([(1, _t(10), "a")], L_SCHEMA)
+    right = spark.createDataFrame(
+        [(1, _t(8), "x"), (1, _t(8), "y"), (1, _t(2), "z")], R_SCHEMA
+    )
+    (row,) = asof_join(left, right, "k", split_bucket_s=3).collect()
+    assert row["rv_r"] == "y"  # same greatest-payload tie rule
+    (row,) = asof_join(
+        left, right, "k", split_bucket_s=3, tolerance_s=1
+    ).collect()
+    assert row["rv_r"] is None

@@ -18,11 +18,11 @@ sharing one timestamp) resolve deterministically to the greatest payload
 struct.
 
 Skew note (100 TB): a hot join key serializes through one window
-partition. If a key's row count is unbounded, pre-split it by coarse
-time bucket and run the join per bucket with each bucket seeded by the
-previous bucket's last right row (the streaming variant of the same
-plan); for bounded keys (users, conversations) the single-pass plan is
-optimal.
+partition. For bounded keys (users, conversations) the single-pass plan
+is optimal; for unbounded keys pass ``split_bucket_s=N`` — window
+partitions become (key, N-second bucket) and the previous bucket's last
+right row is carried through a bounded per-bucket table (bit-identical
+results, differential-tested across bucket sizes).
 
 Reference parity: the reference repo has no temporal layer; this is one
 of the engine-extension operators the build brief names explicitly.
@@ -47,6 +47,7 @@ def asof_join(
     suffix: str = "_r",
     tolerance_s: float | None = None,
     direction: str = "backward",
+    split_bucket_s: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, plus the payload of the
     matching ``right`` row — the latest one with ``right_ts <= left_ts``
@@ -58,6 +59,18 @@ def asof_join(
     each lands as ``<name><suffix>``, and the matched right timestamp as
     ``<right_ts><suffix>``. ``tolerance_s`` — maximum |left_ts -
     right_ts| in seconds; matches farther away are nulled out.
+
+    ``split_bucket_s`` — the hot-key scale valve. The default plan's
+    window partitions are whole join keys: a key with 10^9 rows
+    serializes through one executor. With ``split_bucket_s=N`` the
+    window partitions become (key, N-second time bucket) — uniform,
+    bounded — plus one bounded carry pass: per (key, bucket) the
+    bucket's extreme right payload is aggregated (map-side combinable),
+    the previous non-empty bucket's payload is carried forward by a
+    window over the SMALL per-bucket table (one row per non-empty
+    bucket, not per row), and rows with no in-bucket match take the
+    carried payload. Bit-identical to the default plan (differential
+    test sweeps bucket sizes); same tie rule.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction!r}")
@@ -93,20 +106,67 @@ def asof_join(
     )
 
     t_ord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
-    w = (
-        Window.partitionBy(*[F.col(k) for k in keys])
-        # the trailing __r sort makes equal-timestamp right rows resolve
-        # deterministically (last() takes the greatest payload struct)
-        .orderBy(t_ord, F.col("__side").asc(), F.col("__r").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last("__r", ignorenulls=True).over(w)
+    u = r_tagged.unionByName(l_tagged)
 
-    out = (
-        r_tagged.unionByName(l_tagged)
-        .withColumn("__m", matched)
-        .filter(F.col("__side") == 1)
-    )
+    if split_bucket_s is None:
+        w = (
+            Window.partitionBy(*[F.col(k) for k in keys])
+            # the trailing __r sort makes equal-timestamp right rows resolve
+            # deterministically (last() takes the greatest payload struct)
+            .orderBy(t_ord, F.col("__side").asc(), F.col("__r").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    else:
+        us = F.unix_micros(F.col("__t").cast("timestamp"))
+        u = u.withColumn(
+            "__bucket", F.floor(us / (int(split_bucket_s) * 1_000_000))
+        )
+        wb = (
+            Window.partitionBy(*[F.col(k) for k in keys], F.col("__bucket"))
+            .orderBy(t_ord, F.col("__side").asc(), F.col("__r").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        in_bucket = F.last("__r", ignorenulls=True).over(wb)
+
+        # the window's "last right row in order" equals max_by over this
+        # ordinal: (t, payload) for backward, (-t, payload) for forward —
+        # both resolve equal timestamps to the greatest payload struct,
+        # matching the window tie rule exactly
+        r_us = F.unix_micros(F.col("__t").cast("timestamp"))
+        ordinal = F.when(
+            F.col("__side") == 0,
+            F.struct(
+                (r_us if direction == "backward" else -r_us).alias("o1"),
+                F.col("__r").alias("o2"),
+            ),
+        )
+        per_bucket = u.groupBy(*keys, "__bucket").agg(
+            F.max_by("__r", ordinal).alias("__b")
+        )
+        b_ord = (
+            F.col("__bucket").asc()
+            if direction == "backward"
+            else F.col("__bucket").desc()
+        )
+        wc = (
+            Window.partitionBy(*[F.col(k) for k in keys])
+            .orderBy(b_ord)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = per_bucket.select(
+            *keys,
+            "__bucket",
+            F.last("__b", ignorenulls=True).over(wc).alias("__carry"),
+        )
+        out = (
+            u.withColumn("__ib", in_bucket)
+            .join(carry, keys + ["__bucket"], "left")
+            .withColumn("__m", F.coalesce(F.col("__ib"), F.col("__carry")))
+            .drop("__ib", "__carry", "__bucket")
+        )
+
+    out = out.filter(F.col("__side") == 1)
     if tolerance_s is not None:
         # cast handles TIMESTAMP_NTZ inputs (unix_micros requires TIMESTAMP;
         # both sides shift identically, so the difference is unaffected)
