@@ -2127,6 +2127,18 @@ def _q_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BIN_WIDTH = 200
+
+
+def _q_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width length histogram of documents.n_chars — the one-pass
+    distribution diagnostic behind length filters and shard budgets."""
+    from tsidx.profile import numeric_histogram
+
+    docs = load_documents(spark, sf_dir)
+    return numeric_histogram(docs, "n_chars", HIST_BIN_WIDTH)
+
+
 SHUFFLE_SEED = 7
 
 
@@ -2286,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_positions": _q_shuffle_positions,
         "index_diff": _q_index_diff,
         "sample_fixed_n": _q_sample_fixed_n,
+        "len_histogram": _q_len_histogram,
         "conv_minhash": _q_conv_minhash,
         "trending_terms": _q_trending_terms,
         "ngram_counts": _q_ngram_counts,
@@ -4219,6 +4232,13 @@ SELECT coalesce(dfa.term, dfb.term) AS term,
             ELSE 'changed' END AS status
 FROM dfa FULL OUTER JOIN dfb ON dfa.term = dfb.term
 WHERE coalesce(dfa.df, -1) <> coalesce(dfb.df, -1)""",
+        "len_histogram": f"""
+SELECT floor(n_chars / {HIST_BIN_WIDTH}.0)::BIGINT AS bin,
+       floor(n_chars / {HIST_BIN_WIDTH}.0) * {HIST_BIN_WIDTH}.0 AS lo,
+       (floor(n_chars / {HIST_BIN_WIDTH}.0) + 1) * {HIST_BIN_WIDTH}.0 AS hi,
+       count(*)::BIGINT AS n
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY 1, 2, 3""",
         "sample_fixed_n": f"""
 SELECT doc_id, source, sample_rank FROM (
   SELECT doc_id, source,

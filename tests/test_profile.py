@@ -56,3 +56,30 @@ def test_profile_all_null_column(spark):
 def test_profile_unknown_column_raises(frame):
     with pytest.raises(ValueError):
         profile_columns(frame, ["nope"])
+
+
+def test_numeric_histogram(spark):
+    from tsidx.profile import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (9,), (10,), (25,), (None,)], "x int"
+    )
+    got = {
+        r["bin"]: (r["lo"], r["hi"], r["n"])
+        for r in numeric_histogram(df, "x", 10).collect()
+    }
+    assert got == {
+        0: (0.0, 10.0, 3),
+        1: (10.0, 20.0, 1),
+        2: (20.0, 30.0, 1),
+    }
+    # negative values and a shifted origin
+    df2 = spark.createDataFrame([(-5,), (-1,), (4,)], "x int")
+    got2 = {
+        r["bin"]: r["n"] for r in numeric_histogram(df2, "x", 5, origin=-5).collect()
+    }
+    assert got2 == {0: 2, 1: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        numeric_histogram(df, "x", 0)

@@ -34,7 +34,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "numeric_histogram"]
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    bin_width: float,
+    *,
+    origin: float = 0.0,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: one map-side-combinable
+    aggregation (``bin = floor((x - origin) / bin_width)``), returning
+    ``(bin, lo, hi, n)`` with nulls excluded. Shuffle volume is
+    O(partitions x bins) — the distribution diagnostic that sizes length
+    filters, shard budgets, and skew caps before a full curation run.
+    """
+    if bin_width <= 0:
+        raise ValueError("numeric_histogram: bin_width must be positive")
+    b = F.floor((F.col(col) - F.lit(origin)) / F.lit(bin_width))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(origin) + F.col("bin") * F.lit(bin_width)).alias("lo"),
+            (F.lit(origin) + (F.col("bin") + 1) * F.lit(bin_width)).alias("hi"),
+            "n",
+        )
+    )
 
 
 def profile_columns(
