@@ -680,6 +680,20 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware leakage-safe split: train/valid/test assigned at the
+    duplicate-cluster level (connected components over the Jaccard pairs;
+    singletons are their own cluster), so near-duplicates never straddle
+    train and eval (tsidx/dedup.py::cluster_split)."""
+    from tsidx.dedup import cluster_split, ngram_jaccard_pairs
+
+    docs = load_documents(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, tau=JACCARD_TAU, max_key_df=JACCARD_MAX_DF)
+    return cluster_split(docs, pairs, SPLIT_FRACS).select(
+        F.col("doc_id").cast("long"), F.col("cluster_id").cast("long"), "split"
+    )
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k neighbors for the first ANN_NQ vectors."""
     from tsidx.ann import cosine_topk
@@ -2329,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": _q_lang_stats,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dup_clusters": _q_dup_clusters,
+        "cluster_split": _q_cluster_split,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "rocchio_topk": _q_rocchio_topk,
         "quantized_ann_topk": _q_quantized_ann_topk,
@@ -2528,10 +2543,54 @@ WHERE ((d.doc_id % {m}) * {a_seed} + {_SAMPLE_B}
        + ((d.doc_id // {m}) % {m}) * {a2_seed}) % {m} < rate * {m}"""
 
 
-def _group_split_sql() -> str:
-    """The group_split assignment replayed exactly: same md5-derived
-    group hash (top 60 bits mod SAMPLE_MOD), same sorted-label
-    cumulative intervals, last label as the open-ended fallback."""
+def _dup_cc_ctes() -> str:
+    """Shared CTE chain: token-3-gram Jaccard near-dup pairs (df-capped
+    shingles, same spec as ngram_jaccard_pairs) -> symmetric edge table ->
+    recursive reachability ``reach(v, r)``; min(r) per v is the connected
+    component (= cluster) id."""
+    return f"""t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, len(toks) - 1)]) AS shingles
+  FROM t WHERE len(toks) >= 3
+),
+ex AS (
+  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+),
+sdf AS (
+  SELECT s, count(*) AS c FROM ex GROUP BY s
+),
+exc AS (
+  SELECT ex.* FROM ex JOIN sdf USING (s) WHERE sdf.c <= {JACCARD_MAX_DF}
+),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*))
+         >= {JACCARD_TAU}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pr
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pr
+),
+verts AS (SELECT DISTINCT s AS v FROM edges),
+reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.d AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
+)"""
+
+
+def _split_case_sql(key_expr: str, seed: int = 0) -> str:
+    """The group_split assignment replayed exactly as a SQL CASE: same
+    md5-derived group hash (top 60 bits mod SAMPLE_MOD), same
+    sorted-label cumulative intervals, last label as the open-ended
+    fallback."""
     from tsidx.textstats import SAMPLE_MOD
 
     cum = 0.0
@@ -2540,17 +2599,20 @@ def _group_split_sql() -> str:
         cum += float(SPLIT_FRACS[label])
         bounds.append((label, cum))
     h = (
-        f"(('0x' || substr(md5(grp::VARCHAR || ':0'), 1, 15))::BIGINT"
+        f"(('0x' || substr(md5({key_expr}::VARCHAR || ':{seed}'), 1, 15))::BIGINT"
         f" % {SAMPLE_MOD})"
     )
     case = " ".join(
         f"WHEN {h} < {u!r}::DOUBLE * {SAMPLE_MOD} THEN '{la}'"
         for la, u in bounds[:-1]
     )
+    return f"CASE {case} ELSE '{bounds[-1][0]}' END"
+
+
+def _group_split_sql() -> str:
     return f"""
 WITH g AS (SELECT doc_id, doc_id // 8 AS grp FROM documents)
-SELECT doc_id, grp,
-       CASE {case} ELSE '{bounds[-1][0]}' END AS split
+SELECT doc_id, grp, {_split_case_sql("grp")} AS split
 FROM g"""
 
 
@@ -3573,44 +3635,22 @@ GROUP BY a.doc_id, b.doc_id
 HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*))
        >= {JACCARD_TAU}""",
         "dup_clusters": f"""
-WITH RECURSIVE t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                        for i in range(1, len(toks) - 1)]) AS shingles
-  FROM t WHERE len(toks) >= 3
-),
-ex AS (
-  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
-),
-sdf AS (
-  SELECT s, count(*) AS c FROM ex GROUP BY s
-),
-exc AS (
-  SELECT ex.* FROM ex JOIN sdf USING (s) WHERE sdf.c <= {JACCARD_MAX_DF}
-),
-pr AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-  HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*))
-         >= {JACCARD_TAU}
-),
-edges AS (
-  SELECT doc_a AS s, doc_b AS d FROM pr
-  UNION ALL
-  SELECT doc_b AS s, doc_a AS d FROM pr
-),
-verts AS (SELECT DISTINCT s AS v FROM edges),
-reach AS (
-  SELECT v, v AS r FROM verts
-  UNION
-  SELECT e.d AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
-)
+WITH RECURSIVE {_dup_cc_ctes()}
 SELECT v::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id
 FROM reach GROUP BY v""",
+        "cluster_split": f"""
+WITH RECURSIVE {_dup_cc_ctes()},
+cc AS (
+  SELECT v::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id
+  FROM reach GROUP BY v
+),
+labeled AS (
+  SELECT d.doc_id::BIGINT AS doc_id,
+         coalesce(cc.cluster_id, d.doc_id)::BIGINT AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id, {_split_case_sql("cluster_id")} AS split
+FROM labeled""",
         "bpe_word_counts": """
 SELECT word, count(*)::BIGINT AS n
 FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word

@@ -202,3 +202,38 @@ def test_connected_components_matches_jaccard_pairs(docs):
     assert got[0] == got[1] == got[2] == 0
     assert got[4] == got[5] == 4
     assert 3 not in got  # no pair -> not a vertex
+
+
+def test_cluster_split_leakage_safe(spark):
+    """Every member of a near-dup cluster gets the same split; docs in no
+    pair are singleton clusters keyed by their own doc_id (so their
+    assignment equals group_split on doc_id)."""
+    from tsidx.dedup import cluster_split
+    from tsidx.textstats import group_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(60)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (30, 40)], "doc_a long, doc_b long"
+    )
+    fracs = {"train": 0.6, "valid": 0.2, "test": 0.2}
+    rows = cluster_split(docs, pairs, fracs).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(by_id) == 60
+    # chained cluster 0-1-2 shares a split; so do 10/11 and 30/40
+    for grp in ([0, 1, 2], [10, 11], [30, 40]):
+        splits = {by_id[i]["split"] for i in grp}
+        clusters = {by_id[i]["cluster_id"] for i in grp}
+        assert len(splits) == 1 and clusters == {min(grp)}
+    # singletons: cluster_id == doc_id and split == plain group_split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in group_split(docs, fracs, group_col="doc_id").collect()
+    }
+    singles = set(range(60)) - {0, 1, 2, 10, 11, 30, 40}
+    for i in singles:
+        assert by_id[i]["cluster_id"] == i
+        assert by_id[i]["split"] == plain[i]
+    # with 60 docs and these fracs all three splits should be populated
+    assert {r["split"] for r in rows} == {"train", "valid", "test"}

@@ -32,6 +32,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "simhash",
     "simhash_pairs",
+    "cluster_split",
     "connected_components",
     "conversation_fingerprint",
     "conversation_dup_groups",
@@ -270,6 +271,50 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def cluster_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fracs: dict[str, float],
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup-aware leakage-safe splitting: assign train/valid/test at
+    the duplicate-**cluster** level, so two near-duplicate documents can
+    never straddle train and eval (the contamination a per-doc hash split
+    silently allows — the standard failure mode Lee et al. 2021 measure).
+
+    ``pairs`` is any near-dup pair table (Jaccard / MinHash-LSH / SimHash
+    / SemDeDup); clusters come from :func:`connected_components` since
+    duplicates chain. Docs in no pair are their own singleton cluster
+    (``cluster_id = doc_id``). The split is then
+    :func:`tsidx.textstats.group_split` keyed on ``cluster_id`` — the
+    same engine-reproducible md5 interval rule.
+
+    Scale shape: the component table is bounded by docs-that-appear-in-
+    pairs (the near-dup fraction of the corpus, typically a few percent),
+    joined back on the ``id_col`` equi-key (AQE broadcasts it when
+    small); the split assignment itself is a map-only expression. Returns
+    *docs* plus ``cluster_id`` and ``split`` columns.
+    """
+    from tsidx.textstats import group_split
+
+    cc = connected_components(pairs)
+    labeled = (
+        docs.withColumn("__id", F.col(id_col).cast("long"))
+        .join(
+            cc.select(
+                F.col("doc_id").alias("__id"),
+                F.col("cluster_id").alias("__cc"),
+            ),
+            "__id",
+            "left",
+        )
+        .withColumn("cluster_id", F.coalesce(F.col("__cc"), F.col("__id")))
+        .drop("__id", "__cc")
+    )
+    return group_split(labeled, fracs, group_col="cluster_id", seed=seed)
 
 
 def _shingle_hash64() -> "F.Column":
