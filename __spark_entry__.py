@@ -1310,6 +1310,30 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("tkey").distinct()
 
 
+def _q_analyzed_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzer chain end-to-end (tsidx/analyze.py): the corpus text is
+    deterministically mutated in BOTH engines (a/o become uppercase
+    accented À/Ö, every inter-token space gains a '!'), then the analyzer
+    (lower → accent translate → punct-to-space) folds it back before the
+    standard index build. Term dfs must equal an independent DuckDB replay
+    of the same mutate+fold chain — i.e. the analyzer genuinely recovers
+    the token stream, not a no-op over the ASCII test corpus."""
+    from tsidx.analyze import analyze
+    from tsidx.build import build_index
+
+    key = (id(spark), os.path.normpath(sf_dir), "analyzed")
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        transcripts = documents_as_transcripts(spark, sf_dir)
+        mutated = transcripts.withColumn(
+            "text",
+            F.regexp_replace(F.translate(F.col("text"), "ao", "ÀÖ"), " ", "! "),
+        )
+        idx = build_index(analyze(mutated), block_size=1024)
+        _INDEX_CACHE[key] = idx
+    return idx.terms.select("term", F.col("df").cast("long").alias("df"))
+
+
 def _q_multistream_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-stream build (reference extractor streams,
     ``inverted_index.py:13-24``): index over BOTH the ``text`` and ``role``
@@ -2361,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_term_df": _q_streaming_term_df,
         "streaming_dedup": _q_streaming_dedup,
         "multistream_term_df": _q_multistream_term_df,
+        "analyzed_term_df": _q_analyzed_term_df,
         "lsh_ann_recall": _q_lsh_ann_recall,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
@@ -3162,6 +3187,7 @@ WHERE ((doc_id % {SAMPLE_MOD}) * {a_seed} + {_SAMPLE_B}
 
 
 def oracle_sql() -> dict[str, str]:
+    from tsidx.analyze import ACCENT_DST, ACCENT_SRC
     from tsidx.textstats import BPE_PIECE_RE, LANG_PROFILES
 
     terms_cte = _terms_cte()
@@ -3184,6 +3210,28 @@ SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term""",
         # multi-stream build == tokenizing text+role concatenated with a
         # space; role derives from doc_id exactly as in
         # documents_as_transcripts
+        "analyzed_term_df": f"""
+WITH m AS (
+  SELECT doc_id, replace(translate(text, 'ao', 'ÀÖ'), ' ', '! ') AS mtext
+  FROM documents
+),
+a AS (
+  SELECT doc_id,
+         regexp_replace(translate(lower(mtext), '{ACCENT_SRC}', '{ACCENT_DST}'),
+                        '[^\\w\\s]', ' ', 'g') AS atext
+  FROM m
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(atext), '\\s+')) AS tok
+  FROM a WHERE trim(atext) <> ''
+),
+trm AS (
+  SELECT doc_id, {_stem_case_sql()} AS term FROM toks WHERE tok <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM trm GROUP BY doc_id, term
+)
+SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term""",
         "multistream_term_df": f"""
 WITH src AS (
   SELECT doc_id,
