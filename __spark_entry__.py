@@ -694,6 +694,51 @@ def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONV_POOL = 8
+
+
+def _conv_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn embeddings mean-pooled into CONV_POOL-turn conversation
+    vectors, dims rounded to 6 so downstream rank order is engine-stable
+    (tsidx/ann.py::mean_pool)."""
+    from tsidx.ann import mean_pool
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    g = emb.withColumn("grp", (F.col("vec_id") / CONV_POOL).cast("long"))
+    return mean_pool(g, "grp", round_dims=6)
+
+
+def _q_conv_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level embeddings: per-dimension mean of each
+    conversation's turn vectors, exploded to (grp, pos, v_r) rows."""
+    pooled = _conv_pooled(spark, sf_dir)
+    # dims are already pinned at 6 decimals by mean_pool(round_dims=6);
+    # re-rounding to 4 would double-round exactly on half boundaries.
+    return pooled.select(
+        "grp", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        F.col("grp").cast("long"),
+        F.col("pos").cast("long"),
+        F.col("v").alias("v_r"),
+    )
+
+
+def _q_conv_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation retrieval: cosine top-k over the pooled vectors —
+    mean_pool composing with the standard exact ANN scan."""
+    from tsidx.ann import cosine_topk
+
+    pooled = _conv_pooled(spark, sf_dir).withColumnRenamed("grp", "vec_id")
+    queries = pooled.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return cosine_topk(pooled, queries, k=5).select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.round("sim", 4).alias("sim_r"),
+    )
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k neighbors for the first ANN_NQ vectors."""
     from tsidx.ann import cosine_topk
@@ -1613,6 +1658,24 @@ def _q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_stats(documents_as_transcripts(spark, sf_dir))
 
 
+KEYWORDS_M = 3
+
+
+def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keyword extraction: each document's top-KEYWORDS_M tf-idf
+    terms, tie-broken (-w, term); one (doc_id) window whose rank bound is
+    applied map-side (tsidx/vectors.py::top_terms_per_doc)."""
+    from tsidx.vectors import top_terms_per_doc
+
+    eng = get_engine(spark, sf_dir)
+    return top_terms_per_doc(eng, m=KEYWORDS_M).select(
+        F.col("doc_id").cast("long"),
+        "term",
+        F.round("w", 4).alias("w_r"),
+        F.col("rank").cast("long"),
+    )
+
+
 def _q_tfidf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse tf-idf COO export (head: doc_id < 50) — one shuffle-free
     posting decode with the idf factor broadcast from the dictionary."""
@@ -2369,6 +2432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "cluster_split": _q_cluster_split,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "conv_embedding": _q_conv_embedding,
+        "conv_ann_topk": _q_conv_ann_topk,
         "rocchio_topk": _q_rocchio_topk,
         "quantized_ann_topk": _q_quantized_ann_topk,
         "quantized_ann_recall": _q_quantized_ann_recall,
@@ -2416,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_term_df": _q_pruned_term_df,
         "pruned_match": _q_pruned_match,
         "tfidf_rows": _q_tfidf_rows,
+        "doc_keywords": _q_doc_keywords,
         "conv_stats": _q_conv_stats,
         "match_context": _q_match_context,
         "pack_shards": _q_pack_shards,
@@ -3610,6 +3676,24 @@ SELECT conv_id, count(*)::BIGINT AS n_turns, sum(n_tok)::BIGINT AS total_tokens,
        round(avg(n_tok::DOUBLE), 4) AS avg_tokens_r,
        count(DISTINCT role)::BIGINT AS n_roles
 FROM t GROUP BY conv_id""",
+        "doc_keywords": f"""
+WITH {terms_cte},
+stats AS (SELECT count(*)::BIGINT AS n_docs FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+coo AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)
+                    + 1.0) AS w
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+),
+ranked AS (
+  SELECT doc_id, term, w,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY w DESC, term) AS rank
+  FROM coo
+)
+SELECT doc_id, term, round(w, 4) AS w_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {KEYWORDS_M}""",
         "tfidf_rows": f"""
 WITH {terms_cte},
 stats AS (SELECT count(*)::BIGINT AS n_docs FROM dl),
@@ -3764,6 +3848,42 @@ SELECT e.query_id,
 FROM top_e e LEFT JOIN top_q q
   ON e.query_id = q.query_id AND e.vec_id = q.vec_id
 GROUP BY e.query_id""",
+        "conv_embedding": f"""
+WITH pe AS (
+  SELECT vec_id // {CONV_POOL} AS grp,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+pd AS (SELECT grp, pos, round(avg(v), 6) AS m FROM pe GROUP BY grp, pos)
+SELECT grp::BIGINT AS grp, (pos - 1)::BIGINT AS pos, m AS v_r
+FROM pd""",
+        "conv_ann_topk": f"""
+WITH pe AS (
+  SELECT vec_id // {CONV_POOL} AS grp,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+pd AS (SELECT grp, pos, round(avg(v), 6) AS m FROM pe GROUP BY grp, pos),
+pv AS (SELECT grp, list(m ORDER BY pos) AS emb FROM pd GROUP BY grp),
+q AS (SELECT grp AS query_id, emb AS qe FROM pv WHERE grp < 4),
+sims AS (
+  SELECT q.query_id, c.grp AS vec_id,
+         list_dot_product(c.emb, q.qe) /
+         (sqrt(list_dot_product(c.emb, c.emb)) *
+          sqrt(list_dot_product(q.qe, q.qe))) AS sim
+  FROM q CROSS JOIN pv c WHERE c.grp <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       round(sim, 4) AS sim_r
+FROM ranked WHERE rn <= 5""",
         "ann_cosine_topk": f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

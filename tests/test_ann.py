@@ -364,3 +364,60 @@ def test_rocchio_pulls_query_toward_feedback_cluster(spark):
     # between the cluster members, so one of them overtakes the isolated
     # pass-1 winner
     assert rocchio[0] in (2, 3, 4)
+
+
+def test_mean_pool_exact_and_ordered(spark):
+    """Pooled vector = per-dimension mean in dimension order; rounding
+    pins the dims; singleton groups pool to themselves."""
+    from tsidx.ann import mean_pool
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 30.0]),
+            (0, [3.0, 4.0, -10.0]),
+            (1, [5.0, 6.0, 7.0]),
+        ],
+        "grp long, embedding array<float>",
+    )
+    got = {r["grp"]: r["embedding"] for r in mean_pool(df, "grp").collect()}
+    assert got[0] == [2.0, 3.0, 10.0]
+    assert got[1] == [5.0, 6.0, 7.0]
+    r6 = {r["grp"]: r["embedding"]
+          for r in mean_pool(df, "grp", round_dims=6).collect()}
+    assert r6[0] == [2.0, 3.0, 10.0]
+
+
+def test_mean_pool_composes_with_cosine_topk(spark):
+    """Conv-level retrieval: pooled groups ranked by cosine."""
+    from tsidx.ann import cosine_topk, mean_pool
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pooled = mean_pool(
+        df.withColumn("grp", (F.col("vec_id") / 4).cast("long")), "grp"
+    ).withColumnRenamed("grp", "vec_id")
+    queries = pooled.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = cosine_topk(pooled, queries, k=3).collect()
+    # numpy ground truth
+    import collections
+    groups = collections.defaultdict(list)
+    for i, v in rows:
+        groups[i // 4].append(np.array(v))
+    pv = {g: np.mean(vs, axis=0) for g, vs in groups.items()}
+    for qid in (0, 1):
+        sims = sorted(
+            ((float(np.dot(pv[qid], v) / (np.linalg.norm(pv[qid]) * np.linalg.norm(v))), g)
+             for g, v in pv.items() if g != qid),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        mine = [(r["sim"], r["vec_id"]) for r in got if r["query_id"] == qid]
+        assert [g for _, g in sims] == [g for _, g in mine]
+        for (ws, _), (gs, _) in zip(sims, mine):
+            assert gs == pytest.approx(ws, rel=1e-6)

@@ -60,3 +60,34 @@ def test_tfidf_normalized_unit_norm(built, oracle):
         assert r["w"] / r0[0]["w"] == pytest.approx(
             raw[(0, r["term"])] / raw[(0, t_ref)], rel=1e-9
         )
+
+
+def test_top_terms_per_doc(built, oracle):
+    from tsidx.vectors import top_terms_per_doc
+
+    eng = QueryEngine(built)
+    m = 4
+    rows = top_terms_per_doc(eng, m=m).collect()
+    got: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["rank"])):
+        got.setdefault(r["doc_id"], []).append((r["term"], r["w"], r["rank"]))
+    want_all = _brute(oracle)
+    assert set(got) == set(range(154))
+    for doc_id, terms in got.items():
+        # ranks are 1..m, weights non-increasing, tie-broken by term
+        assert [t[2] for t in terms] == list(range(1, len(terms) + 1))
+        doc_terms = sorted(
+            ((w, term) for (d, term), w in want_all.items() if d == doc_id),
+            key=lambda x: (-x[0], x[1]),
+        )[:m]
+        assert [(t, pytest.approx(w, rel=1e-12)) for t, w, _ in terms] == [
+            (term, pytest.approx(w, rel=1e-12)) for w, term in doc_terms
+        ]
+
+
+def test_top_terms_per_doc_rejects_nonpositive(built):
+    from tsidx.vectors import top_terms_per_doc
+
+    eng = QueryEngine(built)
+    with pytest.raises(ValueError):
+        top_terms_per_doc(eng, m=0)

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cosine_topk",
+    "mean_pool",
     "rocchio_topk",
     "cosine_dup_pairs_exact",
     "quantize_int8",
@@ -779,3 +780,41 @@ def rocchio_topk(
     return cosine_topk(
         corpus, q2, k, id_col, emb_col, query_id_col, query_emb_col
     )
+
+
+def mean_pool(
+    vectors: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    round_dims: int | None = None,
+) -> DataFrame:
+    """(group_col, vec_col): element-wise mean of each group's vectors —
+    turn-level embeddings pooled into one conversation-level embedding
+    (the standard rollup before conversation retrieval / conv-level
+    near-dup / SemDeDup over dialogues).
+
+    Plan: ``posexplode`` -> per-(group, dim) avg -> reassemble sorted by
+    dim. Both groupBys partial-aggregate map-side, so the wide shuffle
+    carries O(groups x dim) partials per partition, not the exploded
+    volume; dim is model-fixed (hundreds), so rows stay bounded.
+
+    *round_dims* pins each pooled dimension to that many decimals:
+    float sums depend on accumulation order, so downstream rank order
+    (cosine top-k over pooled vectors) is only engine/partitioning-
+    reproducible from rounded dims — same device as rocchio_topk.
+    """
+    ex = vectors.select(
+        F.col(group_col).alias("_g"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("_pos", "_v"),
+    )
+    m = F.avg("_v")
+    if round_dims is not None:
+        m = F.round(m, round_dims)
+    per_dim = ex.groupBy("_g", "_pos").agg(m.alias("_m"))
+    pooled = per_dim.groupBy("_g").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+            lambda s: s["_m"],
+        ).alias(vec_col)
+    )
+    return pooled.withColumnRenamed("_g", group_col)

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tfidf_rows"]
+__all__ = ["tfidf_rows", "top_terms_per_doc"]
 
 
 def tfidf_rows(engine, normalized: bool = False) -> DataFrame:
@@ -50,4 +50,31 @@ def tfidf_rows(engine, normalized: bool = False) -> DataFrame:
     )
     return coo.join(norms, "doc_id").select(
         "doc_id", "term", (F.col("w") / F.col("nrm")).alias("w")
+    )
+
+
+def top_terms_per_doc(
+    engine, m: int = 5, normalized: bool = False
+) -> DataFrame:
+    """(doc_id, term, w, rank): each document's *m* highest-tf-idf terms —
+    the keyword-extraction / document-labeling view used for routing,
+    cluster naming, and weak supervision over a training corpus.
+
+    Deterministic total order: rank by ``(-w, term)``, so equal-weight
+    terms (same tf and df) break ties lexicographically on every engine.
+
+    Scale shape: the shuffle-free COO projection plus ONE (doc_id)
+    window; Spark's WindowGroupLimit pushes the ``rank <= m`` bound
+    map-side, so the shuffle carries O(docs x m) rows, not the full
+    posting volume.
+    """
+    from pyspark.sql import Window
+
+    if m <= 0:
+        raise ValueError("top_terms_per_doc: m must be positive")
+    coo = tfidf_rows(engine, normalized)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    return (
+        coo.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m)
     )
