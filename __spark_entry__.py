@@ -1277,6 +1277,35 @@ def _q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_CACHE: dict = {}
 
 
+SNAP_SHARD_SIZE = 256
+
+
+def _q_snapshot_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage time travel (tsidx/resume.py::read_index_at): build the
+    sharded index, then read it AS OF shard 0's commit marker — the
+    (term, df) dictionary must equal the stats over just the first
+    SNAP_SHARD_SIZE docs. Postings are partition-pruned by the shard=K
+    layout; BM25 stats come from the committed lineage rows."""
+    import tempfile
+
+    from tsidx.resume import build_index_resumable, read_index_at
+
+    key = (id(spark), os.path.normpath(sf_dir), "snapshot")
+    path = _STREAM_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="tsidx_snap_q_")
+        transcripts = documents_as_transcripts(spark, sf_dir)
+        assert (
+            build_index_resumable(
+                transcripts, path, block_size=128, shard_size=SNAP_SHARD_SIZE
+            )
+            is not None
+        )
+        _STREAM_CACHE[key] = path
+    snap = read_index_at(spark, path, through_shard=0)
+    return snap.terms.select("term", F.col("df").cast("long").alias("df"))
+
+
 def _q_streaming_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index built by two incremental streaming appends must carry the same
     (term, df) table as the batch build — document frequencies don't depend
@@ -2448,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup_pairs": _q_lsh_dedup_pairs,
         "highlight": _q_highlight,
         "streaming_term_df": _q_streaming_term_df,
+        "snapshot_term_df": _q_snapshot_term_df,
         "streaming_dedup": _q_streaming_dedup,
         "multistream_term_df": _q_multistream_term_df,
         "analyzed_term_df": _q_analyzed_term_df,
@@ -3269,6 +3299,18 @@ SELECT (SELECT count(*) FROM dl)::BIGINT AS n_docs,
        ((SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM dl)) AS avgdl""",
         "term_df": f"""
 WITH {terms_cte}
+SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term""",
+        "snapshot_term_df": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> '' AND doc_id < {SNAP_SHARD_SIZE}
+),
+trm AS (
+  SELECT doc_id, {_stem_case_sql()} AS term FROM toks
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM trm GROUP BY doc_id, term
+)
 SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term""",
         "streaming_term_df": f"""
 WITH {terms_cte}

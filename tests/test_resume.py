@@ -94,3 +94,61 @@ def test_resumable_matches_in_memory_build(spark, sonnets_transcripts, tmp_path)
     assert _postings_set(persisted) == _postings_set(mem)
     assert persisted.meta["avgdl"] == mem.meta["avgdl"]
     assert persisted.meta["n_docs"] == mem.meta["n_docs"]
+
+
+def test_read_index_at_snapshot_equals_truncated_build(
+    spark, sonnets_transcripts, tmp_path
+):
+    """Time travel: the index read at shard K's commit equals a fresh
+    build over the first K+1 shards' documents — postings, dictionary,
+    BM25 stats, and top-k scores."""
+    from tsidx.resume import read_index_at
+
+    path = str(tmp_path / "idx")
+    full = build_index_resumable(
+        sonnets_transcripts, path, block_size=16, shard_size=64
+    )
+    assert full is not None
+    snap = read_index_at(spark, path, through_shard=1)
+    assert snap.meta["n_docs"] == 128
+    # fresh build over the truncated corpus (doc_ids are (conv, turn)-ordered)
+    docs128 = full.docs.filter("doc_id < 128").drop("doc_id")
+    trunc = build_index(docs128, block_size=16)
+    assert snap.meta["avgdl"] == pytest.approx(trunc.meta["avgdl"])
+    assert _postings_set(snap) == _postings_set(trunc)
+    t1 = sorted((r["term"], r["df"]) for r in snap.terms.collect())
+    t2 = sorted((r["term"], r["df"]) for r in trunc.terms.collect())
+    assert t1 == t2
+    got = [
+        (r["doc_id"], r["score"])
+        for r in QueryEngine(snap).bm25_topk("fire heat", 10).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in QueryEngine(trunc).bm25_topk("fire heat", 10).collect()
+    ]
+    assert got == want
+
+
+def test_read_index_at_rejects_bad_prefix(spark, sonnets_transcripts, tmp_path):
+    from tsidx.resume import read_index_at
+
+    path = str(tmp_path / "idx")
+    # only shards 0..1 committed
+    assert (
+        build_index_resumable(
+            sonnets_transcripts, path, block_size=16, shard_size=64, max_shards=2
+        )
+        is None
+    )
+    snap = read_index_at(spark, path, through_shard=1)
+    assert snap.meta["n_docs"] == 128
+    with pytest.raises(ValueError, match="uncommitted"):
+        # shard 2 exists in config but has no commit marker...
+        read_index_at(spark, path, through_shard=2)
+    with pytest.raises(ValueError, match="outside"):
+        read_index_at(spark, path, through_shard=99)
+    # ...and a hole in the middle is rejected too
+    os.remove(os.path.join(path, "manifest", "shard-0.json"))
+    with pytest.raises(ValueError, match="uncommitted"):
+        read_index_at(spark, path, through_shard=1)

@@ -48,7 +48,7 @@ from tsidx.io import read_table, write_table
 from tsidx.oracle import B, K1
 from tsidx.ship import ensure_shipped
 
-__all__ = ["build_index_resumable", "pending_shards", "read_manifest"]
+__all__ = ["build_index_resumable", "pending_shards", "read_manifest", "read_index_at"]
 
 
 def _config_path(path: str) -> str:
@@ -278,3 +278,75 @@ def build_index_resumable(
     if pending_shards(path):
         return None
     return _finalize(spark, path, cfg)
+
+
+def read_index_at(
+    spark: SparkSession, path: str, through_shard: int
+) -> InvertedIndex:
+    """Time-travel read: the index exactly as it stood at shard
+    *through_shard*'s commit marker — the lineage manifests double as a
+    snapshot log (the parquet analog of Iceberg snapshot reads; on a real
+    cluster the same call maps to a snapshot-id table read).
+
+    Reconstruction: postings are partition-pruned to ``shard <=
+    through_shard`` (the ``shard=K`` directory layout makes this a
+    scan-level prune, not a post-scan filter), docs are cut at the
+    manifest's committed ``doc_hi``, the (term, df) dictionary is
+    re-aggregated over the surviving postings (a vocabulary-sized agg —
+    the price of not having per-snapshot dictionaries), and the BM25
+    stats (n_docs, total_tokens, avgdl) are summed from the committed
+    lineage rows. Scores over the snapshot are therefore identical to a
+    fresh build over the truncated corpus — asserted in
+    tests/test_resume.py.
+
+    Raises ``ValueError`` if any shard ``<= through_shard`` has no commit
+    marker (snapshots exist only at committed prefixes: shards commit in
+    doc_id order, so a prefix of markers is the only consistent cut).
+    """
+    with open(_config_path(path)) as f:
+        cfg = json.load(f)
+    if not 0 <= through_shard < cfg["n_shards"]:
+        raise ValueError(
+            f"through_shard {through_shard} outside [0, {cfg['n_shards']})"
+        )
+    manifest = [
+        r for r in read_manifest(path) if r["shard_id"] <= through_shard
+    ]
+    if len(manifest) != through_shard + 1:
+        have = {r["shard_id"] for r in manifest}
+        missing = sorted(set(range(through_shard + 1)) - have)
+        raise ValueError(f"uncommitted shards in snapshot prefix: {missing}")
+    doc_hi = manifest[-1]["doc_hi"]
+    postings = (
+        read_table(
+            spark, os.path.join(path, "postings"),
+            base_path=os.path.join(path, "postings"),
+        )
+        .filter(F.col("shard") <= through_shard)
+        .drop("shard")
+    )
+    docs = read_table(spark, os.path.join(path, "docs")).filter(
+        F.col("doc_id") < doc_hi
+    )
+    terms = postings.groupBy("term").agg(F.sum("block_df").alias("df"))
+    n_docs = sum(r["doc_count"] for r in manifest)
+    total_tokens = sum(r["token_count"] for r in manifest)
+    meta = {
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "k1": cfg["k1"],
+        "b": cfg["b"],
+        "block_size": cfg["block_size"],
+        "codec": cfg["codec"],
+        "order_cols": cfg["order_cols"],
+        "version": cfg["version"],
+    }
+    return InvertedIndex(
+        docs=docs,
+        postings=postings,
+        terms=terms,
+        meta=meta,
+        manifest=spark.createDataFrame(manifest),
+        pinned=set(),
+    )
