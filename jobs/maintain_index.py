@@ -69,7 +69,7 @@ def main() -> None:
         "action",
         choices=[
             "delete", "apply-deletes", "compact", "update", "prune",
-            "vocab", "fsck", "diff",
+            "vocab", "fsck", "diff", "snapshot",
         ],
     )
     ap.add_argument("--index", required=True)
@@ -88,6 +88,10 @@ def main() -> None:
         "--other", help="diff: path of the second (newer) index"
     )
     ap.add_argument(
+        "--at-shard", type=int, default=None,
+        help="snapshot: read the index as of this shard's commit marker",
+    )
+    ap.add_argument(
         "--updates",
         help="update: path to a JSON file of [[doc_id, new_text], ...] or "
         "a parquet/table of (doc_id, text) rows",
@@ -97,6 +101,25 @@ def main() -> None:
     spark = make_spark(args.parallelism, "tsidx-maintain")
     t0 = time.time()
 
+    if args.action == "snapshot":
+        from tsidx.resume import read_index_at
+
+        if args.at_shard is None:
+            raise SystemExit("snapshot requires --at-shard K")
+        snap = read_index_at(spark, args.index, args.at_shard)
+        stats = snap.statistics()
+        out = {
+            "job": "snapshot",
+            "at_shard": args.at_shard,
+            "n_docs": int(snap.meta["n_docs"]),
+            "avgdl": snap.meta["avgdl"],
+            "stats": stats,
+            "sec": round(time.time() - t0, 3),
+            "index": args.index,
+        }
+        print(json.dumps(out))
+        spark.stop()
+        return
     if args.action == "compact":
         from tsidx.streaming import compact_stream_index
 
