@@ -87,3 +87,27 @@ def test_no_cartesian_and_exchange_reuse(docs):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_strategies_bit_identical(docs):
+    """window and rejoin flagging produce identical span tables."""
+    from tsidx.spans import repeated_spans
+
+    a = sorted(
+        tuple(r)
+        for r in repeated_spans(docs, n=3, min_count=2, strategy="window").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in repeated_spans(docs, n=3, min_count=2, strategy="rejoin").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_unknown_strategy_rejected(docs):
+    import pytest as _pytest
+
+    from tsidx.spans import repeated_spans
+
+    with _pytest.raises(ValueError):
+        repeated_spans(docs, n=3, strategy="nope")

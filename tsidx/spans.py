@@ -16,15 +16,12 @@ Operators:
   text with flagged token ranges removed.
 
 Scale design (the honest costs, and what bounds them):
-- The gram-frequency aggregation is THE irreducible shuffle of substring
+- The gram-hash exchange is THE irreducible shuffle of substring
   dedup (Lee et al. pay the same cost as a distributed suffix sort).
   Grams are hashed to 8 bytes *before* the exchange, so shuffle rows are
-  (hash, doc_id, pos) — ~24 bytes regardless of n — and the aggregation
-  is partial (map-side combine collapses each partition's repeated grams
-  first). No raw text is ever shuffled.
-- The join-back of flagged hashes onto the gram stream shares the
-  gram-hash partitioning with the count aggregation, so Catalyst reuses
-  the exchange rather than re-shuffling.
+  (hash, doc_id, pos) — ~24 bytes regardless of n. No raw text is ever
+  shuffled. Two flagging strategies trade fold-CPU against hot-gram
+  skew handling (see :func:`repeated_spans`).
 - Span merging is a per-doc window (lag + running sum), bounded by the
   flagged positions of one document — never corpus-wide.
 - A gram-hash collision (62-bit: two independent 31-bit polynomial
@@ -111,6 +108,7 @@ def repeated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str = "window",
 ) -> DataFrame:
     """Per-doc merged repeated regions:
     ``(id_col, span_start, span_end, n_grams)``.
@@ -121,15 +119,44 @@ def repeated_spans(
     inclusive token indices; ``n_grams`` = flagged windows merged into
     the span). ``min_count`` counts TOTAL occurrences (within-doc
     repeats count, as in Lee et al.'s ExactSubstr).
+
+    ``strategy`` picks how duplicated grams are flagged — both are
+    bit-identical (asserted in tests/test_spans.py); the difference is
+    the 100 TB cost shape:
+
+    - ``"window"`` (default): ONE evaluation of the gram pipeline and
+      ONE gram-hash shuffle; the per-hash occurrence count is a window
+      aggregate over the shuffled stream. Measured 4x faster at 640k
+      turns (the polynomial fold is CPU-bound, and the rejoin plan
+      evaluates it twice). Caveat: a single gram hash's occurrences
+      all buffer in one task, so a pathologically hot boilerplate gram
+      (10^9+ repeats) needs the rejoin plan instead.
+    - ``"rejoin"``: aggregate counts (map-side partial combine), then
+      join the duplicated-hash set back onto a second evaluation of the
+      gram stream. Costs the fold twice, but the hot-gram case rides
+      Spark's machinery: a small dup set broadcasts (no stream shuffle
+      at all), a large one gets AQE's skew-split sort-merge join.
     """
+    if strategy not in ("window", "rejoin"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     grams = gram_positions(docs, n, id_col=id_col, text_col=text_col)
-    dup = (
-        grams.groupBy("gram_hash")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") >= min_count)
-        .select("gram_hash")
-    )
-    flagged = grams.join(dup, on="gram_hash", how="inner").select(id_col, "pos")
+    if strategy == "window":
+        wcnt = Window.partitionBy("gram_hash")
+        flagged = (
+            grams.withColumn("cnt", F.count("*").over(wcnt))
+            .where(F.col("cnt") >= min_count)
+            .select(id_col, "pos")
+        )
+    else:
+        dup = (
+            grams.groupBy("gram_hash")
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= min_count)
+            .select("gram_hash")
+        )
+        flagged = grams.join(dup, on="gram_hash", how="inner").select(
+            id_col, "pos"
+        )
     w = Window.partitionBy(id_col).orderBy("pos")
     # new span when this window starts past the previous window's
     # coverage (+1 keeps contiguous windows in one span)
@@ -156,6 +183,7 @@ def strip_repeated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str = "window",
 ) -> DataFrame:
     """``(id_col, clean_text, n_removed)`` — each doc's text with flagged
     token ranges removed (tokens re-joined with single spaces; docs with
@@ -166,7 +194,8 @@ def strip_repeated_spans(
     per-token range join.
     """
     spans = repeated_spans(
-        docs, n, min_count=min_count, id_col=id_col, text_col=text_col
+        docs, n, min_count=min_count, id_col=id_col, text_col=text_col,
+        strategy=strategy,
     )
     span_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
