@@ -89,7 +89,12 @@ def train_bigram_lm(
     """
     bg = doc_bigrams(corpus, id_col=id_col, text_col=text_col)
     bigram_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    context_counts = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # c1 (w1's total bigram count) re-aggregates the vocabulary^2-bounded
+    # c12 table instead of the corpus-scale bigram stream: one fewer full
+    # evaluation of the doc_bigrams pipeline, identical counts.
+    context_counts = bigram_counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1")
+    )
     vocab = (
         corpus.select(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
