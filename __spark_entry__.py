@@ -1384,6 +1384,16 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("tkey").distinct()
 
 
+def _q_render_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT export rendering: each conversation as one role-tagged string
+    in turn order (tsidx/dialog.py::render_conversations — one bounded
+    (conv_id) shuffle, JVM sort+join)."""
+    from tsidx.dialog import render_conversations
+
+    t = documents_as_transcripts(spark, sf_dir)
+    return render_conversations(t).select("conv_id", "rendered", "n_turns")
+
+
 def _q_analyzed_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analyzer chain end-to-end (tsidx/analyze.py): the corpus text is
     deterministically mutated in BOTH engines (a/o become uppercase
@@ -2481,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "multistream_term_df": _q_multistream_term_df,
         "analyzed_term_df": _q_analyzed_term_df,
+        "render_convs": _q_render_conversations,
         "lsh_ann_recall": _q_lsh_ann_recall,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
@@ -3318,6 +3329,19 @@ SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term""",
         # multi-stream build == tokenizing text+role concatenated with a
         # space; role derives from doc_id exactly as in
         # documents_as_transcripts
+        "render_convs": """
+WITH t AS (
+  SELECT 'c' || lpad((doc_id // 8)::VARCHAR, 6, '0') AS conv_id,
+         (doc_id % 8)::INT AS turn_idx,
+         (['user','assistant','system','tool'])[(doc_id % 4)::INT + 1] AS role,
+         text
+  FROM documents
+)
+SELECT conv_id,
+       string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx)
+         AS rendered,
+       count(*)::BIGINT AS n_turns
+FROM t GROUP BY conv_id""",
         "analyzed_term_df": f"""
 WITH m AS (
   SELECT doc_id, replace(translate(text, 'ao', 'ÀÖ'), ' ', '! ') AS mtext

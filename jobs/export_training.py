@@ -70,7 +70,7 @@ def main() -> None:
         "action",
         choices=[
             "tfidf", "pack", "pairs", "context", "quality", "sample", "redact",
-            "bpe", "pplbuckets", "dsir", "mixture", "split",
+            "bpe", "pplbuckets", "dsir", "mixture", "split", "render",
         ],
     )
     ap.add_argument("--index", required=True)
@@ -198,6 +198,10 @@ def main() -> None:
             out_df = dsir_resample(docs, target, args.frac, seed=args.seed)
         else:
             out_df = dsir_log_weights(docs, target)
+    elif args.action == "render":
+        from tsidx.dialog import render_conversations
+
+        out_df = render_conversations(idx.docs)
     elif args.action == "split":
         from tsidx.textstats import group_split
 

@@ -74,3 +74,32 @@ def test_tool_usage_hand_computed(transcripts):
     assert (s["n_calls"], s["n_convs"], s["avg_len_r"]) == (2, 2, 1.5)
     c = got["calc"]
     assert (c["n_calls"], c["n_convs"], c["avg_len_r"]) == (1, 1, 4.0)
+
+
+def test_render_conversations_order_and_tags(spark):
+    """Turns render in turn_idx order regardless of input order; custom
+    delimiters apply; n_turns counts rows."""
+    from tsidx.dialog import render_conversations
+
+    rows = [
+        ("c1", 2, "user", "third"),
+        ("c1", 0, "user", "first"),
+        ("c1", 1, "assistant", "second"),
+        ("c2", 0, "system", "solo"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {r["conv_id"]: r for r in render_conversations(t).collect()}
+    assert got["c1"]["rendered"] == (
+        "<|user|>first\n<|assistant|>second\n<|user|>third"
+    )
+    assert got["c1"]["n_turns"] == 3
+    assert got["c2"]["rendered"] == "<|system|>solo"
+    custom = {
+        r["conv_id"]: r["rendered"]
+        for r in render_conversations(
+            t, turn_sep=" ", role_open="[", role_close="] "
+        ).collect()
+    }
+    assert custom["c2"] == "[system] solo"

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["role_transitions", "tool_usage"]
+__all__ = ["role_transitions", "tool_usage", "render_conversations"]
 
 
 def _ws_token_count(text_col: str) -> F.Column:
@@ -86,4 +86,56 @@ def tool_usage(
         F.count("*").cast("long").alias("n_calls"),
         F.count_distinct(F.col(conv_col)).cast("long").alias("n_convs"),
         F.round(F.avg(_ws_token_count(text_col)), 4).alias("avg_len_r"),
+    )
+
+
+def render_conversations(
+    transcripts: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    turn_sep: str = "\n",
+    role_open: str = "<|",
+    role_close: str = "|>",
+) -> DataFrame:
+    """``(conv_col, rendered, n_turns)`` — each conversation rendered as
+    one role-tagged training string in turn order::
+
+        <|user|>first turn text
+        <|assistant|>reply text
+        ...
+
+    The SFT-export shape: one row per conversation, ready for
+    token-budget packing (:func:`tsidx.pack.pack_shards`), group-level
+    splitting, and JSONL export. Tags are plain configurable delimiters,
+    not a tokenizer-specific template — swap ``role_open``/``role_close``
+    for a model's special tokens at export time.
+
+    Scale shape: ONE bounded (conv_id) shuffle — collect_list gathers a
+    conversation's turns (conversations are tens of turns, so rows stay
+    small), array_sort restores turn order deterministically, and the
+    join+render is a JVM transform. No window, no second exchange.
+    """
+    per_turn = transcripts.select(
+        F.col(conv_col),
+        F.struct(
+            F.col(turn_col).alias("t"),
+            F.concat(
+                F.lit(role_open), F.col(role_col), F.lit(role_close),
+                F.col(text_col),
+            ).alias("s"),
+        ).alias("ts"),
+    )
+    return (
+        per_turn.groupBy(conv_col)
+        .agg(F.array_sort(F.collect_list("ts")).alias("_a"))
+        .select(
+            conv_col,
+            F.array_join(
+                F.transform(F.col("_a"), lambda x: x["s"]), turn_sep
+            ).alias("rendered"),
+            F.size("_a").cast("long").alias("n_turns"),
+        )
     )
