@@ -1715,6 +1715,22 @@ def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMPACT_LAM = 0.6
+
+
+def _q_impact_pruned_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carmel-style impact pruning (tsidx/prune.py::impact_kept_rows):
+    the (term, doc_id, tf) posting rows surviving the score-threshold
+    rule contrib >= lam * per-term max. The per-term statistic is one
+    partial-aggregable max — never a per-term sort/window."""
+    from tsidx.prune import impact_kept_rows
+
+    eng = get_engine(spark, sf_dir)
+    return impact_kept_rows(eng, IMPACT_LAM).select(
+        "term", F.col("doc_id").cast("long"), F.col("tf").cast("long")
+    )
+
+
 def _q_tfidf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse tf-idf COO export (head: doc_id < 50) — one shuffle-free
     posting decode with the idf factor broadcast from the dictionary."""
@@ -2522,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_term_df": _q_pruned_term_df,
         "pruned_match": _q_pruned_match,
         "tfidf_rows": _q_tfidf_rows,
+        "impact_pruned_rows": _q_impact_pruned_rows,
         "doc_keywords": _q_doc_keywords,
         "conv_stats": _q_conv_stats,
         "match_context": _q_match_context,
@@ -3742,6 +3759,24 @@ SELECT conv_id, count(*)::BIGINT AS n_turns, sum(n_tok)::BIGINT AS total_tokens,
        round(avg(n_tok::DOUBLE), 4) AS avg_tokens_r,
        count(DISTINCT role)::BIGINT AS n_roles
 FROM t GROUP BY conv_id""",
+        "impact_pruned_rows": f"""
+WITH {terms_cte},
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl
+  FROM dl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / stats.avgdl)))
+           AS c
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+mx AS (SELECT term, max(c) * {IMPACT_LAM} AS thr FROM scored GROUP BY term)
+SELECT scored.term, scored.doc_id, scored.tf::BIGINT AS tf
+FROM scored JOIN mx USING (term)
+WHERE scored.c >= mx.thr""",
         "doc_keywords": f"""
 WITH {terms_cte},
 stats AS (SELECT count(*)::BIGINT AS n_docs FROM dl),

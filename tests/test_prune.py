@@ -91,3 +91,84 @@ def test_explicit_stopword_list(built, oracle):
 def test_no_criteria_raises(built):
     with pytest.raises(ValueError):
         prune_terms(built)
+
+
+def _brute_kept(oracle, lam):
+    """Python replay of the impact-threshold rule."""
+    import math
+
+    from tsidx.oracle import bm25_idf
+
+    n = oracle.n_docs
+    avgdl = sum(oracle.doc_lengths.values()) / n
+    kept = {}
+    for term, plist in oracle.postings.items():
+        idf = bm25_idf(n, len(plist))
+        contribs = []
+        for doc_id, tf in plist:
+            dl = oracle.doc_lengths[doc_id]
+            c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+            contribs.append((doc_id, tf, c))
+        top = max(c for _, _, c in contribs)
+        kept[term] = {
+            (doc_id, tf) for doc_id, tf, c in contribs if c >= lam * top
+        }
+    return kept
+
+
+def test_impact_kept_rows_match_bruteforce(built, oracle):
+    from tsidx.prune import impact_kept_rows
+
+    eng = QueryEngine(built)
+    lam = 0.6
+    got = {}
+    for r in impact_kept_rows(eng, lam).collect():
+        got.setdefault(r["term"], set()).add((r["doc_id"], r["tf"]))
+    want = _brute_kept(oracle, lam)
+    assert got == want
+    # every term survives (the max contribution always passes lam <= 1)
+    assert set(got) == set(oracle.postings)
+
+
+def test_prune_by_impact_scores_and_recall(built, oracle):
+    """Surviving (term, doc) pairs score exactly as the full index; top-10
+    recall vs the full index stays high at lam=0.5; posting volume drops."""
+    from tsidx.prune import prune_by_impact
+
+    eng = QueryEngine(built)
+    pruned = prune_by_impact(eng, lam=0.5)
+    peng = QueryEngine(pruned)
+    from pyspark.sql import functions as F
+
+    # the dictionary/statistics stay as-built by design; measure the real
+    # posting volume from the re-encoded blocks
+    n_full = built.postings.agg(F.sum("block_df")).collect()[0][0]
+    n_pruned = pruned.postings.agg(F.sum("block_df")).collect()[0][0]
+    assert n_pruned < n_full
+    n_terms_full = built.postings.select("term").distinct().count()
+    n_terms_pruned = pruned.postings.select("term").distinct().count()
+    assert n_terms_pruned == n_terms_full
+    full_scores = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.bm25_scores("fire heat thrall").collect()
+    }
+    hits = 0
+    total = 0
+    for q in ("fire heat", "thrall quench", "same", "love beauty eyes"):
+        full = [r["doc_id"] for r in eng.bm25_topk(q, 10).collect()]
+        part = [r["doc_id"] for r in peng.bm25_topk(q, 10).collect()]
+        total += len(full)
+        hits += len(set(full) & set(part))
+    assert hits / total >= 0.7, (hits, total)
+    # rank-1 identity: the top posting of every query term survives by
+    # construction, so the best full-index doc stays the best pruned doc
+    # for single-term queries
+    for q in ("fire", "thrall"):
+        top_full = eng.bm25_topk(q, 1).collect()[0]
+        top_pruned = peng.bm25_topk(q, 1).collect()[0]
+        assert top_full["doc_id"] == top_pruned["doc_id"]
+        assert top_full["score"] == top_pruned["score"]
+    with pytest.raises(ValueError):
+        from tsidx.prune import impact_kept_rows
+
+        impact_kept_rows(eng, 0.0)

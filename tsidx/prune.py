@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from tsidx.index import InvertedIndex
 
-__all__ = ["prune_terms", "vocab_coverage"]
+__all__ = ["prune_terms", "vocab_coverage", "impact_kept_rows", "prune_by_impact"]
 
 
 def prune_terms(
@@ -111,3 +111,125 @@ def vocab_coverage(index: InvertedIndex, top_v: int) -> DataFrame:
             (F.sum("cf").over(w)).cast("double") / F.lit(total), 6
         ).alias("coverage_r"),
     )
+
+
+def _make_impact_encoder():
+    """applyInPandas factory: kept decoded rows of one doc-range block ->
+    re-encoded (term, block_id, ...) posting rows."""
+
+    def enc(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from tsidx.compress import encode_posting_block
+
+        out = []
+        if len(pdf):
+            bid = int(pdf["block_id"].iloc[0])
+            for term, g in pdf.groupby("term", sort=True):
+                order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+                d = g["doc_id"].to_numpy()[order]
+                t = g["tf"].to_numpy()[order]
+                l = g["dl"].to_numpy()[order]
+                gaps, tb, lb = encode_posting_block(d, t, l)
+                out.append(
+                    {
+                        "term": term,
+                        "block_id": bid,
+                        "block_df": int(len(d)),
+                        "min_doc": int(d[0]),
+                        "max_doc": int(d[-1]),
+                        "max_tf": int(t.max()),
+                        "min_dl": int(l.min()),
+                        "sum_tf": int(t.sum()),
+                        "doc_gaps": gaps,
+                        "tfs": tb,
+                        "dls": lb,
+                    }
+                )
+        cols = [
+            "term", "block_id", "block_df", "min_doc", "max_doc",
+            "max_tf", "min_dl", "sum_tf", "doc_gaps", "tfs", "dls",
+        ]
+        if not out:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.DataFrame(out)[cols]
+
+    return enc
+
+
+def impact_kept_rows(engine, lam: float) -> DataFrame:
+    """The decoded posting rows that survive impact pruning at threshold
+    *lam*: keep (term, doc) iff its BM25 contribution >=
+    ``lam * max contribution of that term`` (Carmel et al. 2001's
+    score-threshold variant of static index pruning).
+
+    The per-term top posting always survives (lam <= 1 keeps the max
+    itself), so no term vanishes. The threshold rule — not top-K-per-term
+    — is what makes this scale-safe: the per-term statistic is ONE
+    partial-aggregable max, never a corpus-length per-term sort/window
+    (a df=N stopword would otherwise rank 10^11 postings in one window
+    partition).
+    """
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    index = engine.index
+    k1 = float(index.meta["k1"])
+    b = float(index.meta["b"])
+    avgdl = float(index.meta["avgdl"])
+    n = int(index.meta["n_docs"])
+    idf = F.log(
+        (F.lit(float(n)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    dictionary = index.terms.select("term", idf.alias("_idf"))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    # the canonical contribution expression shape (QueryEngine._contrib_expr)
+    contrib = F.col("_idf") * (
+        (tf * F.lit(k1 + 1.0))
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl) / F.lit(avgdl)))
+    )
+    scored = (
+        engine._live(engine.posting_rows_all())
+        .join(F.broadcast(dictionary), "term")
+        .withColumn("_c", contrib)
+    )
+    thr = scored.groupBy("term").agg(
+        (F.max("_c") * F.lit(float(lam))).alias("_thr")
+    )
+    return (
+        scored.join(thr, "term")
+        .filter(F.col("_c") >= F.col("_thr"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+
+
+def prune_by_impact(engine, lam: float = 0.5) -> InvertedIndex:
+    """Impact-pruned index: postings re-encoded from
+    :func:`impact_kept_rows`; dictionary (df), corpus stats, and docs kept
+    AS-BUILT, so surviving (term, doc) pairs score exactly as in the full
+    index (same Lucene semantics as :func:`prune_terms`) and top-k over
+    the pruned index approximates full top-k at a fraction of the posting
+    bytes — the quality/recall trade is asserted in tests/test_prune.py.
+
+    Plan: one full decode -> broadcast dictionary join -> per-term max
+    (partial agg) -> threshold filter -> per-block Arrow re-encode (the
+    uniform block_id grouping of the build, no skew key).
+    """
+    index = engine.index
+    if index.meta.get("codec") != "varbyte":
+        raise NotImplementedError("prune_by_impact requires the varbyte codec")
+    from tsidx.index import POSTINGS_VARBYTE_SCHEMA
+    from tsidx.ship import ensure_shipped
+
+    ensure_shipped(index.docs.sparkSession)
+    block_size = int(index.meta["block_size"])
+    kept = impact_kept_rows(engine, lam).withColumn(
+        "block_id", F.expr(f"doc_id DIV {block_size}")
+    )
+    postings = kept.groupBy("block_id").applyInPandas(
+        _make_impact_encoder(), schema=POSTINGS_VARBYTE_SCHEMA
+    )
+    return replace(index, postings=postings, tombstones=None)
