@@ -12,6 +12,12 @@
     # hot-term (stopword) pruning: drop terms with df above the cap
     python jobs/maintain_index.py prune --index /tmp/idx --max-df-ratio 0.5
 
+    # Carmel impact pruning: keep postings scoring >= lam x the term max
+    python jobs/maintain_index.py prune --index /tmp/idx --impact-lam 0.6
+
+    # snapshot read at a shard commit (resumable-layout indexes)
+    python jobs/maintain_index.py snapshot --index /tmp/ridx --at-shard 1
+
     # integrity check (exit 2 when any invariant fails)
     python jobs/maintain_index.py fsck --index /tmp/idx
 
@@ -86,6 +92,10 @@ def main() -> None:
     )
     ap.add_argument(
         "--other", help="diff: path of the second (newer) index"
+    )
+    ap.add_argument(
+        "--impact-lam", type=float, default=None,
+        help="prune: Carmel impact threshold (keep contrib >= lam * term max)",
     )
     ap.add_argument(
         "--at-shard", type=int, default=None,
@@ -195,14 +205,20 @@ def main() -> None:
                 else updates.count(),
             }
         elif args.action == "prune":
-            from tsidx.prune import prune_terms
+            if args.impact_lam is not None:
+                from tsidx.prune import prune_by_impact
+                from tsidx.query import QueryEngine
 
-            idx = prune_terms(
-                idx,
-                max_df=args.max_df,
-                max_df_ratio=args.max_df_ratio,
-                terms=args.stopwords,
-            )
+                idx = prune_by_impact(QueryEngine(idx), lam=args.impact_lam)
+            else:
+                from tsidx.prune import prune_terms
+
+                idx = prune_terms(
+                    idx,
+                    max_df=args.max_df,
+                    max_df_ratio=args.max_df_ratio,
+                    terms=args.stopwords,
+                )
             # count before the swap: idx reads lazily from the old files
             n_terms = int(idx.terms.count())
             _swap_rewrite(idx, args.index)
