@@ -111,3 +111,29 @@ def test_unknown_strategy_rejected(docs):
 
     with _pytest.raises(ValueError):
         repeated_spans(docs, n=3, strategy="nope")
+
+
+def test_chain_expr_matches_per_step_pmod(spark):
+    """The deferred-modulo element_at chain is congruent to the per-step
+    pmod fold for every n (including past the 6-step deferral boundary)
+    and for both multipliers."""
+    import random
+
+    from tsidx.spans import _P31, _chain_expr
+
+    rng = random.Random(7)
+    toks = [rng.randrange(_P31) for _ in range(40)]
+    df = spark.createDataFrame([(toks,)], "_th1 array<bigint>")
+    for n in (1, 2, 5, 6, 7, 12, 13, 20):
+        for mult in (31, 37):
+            got = df.selectExpr(
+                f"transform(sequence(1, {len(toks) - n + 1}),"
+                f" i -> {_chain_expr('_th1', n, mult)}) AS h"
+            ).collect()[0]["h"]
+            want = []
+            for i in range(len(toks) - n + 1):
+                acc = 0
+                for j in range(n):
+                    acc = (acc * mult + toks[i + j]) % _P31
+                want.append(acc)
+            assert got == want, (n, mult)
