@@ -71,6 +71,7 @@ def main() -> None:
         choices=[
             "tfidf", "pack", "pairs", "context", "quality", "sample", "redact",
             "bpe", "pplbuckets", "dsir", "mixture", "split", "render",
+            "keywords",
         ],
     )
     ap.add_argument("--index", required=True)
@@ -98,6 +99,9 @@ def main() -> None:
         help="sample: uniform keep probability over the corpus",
     )
     ap.add_argument("--seed", type=int, default=0, help="sample/dsir/mixture")
+    ap.add_argument(
+        "--top-m", type=int, default=5, help="keywords: terms per doc"
+    )
     ap.add_argument("--merges", type=int, default=64, help="bpe")
     ap.add_argument("--buckets", type=int, default=3, help="pplbuckets")
     ap.add_argument(
@@ -134,6 +138,12 @@ def main() -> None:
         from tsidx.vectors import tfidf_rows
 
         out_df = tfidf_rows(eng, normalized=args.normalized)
+    elif args.action == "keywords":
+        from tsidx.vectors import top_terms_per_doc
+
+        out_df = top_terms_per_doc(
+            eng, m=args.top_m, normalized=args.normalized
+        )
     elif args.action == "pack":
         from tsidx.pack import pack_shards
 
