@@ -207,6 +207,14 @@ def main():
     )
     p50("percolate3", lambda: percolate(eng, reg).count())
 
+    # Carmel impact pruning: full decode -> broadcast idf join -> per-term
+    # partial-agg max threshold -> per-block Arrow re-encode
+    from tsidx.prune import prune_by_impact
+
+    t0 = time.time()
+    prune_by_impact(eng, lam=0.5).postings.agg(F.sum("block_df")).collect()
+    timings["impact_prune"] = time.time() - t0
+
     from tsidx.cooccur import cooccurrence_pmi
 
     n_docs = int(idx.meta["n_docs"])
@@ -314,6 +322,17 @@ def main():
     t0 = time.time()
     conversation_fingerprint(transcripts).count()
     timings["conv_fingerprint"] = time.time() - t0
+
+    # chat-template SFT rendering: one bounded (conv_id) shuffle; sum of
+    # rendered lengths forces the string assembly (a bare count would let
+    # Catalyst prune the rendered column away)
+    from tsidx.dialog import render_conversations
+
+    t0 = time.time()
+    render_conversations(transcripts).agg(
+        F.sum(F.length("rendered"))
+    ).collect()
+    timings["render_convs"] = time.time() - t0
 
     # BPE vocabulary induction: one corpus-scale word-count agg, then 10
     # dictionary-bounded merge rounds
