@@ -59,3 +59,58 @@ def test_analyzer_composes_with_build(spark):
     idx = build_index(analyze(docs), block_size=16)
     dfs = {r["term"]: r["df"] for r in idx.terms.collect()}
     assert dfs == {"merg": 2, "the": 2, "tabl": 2}
+
+
+def test_fold_text_byte_parity_with_fold_expr(spark):
+    """The driver-side query folder and the Column expression produce
+    identical bytes on every accent-table char and assorted punctuation,
+    for every stage combination."""
+    from itertools import product
+
+    from tsidx.analyze import ACCENT_SRC, fold_text
+
+    samples = [
+        "Héllo, WÖRLD!",
+        ACCENT_SRC,
+        ACCENT_SRC.upper(),
+        "a-b_c.d'e\"f(g)h[i]j{k}l<m>n;o:p!q?r/s\\t|u",
+        "tabs\tand\nnewlines stay",
+        "mixed ÀçĐénts & symbols #123",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, text string"
+    )
+    for lower, acc, punct in product([True, False], repeat=3):
+        got = {
+            r["i"]: r["text"]
+            for r in analyze(
+                df, lower=lower, fold_accents=acc, strip_punct=punct
+            ).collect()
+        }
+        for i, s in enumerate(samples):
+            assert got[i] == fold_text(
+                s, lower=lower, fold_accents=acc, strip_punct=punct
+            ), (lower, acc, punct, s)
+
+
+def test_analyzed_index_query_roundtrip(spark):
+    """End-to-end: index analyzed docs, fold the user's accented query,
+    match and rank."""
+    from tsidx.analyze import fold_text
+    from tsidx.build import build_index
+    from tsidx.query import QueryEngine
+
+    rows = [
+        ("c0", 0, "user", "Crème brûlée recipe!", None),
+        ("c0", 1, "agent", "naïve merge strategy", None),
+    ]
+    docs = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    idx = build_index(analyze(docs), block_size=16)
+    eng = QueryEngine(idx)
+    hits = [r["doc_id"] for r in eng.match(fold_text("CRÈME brülée?")).collect()]
+    assert hits == [0]
+    hits2 = [r["doc_id"] for r in eng.match(fold_text("naive")).collect()]
+    assert hits2 == [1]

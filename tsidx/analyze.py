@@ -33,6 +33,7 @@ __all__ = [
     "ACCENT_DST",
     "DEFAULT_PUNCT_CLASS",
     "fold_expr",
+    "fold_text",
     "analyze",
 ]
 
@@ -113,3 +114,36 @@ def analyze(docs: DataFrame, text_col: str = "text", **opts) -> DataFrame:
     making.
     """
     return docs.withColumn(text_col, fold_expr(text_col, **opts))
+
+
+def fold_text(
+    s: str,
+    *,
+    lower: bool = True,
+    fold_accents: bool = True,
+    strip_punct: bool = True,
+    punct_class: str = DEFAULT_PUNCT_CLASS,
+    extra_src: str = "",
+    extra_dst: str = "",
+) -> str:
+    """Driver-side twin of :func:`fold_expr` for QUERY strings.
+
+    An index built over analyzed text must see analyzed queries too —
+    stemming lowercases on its own (the reference stemmer does), but
+    accents and punctuation are folded only here. Byte-parity with the
+    Column expression is asserted in tests/test_analyze.py; the regex
+    uses ``re.ASCII`` so ``\\w``/``\\s`` mean the same ASCII classes as
+    Java regex / RE2 (Python's default unicode ``\\w`` would silently
+    keep accented letters the Spark side strips).
+    """
+    import re
+
+    if lower:
+        s = s.lower()
+    if fold_accents:
+        s = s.translate(
+            str.maketrans(ACCENT_SRC + extra_src, ACCENT_DST + extra_dst)
+        )
+    if strip_punct:
+        s = re.sub(punct_class, " ", s, flags=re.ASCII)
+    return s
