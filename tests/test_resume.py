@@ -152,3 +152,12 @@ def test_read_index_at_rejects_bad_prefix(spark, sonnets_transcripts, tmp_path):
     os.remove(os.path.join(path, "manifest", "shard-0.json"))
     with pytest.raises(ValueError, match="uncommitted"):
         read_index_at(spark, path, through_shard=1)
+
+
+def test_read_index_at_rejects_oneshot_layout(spark, sonnets_transcripts, tmp_path):
+    from tsidx.resume import read_index_at
+
+    path = str(tmp_path / "oneshot")
+    build_index(sonnets_transcripts, block_size=16).write(path)
+    with pytest.raises(ValueError, match="not a resumable-layout"):
+        read_index_at(spark, path, 0)

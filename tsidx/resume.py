@@ -303,7 +303,13 @@ def read_index_at(
     marker (snapshots exist only at committed prefixes: shards commit in
     doc_id order, so a prefix of markers is the only consistent cut).
     """
-    with open(_config_path(path)) as f:
+    cfg_path = _config_path(path)
+    if not os.path.exists(cfg_path):
+        raise ValueError(
+            f"{path} is not a resumable-layout index (no config.json): "
+            "snapshots exist only for build_index_resumable outputs"
+        )
+    with open(cfg_path) as f:
         cfg = json.load(f)
     if not 0 <= through_shard < cfg["n_shards"]:
         raise ValueError(
