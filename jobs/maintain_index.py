@@ -145,6 +145,21 @@ def main() -> None:
 
             rows = fsck_index(idx).collect()
             checks = {r["check"]: int(r["n_bad"]) for r in rows}
+            pos_dir = os.path.join(args.index, "positional")
+            if os.path.isdir(pos_dir):
+                from tsidx.fsck import fsck_positional
+                from tsidx.positions import read_positional
+
+                checks.update(
+                    {
+                        r["check"]: int(r["n_bad"])
+                        for r in fsck_positional(
+                            read_positional(spark, pos_dir),
+                            int(idx.meta["block_size"]),
+                            terms=idx.terms,
+                        ).collect()
+                    }
+                )
             out = {
                 "job": "fsck",
                 "checks": checks,

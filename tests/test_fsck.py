@@ -86,3 +86,50 @@ def test_corrupt_varbyte_stream_caught(corpus):
     )
     got = _result(dataclasses.replace(idx, postings=bad_postings))
     assert got["block_decode"] > 0
+
+
+def test_fsck_positional_healthy_and_corrupted(spark, sonnets_transcripts):
+    """All-zeros on a fresh positional artifact; corrupted streams and a
+    df mismatch are detected."""
+    from tsidx.build import build_index
+    from tsidx.fsck import fsck_positional
+    from tsidx.positions import positional_postings
+
+    idx = build_index(sonnets_transcripts, block_size=64)
+    pos = positional_postings(idx.docs, block_size=64).persist()
+    checks = {
+        r["check"]: r["n_bad"]
+        for r in fsck_positional(pos, 64, terms=idx.terms).collect()
+    }
+    assert checks == {
+        "pos_block_decode": 0,
+        "pos_term_block_unique": 0,
+        "pos_term_df": 0,
+    }
+    # corrupt: truncate one row's pos_gaps stream (frame mismatch)
+    import pyspark.sql.functions as F
+
+    corrupted = pos.withColumn(
+        "pos_gaps",
+        F.when(
+            F.col("term") == "love", F.expr("substring(pos_gaps, 1, 1)")
+        ).otherwise(F.col("pos_gaps")),
+    )
+    bad = {
+        r["check"]: r["n_bad"]
+        for r in fsck_positional(corrupted, 64).collect()
+    }
+    assert bad["pos_block_decode"] > 0
+    # df mismatch against a doctored dictionary
+    doctored = idx.terms.withColumn(
+        "df",
+        F.when(F.col("term") == "sonnet", F.col("df") + 1).otherwise(
+            F.col("df")
+        ),
+    )
+    md = {
+        r["check"]: r["n_bad"]
+        for r in fsck_positional(pos, 64, terms=doctored).collect()
+    }
+    assert md["pos_term_df"] == 1
+    pos.unpersist()

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from tsidx.index import InvertedIndex
 
-__all__ = ["fsck_index"]
+__all__ = ["fsck_index", "fsck_positional"]
 
 
 def _decode_check(batches):
@@ -161,4 +161,105 @@ def fsck_index(index: InvertedIndex) -> DataFrame:
         mdocs = index.manifest.agg(F.sum("doc_count")).collect()[0][0] or 0
         checks.append(("manifest_counts", 0 if int(mdocs) == n_docs else 1))
 
+    return spark.createDataFrame(checks, "check string, n_bad long")
+
+
+def _make_pos_decode_check(block_size: int):
+    """mapInPandas factory: positional-block invariant violations per row."""
+
+    def check(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tsidx.compress import varbyte_decode
+
+        for pdf in batches:
+            bad = 0
+            for r in pdf.itertuples(index=False):
+                try:
+                    g = varbyte_decode(bytes(r.doc_gaps)).astype(np.int64)
+                    c = varbyte_decode(bytes(r.counts)).astype(np.int64)
+                    p = varbyte_decode(bytes(r.pos_gaps)).astype(np.int64)
+                except Exception:
+                    bad += 1
+                    continue
+                ok = (
+                    len(g) == r.block_df
+                    and len(c) == r.block_df
+                    and len(g) > 0
+                    and (len(g) == 1 or g[1:].min() >= 1)  # docs strictly inc
+                    and c.min() >= 1
+                    and int(c.sum()) == len(p)
+                )
+                if ok:
+                    docs = np.cumsum(g)
+                    ok = bool(((docs // block_size) == r.block_id).all())
+                if ok and len(p):
+                    # positions strictly increase within each posting:
+                    # non-start gaps >= 1, absolute starts >= 0
+                    starts = np.zeros(len(c), dtype=np.int64)
+                    starts[1:] = np.cumsum(c)[:-1]
+                    nonstart = np.ones(len(p), dtype=bool)
+                    nonstart[starts] = False
+                    ok = bool((p[nonstart] >= 1).all() and (p[starts] >= 0).all())
+                if not ok:
+                    bad += 1
+            yield pd.DataFrame({"n_bad": [bad]})
+
+    return check
+
+
+def fsck_positional(
+    positional: DataFrame,
+    block_size: int,
+    terms: DataFrame | None = None,
+) -> DataFrame:
+    """Integrity checks for the positional artifact
+    (tsidx/positions.py::POSITIONS_SCHEMA); returns ``(check, n_bad)``
+    rows, all zeros when healthy — the phrase/proximity-side counterpart
+    of :func:`fsck_index`.
+
+    Distributed shape: every decode-level invariant (varbyte round-trip,
+    stream-length framing, strictly-increasing docIDs and in-posting
+    positions, block-range membership) runs in ONE Arrow pass over the
+    blocks; the optional dictionary cross-check (per-term positional df ==
+    core df — valid while the core index is unpruned, since the positional
+    artifact is deliberately term-complete) is a vocabulary-sized join.
+    """
+    from tsidx.ship import ensure_shipped
+
+    ensure_shipped(positional.sparkSession)
+    checks: list[tuple[str, int]] = []
+    decode_bad = (
+        positional.select(
+            "block_id", "block_df", "doc_gaps", "counts", "pos_gaps"
+        )
+        .mapInPandas(_make_pos_decode_check(block_size), schema="n_bad long")
+        .agg(F.sum("n_bad"))
+        .collect()[0][0]
+        or 0
+    )
+    checks.append(("pos_block_decode", int(decode_bad)))
+    dup_bad = (
+        positional.groupBy("term", "block_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    checks.append(("pos_term_block_unique", int(dup_bad)))
+    if terms is not None:
+        per_term = positional.groupBy("term").agg(
+            F.sum("block_df").alias("df_sum")
+        )
+        df_bad = (
+            per_term.join(terms.select("term", "df"), "term", "full_outer")
+            .filter(
+                F.col("df_sum").isNull()
+                | F.col("df").isNull()
+                | (F.col("df_sum") != F.col("df"))
+            )
+            .count()
+        )
+        checks.append(("pos_term_df", int(df_bad)))
+    spark = positional.sparkSession
     return spark.createDataFrame(checks, "check string, n_bad long")
