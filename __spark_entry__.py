@@ -250,6 +250,16 @@ def _q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("term")
 
 
+def _q_match_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-field retrieval: the Q_BM25_K most recent turns matching
+    Q_OR — match predicate from the pushed posting scan, order by
+    (ts desc, doc_id desc) as distributed TakeOrdered
+    (tsidx/query.py::match_latest)."""
+    return get_engine(spark, sf_dir).match_latest(Q_OR, Q_BM25_K).select(
+        F.col("doc_id").cast("long"), "ts"
+    )
+
+
 def _q_match_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_engine(spark, sf_dir).match(Q_OR).select(F.col("doc_id").cast("long"))
 
@@ -2436,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": _q_index_stats,
         "term_df": _q_term_df,
         "match_or": _q_match_or,
+        "match_latest": _q_match_latest,
         "match_and": _q_match_and,
         "match_min_should": _q_match_min_should,
         "bm25_explain": _q_bm25_explain,
@@ -3424,6 +3435,14 @@ SELECT doc_id AS media_id,
 FROM documents""",
         "lsh_dedup_recall": """
 SELECT true AS recall_ok""",
+        "match_latest": f"""
+WITH {terms_cte},
+m AS (
+  SELECT DISTINCT doc_id FROM trm WHERE term IN ({_terms_in(Q_OR)})
+)
+SELECT doc_id,
+       TIMESTAMP '2026-01-01 00:00:00+00' + doc_id * INTERVAL 1 MINUTE AS ts
+FROM m ORDER BY doc_id DESC LIMIT {Q_BM25_K}""",
         "match_or": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm WHERE term IN ({_terms_in(Q_OR)})""",

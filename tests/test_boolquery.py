@@ -171,3 +171,32 @@ def test_bm25_topk_where(engine, built):
         key=lambda x: (-x[1], x[0]),
     )[:10]
     assert [(r["doc_id"], r["score"]) for r in got] == exp
+
+
+def test_match_latest_orders_by_ts(spark, sonnets_transcripts):
+    """match_latest returns the highest-ts matching turns, newest first."""
+    from pyspark.sql import functions as F
+
+    from tsidx.build import build_index
+    from tsidx.query import QueryEngine
+
+    with_ts = sonnets_transcripts.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(mins=F.col("turn_idx")),
+    )
+    eng = QueryEngine(build_index(with_ts, block_size=64))
+    got = [
+        (r["doc_id"], r["ts"]) for r in eng.match_latest("fire heat", 3).collect()
+    ]
+    matches = {r["doc_id"] for r in eng.match("fire heat").collect()}
+    ts_of = {
+        r["doc_id"]: r["ts"]
+        for r in eng.index.docs.select("doc_id", "ts").collect()
+    }
+    want = sorted(
+        ((d, ts_of[d]) for d in matches),
+        key=lambda x: (x[1], x[0]),
+        reverse=True,
+    )[:3]
+    assert got == want and len(got) == 3

@@ -546,6 +546,28 @@ class QueryEngine:
             .limit(k)
         )
 
+    def match_latest(
+        self, query: str | list[str], k: int, ts_col: str = "ts"
+    ) -> DataFrame:
+        """The k MOST RECENT matching turns: sort-by-field retrieval
+        (the log-search view — "newest mentions of X"), relevance used
+        only as the match predicate, ``(ts desc, doc_id desc)`` as the
+        deterministic order.
+
+        Plan: the disjunctive match set (pushed term-IN posting scan)
+        semi-joins the docs table projected to (doc_id, ts) — text
+        pruned — and the sort executes as distributed TakeOrdered, never
+        a global sort.
+        """
+        meta = self.index.docs.select("doc_id", F.col(ts_col).alias("_ts"))
+        return (
+            self.match(query)
+            .join(meta, "doc_id")
+            .orderBy(F.desc("_ts"), F.desc("doc_id"))
+            .limit(k)
+            .select("doc_id", F.col("_ts").alias(ts_col))
+        )
+
     def more_like_this(self, doc_id: int, k: int, m: int = 10) -> DataFrame:
         """Top-k docs most similar to *doc_id*: BM25 over the source doc's
         top-*m* tf·idf stems, the source itself excluded.
