@@ -112,11 +112,16 @@ def main() -> None:
     t0 = time.time()
 
     if args.action == "snapshot":
-        from tsidx.resume import read_index_at
-
         if args.at_shard is None:
             raise SystemExit("snapshot requires --at-shard K")
-        snap = read_index_at(spark, args.index, args.at_shard)
+        if os.path.exists(os.path.join(args.index, "stream_state.json")):
+            from tsidx.streaming import read_stream_index_at
+
+            snap = read_stream_index_at(spark, args.index, args.at_shard)
+        else:
+            from tsidx.resume import read_index_at
+
+            snap = read_index_at(spark, args.index, args.at_shard)
         stats = snap.statistics()
         out = {
             "job": "snapshot",

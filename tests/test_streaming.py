@@ -258,3 +258,51 @@ def test_dedup_stream_watermarked(spark, halves, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == len(set(first))
+
+
+def test_read_stream_index_at_snapshot(spark, sonnets_transcripts, tmp_path):
+    """The streaming index read at batch K equals a directory where only
+    batches 0..K were ever appended — postings, dictionary, BM25 stats —
+    and pre-compaction snapshots are rejected after compaction."""
+    from pyspark.sql import functions as F
+
+    from tsidx.streaming import (
+        append_batch,
+        compact_stream_index,
+        read_stream_index_at,
+    )
+
+    full = str(tmp_path / "full")
+    trunc = str(tmp_path / "trunc")
+    thirds = [
+        sonnets_transcripts.filter(
+            (F.substring("conv_id", 8, 3).cast("int") % 3) == i
+        )
+        for i in range(3)
+    ]
+    for b, part in enumerate(thirds):
+        append_batch(part, full, b, block_size=64)
+        if b < 2:
+            append_batch(part, trunc, b, block_size=64)
+
+    snap = read_stream_index_at(spark, full, 1)
+    from tsidx.streaming import read_stream_index
+
+    want = read_stream_index(spark, trunc)
+    assert snap.meta["n_docs"] == want.meta["n_docs"]
+    assert snap.meta["avgdl"] == pytest.approx(want.meta["avgdl"])
+    t1 = sorted((r["term"], r["df"]) for r in snap.terms.collect())
+    t2 = sorted((r["term"], r["df"]) for r in want.terms.collect())
+    assert t1 == t2
+    p1 = sorted(
+        (r["term"], r["block_id"], r["block_df"]) for r in snap.postings.collect()
+    )
+    p2 = sorted(
+        (r["term"], r["block_id"], r["block_df"]) for r in want.postings.collect()
+    )
+    assert p1 == p2
+    with pytest.raises(ValueError, match="uncommitted"):
+        read_stream_index_at(spark, full, 5)
+    compact_stream_index(spark, full)
+    with pytest.raises(ValueError, match="predates compaction"):
+        read_stream_index_at(spark, full, 1)

@@ -50,6 +50,7 @@ __all__ = [
     "append_batch",
     "stream_build",
     "read_stream_index",
+    "read_stream_index_at",
     "compact_stream_index",
     "dedup_stream",
 ]
@@ -376,4 +377,76 @@ def read_stream_index(spark, path: str) -> InvertedIndex:
         meta=meta,
         manifest=spark.createDataFrame(rows) if rows else None,
         pinned=pinned,
+    )
+
+
+def read_stream_index_at(spark, path: str, through_batch: int) -> InvertedIndex:
+    """Time-travel read of a streaming-built index: the state exactly as
+    of micro-batch *through_batch*'s commit marker — the streaming twin
+    of :func:`tsidx.resume.read_index_at`.
+
+    Shard partitioning doubles as the snapshot axis: docs and postings
+    are partition-pruned to ``shard <= through_batch`` (scan-level, via
+    the ``shard=K`` layout), the dictionary is re-aggregated over the
+    surviving postings, and BM25 stats are summed from the committed
+    per-batch lineage rows. Batches commit in order, so a snapshot is
+    the strict prefix of manifest markers; a missing marker in the
+    prefix is rejected, and so is any snapshot older than a compaction
+    point (compaction rewrites the prefix into one shard — earlier
+    states no longer exist on disk).
+    """
+    from tsidx.resume import read_manifest as _read_manifest
+
+    rows = _read_manifest(path)
+    if not rows:
+        raise ValueError(f"no committed shards under {path}")
+    for r in rows:
+        covered = str(r.get("compacted_from") or "")
+        if covered and any(
+            int(s) > through_batch for s in covered.split(",")
+        ):
+            raise ValueError(
+                f"snapshot at batch {through_batch} predates compaction "
+                f"(shard {r['shard_id']} now covers batches {covered})"
+            )
+    sel = [r for r in rows if int(r["shard_id"]) <= through_batch]
+    have = {int(r["shard_id"]) for r in sel}
+    missing = sorted(set(range(through_batch + 1)) - have)
+    if missing:
+        raise ValueError(f"uncommitted batches in snapshot prefix: {missing}")
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    meta.pop("pinned", None)
+    n_docs = sum(int(r["doc_count"]) for r in sel)
+    total_tokens = sum(int(r["token_count"]) for r in sel)
+    meta.update(
+        n_docs=n_docs,
+        total_tokens=total_tokens,
+        avgdl=(total_tokens / n_docs) if n_docs else 0.0,
+    )
+    postings = (
+        read_table(
+            spark, os.path.join(path, "postings"),
+            base_path=os.path.join(path, "postings"),
+        )
+        .filter(F.col("shard") <= through_batch)
+        .drop("shard")
+    )
+    docs = (
+        read_table(
+            spark, os.path.join(path, "docs"),
+            base_path=os.path.join(path, "docs"),
+        )
+        .filter(F.col("shard") <= through_batch)
+        .drop("shard")
+    )
+    terms = postings.groupBy("term").agg(F.sum("block_df").alias("df"))
+    uniform = [{"compacted_from": "", **r} for r in sel]
+    return InvertedIndex(
+        docs=docs,
+        postings=postings,
+        terms=terms,
+        meta=meta,
+        manifest=spark.createDataFrame(uniform),
+        pinned=set(),
     )
