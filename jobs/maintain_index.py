@@ -94,6 +94,11 @@ def main() -> None:
         "--other", help="diff: path of the second (newer) index"
     )
     ap.add_argument(
+        "--where", default=None,
+        help="delete: SQL predicate over the docs table (e.g. "
+        "\"ts < timestamp'2026-01-01'\") — TTL/retention mass deletes",
+    )
+    ap.add_argument(
         "--impact-lam", type=float, default=None,
         help="prune: Carmel impact threshold (keep contrib >= lam * term max)",
     )
@@ -248,9 +253,17 @@ def main() -> None:
                 "pruned_max_df": idx.meta.get("pruned_max_df"),
             }
         elif args.action == "delete":
-            if not args.doc_ids:
-                raise SystemExit("delete requires --doc-ids")
-            idx = delete_docs(idx, args.doc_ids)
+            if args.where:
+                # retention-style mass delete: the matching id set stays a
+                # DataFrame end to end (never a driver list)
+                from pyspark.sql import functions as F
+
+                ids = idx.docs.filter(F.expr(args.where)).select("doc_id")
+                idx = delete_docs(idx, ids)
+            elif args.doc_ids:
+                idx = delete_docs(idx, args.doc_ids)
+            else:
+                raise SystemExit("delete requires --doc-ids or --where")
             n_tomb = idx.tombstones.count()
             _swap_rewrite(idx, args.index)
             out = {"job": "delete", "n_tombstones": int(n_tomb)}
