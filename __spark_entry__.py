@@ -112,8 +112,8 @@ _stem_case_cache: str | None = None
 # RUNS (pandas str.split / Spark split on \s+), so the oracles must too —
 # a single-space string_split would emit empty tokens on consecutive
 # spaces/tabs and silently diverge on any non-single-spaced corpus.
-# (DuckDB string literals don't process backslash escapes, so '\s+' is the
-# two-character regex verbatim.)
+# (DuckDB string literals don't process backslash escapes, so the rendered
+# '\s+' is the two-character regex verbatim.)
 
 
 def _toks_sql(v: str = "text") -> str:
@@ -1305,12 +1305,11 @@ def _q_snapshot_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         path = tempfile.mkdtemp(prefix="tsidx_snap_q_")
         transcripts = documents_as_transcripts(spark, sf_dir)
-        assert (
-            build_index_resumable(
-                transcripts, path, block_size=128, shard_size=SNAP_SHARD_SIZE
-            )
-            is not None
+        built = build_index_resumable(
+            transcripts, path, block_size=128, shard_size=SNAP_SHARD_SIZE
         )
+        if built is None:
+            raise RuntimeError("resumable index build produced no index")
         _STREAM_CACHE[key] = path
     snap = read_index_at(spark, path, through_shard=0)
     return snap.terms.select("term", F.col("df").cast("long").alias("df"))
@@ -2804,7 +2803,7 @@ def _minhash_sql() -> str:
     )
     return f"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
 ),
 sh AS (
   SELECT doc_id,
@@ -2822,7 +2821,7 @@ SELECT doc_id, {mh_cols} FROM hx GROUP BY doc_id"""
 def _simhash_sql() -> str:
     return f"""
 WITH t AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS s FROM documents
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS s FROM documents
 ),
 tf AS (
   SELECT doc_id, s, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, s
@@ -2855,7 +2854,7 @@ def _lang_id_sql() -> str:
     )
     return f"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
 ),
 h AS (
   SELECT doc_id,
@@ -3848,7 +3847,7 @@ SELECT min(doc_id)::BIGINT AS keep_doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY text""",
         "text_quality": """
 WITH t AS (
-  SELECT doc_id, n_chars, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, n_chars, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
 )
 SELECT doc_id,
        len(toks)::BIGINT AS n_tokens,
@@ -3862,7 +3861,7 @@ SELECT lang, count(*)::BIGINT AS n_docs,
 FROM documents GROUP BY lang""",
         "ngram_jaccard_pairs": f"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
 ),
 sh AS (
   SELECT doc_id,
@@ -4091,7 +4090,7 @@ SELECT doc_id,
        list_reduce(
          list_prepend(0::BIGINT,
            [({_H64.format(v='t')} % {_P31})
-            for t in regexp_split_to_array(trim(text), '\s+')]),
+            for t in regexp_split_to_array(trim(text), '\\s+')]),
          (acc, x) -> (acc * 31 + x) % {_P31}
        )::BIGINT AS fp
 FROM documents""",
@@ -4111,7 +4110,7 @@ WHERE list_dot_product(a.v, b.v) /
 SELECT doc_id,
        array_to_string(
          list_transform(
-           regexp_split_to_array(trim(text), '\s+'),
+           regexp_split_to_array(trim(text), '\\s+'),
            tok -> CASE WHEN ({_stem_case_sql()}) IN ({hl_stems})
                        THEN '[bold green]' || tok || '[/bold green]'
                        ELSE tok END),
@@ -4120,12 +4119,12 @@ FROM documents WHERE doc_id < 50""",
         "lang_id": _lang_id_sql(),
         "token_counts": f"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_ws_tokens,
+       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
        len(regexp_extract_all(text, '{BPE_PIECE_RE}'))::BIGINT AS n_bpe_pieces
 FROM documents""",
         "quality_signals": f"""
 WITH t AS (
-  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
 )
 SELECT doc_id,
        len(toks)::BIGINT AS n_tokens,
@@ -4170,7 +4169,7 @@ SELECT c.doc_id, c.term, c.tf::BIGINT AS tf, c.dl::BIGINT AS dl,
 FROM c JOIN topk USING (doc_id)""",
         "quality_filter": f"""
 WITH t AS (
-  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
   FROM documents
 ),
 m AS (
@@ -4216,7 +4215,7 @@ WITH turns AS (
          (CASE WHEN trim(text) = '' THEN 0
                ELSE list_reduce(list_prepend(0::BIGINT,
                  [({_H64.format(v='t')} % {_P31})
-                  for t in regexp_split_to_array(trim(text), '\s+')]),
+                  for t in regexp_split_to_array(trim(text), '\\s+')]),
                  (acc, x) -> (acc * 31 + x) % {_P31}) END)::BIGINT AS h_turn
   FROM documents
 ),
@@ -4346,7 +4345,7 @@ FROM dcg CROSS JOIN idcg CROSS JOIN mrr""",
 SELECT {MMR_K}::BIGINT AS k, true AS lam1_equals_topk""",
         "decontam_overlap": f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
 grams AS (
   SELECT doc_id, array_to_string(t[i:i+{DECON_N - 1}], ' ') AS g
@@ -4367,7 +4366,7 @@ LEFT JOIN bench b ON dg.g = b.g
 GROUP BY d.doc_id""",
         "decontaminate": f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
 grams AS (
   SELECT doc_id, array_to_string(t[i:i+{DECON_N - 1}], ' ') AS g
@@ -4397,7 +4396,7 @@ FROM documents d LEFT JOIN (
 ) n ON d.doc_id = n.doc_id""",
         "repeated_spans": f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
 grams AS (
   SELECT doc_id, i AS pos, array_to_string(t[i:i+{SPAN_N - 1}], ' ') AS g
@@ -4420,7 +4419,7 @@ SELECT doc_id,
 FROM grp GROUP BY doc_id, grp""",
         "strip_spans": f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
 grams AS (
   SELECT doc_id, i AS pos, array_to_string(t[i:i+{SPAN_N - 1}], ' ') AS g

@@ -160,13 +160,20 @@ def main() -> None:
                 from tsidx.fsck import fsck_positional
                 from tsidx.positions import read_positional
 
+                # The positional artifact stays term-complete (rebuilt
+                # from docs), so the per-term df cross-check only holds
+                # while the core dictionary is term-complete too — skip
+                # it when terms were pruned out of the dictionary.
+                term_pruned = any(
+                    k in idx.meta for k in ("pruned_max_df", "pruned_terms_n")
+                )
                 checks.update(
                     {
                         r["check"]: int(r["n_bad"])
                         for r in fsck_positional(
                             read_positional(spark, pos_dir),
                             int(idx.meta["block_size"]),
-                            terms=idx.terms,
+                            terms=None if term_pruned else idx.terms,
                         ).collect()
                     }
                 )

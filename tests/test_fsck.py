@@ -133,3 +133,31 @@ def test_fsck_positional_healthy_and_corrupted(spark, sonnets_transcripts):
     }
     assert md["pos_term_df"] == 1
     pos.unpersist()
+
+
+def test_cli_impact_prune_then_fsck_exits_zero(spark, sonnets_transcripts, tmp_path):
+    """The exact regression: `prune --impact-lam` followed by `fsck` must
+    report the (deliberately df/total_tokens-as-built) pruned index as
+    healthy, not corrupt with exit 2 — the marker written by
+    prune_by_impact drives fsck's relaxed checks through the CLI too."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = str(tmp_path / "idx")
+    idx = build_index(sonnets_transcripts, block_size=64, num_partitions=4)
+    idx.write(path)
+    env = {**os.environ, "TSIDX_DRIVER_MEM": "4g"}
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "maintain_index.py"),
+             *args, "--index", path, "--parallelism", "2"],
+            capture_output=True, text=True, cwd=repo, env=env, timeout=600,
+        )
+
+    r1 = run("prune", "--impact-lam", "0.6")
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    r2 = run("fsck")
+    assert r2.returncode == 0, r2.stdout + r2.stderr

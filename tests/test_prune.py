@@ -172,3 +172,78 @@ def test_prune_by_impact_scores_and_recall(built, oracle):
         from tsidx.prune import impact_kept_rows
 
         impact_kept_rows(eng, 0.0)
+
+
+def test_fsck_green_after_impact_prune(built):
+    """Impact pruning keeps dictionary df / total_tokens as-built by
+    design; fsck must read the pruned_impact_lam marker and report the
+    pruned index healthy instead of flagging every pruned term."""
+    from tsidx.fsck import fsck_index
+    from tsidx.prune import prune_by_impact
+
+    pruned = prune_by_impact(QueryEngine(built), lam=0.5)
+    assert pruned.meta["pruned_impact_lam"] == 0.5
+    checks = {r["check"]: r["n_bad"] for r in fsck_index(pruned).collect()}
+    assert all(v == 0 for v in checks.values()), checks
+    # ...and real damage is still caught under the relaxed rule: a df_sum
+    # above the as-built df can only mean corruption
+    import pyspark.sql.functions as F
+    from dataclasses import replace
+
+    corrupt = replace(
+        pruned,
+        terms=pruned.terms.withColumn(
+            "df", F.when(F.col("term") == "the", F.lit(1)).otherwise(F.col("df"))
+        ),
+    )
+    checks = {r["check"]: r["n_bad"] for r in fsck_index(corrupt).collect()}
+    assert checks["term_df"] >= 1
+
+
+def test_fsck_green_after_term_prune(built):
+    from tsidx.fsck import fsck_index
+    from tsidx.prune import prune_terms
+
+    pruned = prune_terms(built, max_df=100, terms=["love"])
+    assert pruned.meta["pruned_terms_n"] == 1
+    checks = {r["check"]: r["n_bad"] for r in fsck_index(pruned).collect()}
+    assert all(v == 0 for v in checks.values()), checks
+
+
+def test_impact_prune_no_dictionary_broadcast(spark, built):
+    """The dictionary join in impact_kept_rows must not carry a broadcast
+    hint: with auto-broadcast disabled the plan has to contain zero
+    BroadcastExchange nodes (at 10^8-term vocabularies a forced broadcast
+    is an OOM hazard; AQE picks BHJ itself while the dictionary is small)."""
+    import contextlib
+    import io
+
+    from tsidx.prune import impact_kept_rows
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = impact_kept_rows(QueryEngine(built), lam=0.5)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the dictionary side is the subtree projecting _idf: no
+    # BroadcastExchange detail block may carry it (the only broadcast
+    # left in the lineage is the size-gated docids offsets table, which
+    # is bounded by construction)
+    import re
+
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        if block.startswith("(") and "BroadcastExchange" in block.splitlines()[0]:
+            assert "_idf" not in block, block
+    assert "SortMergeJoin" in plan, plan
+    # same rows either way: join strategy must not change results
+    got = {(r["term"], r["doc_id"]) for r in df.collect()}
+    want = {
+        (r["term"], r["doc_id"])
+        for r in impact_kept_rows(QueryEngine(built), lam=0.5).collect()
+    }
+    assert got == want

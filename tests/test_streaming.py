@@ -306,3 +306,22 @@ def test_read_stream_index_at_snapshot(spark, sonnets_transcripts, tmp_path):
     compact_stream_index(spark, full)
     with pytest.raises(ValueError, match="predates compaction"):
         read_stream_index_at(spark, full, 1)
+    # at/after the compaction point the snapshot is valid: shard 0 now
+    # covers batches 0..2, so the on-disk state is complete and equals
+    # the full index read
+    whole = read_stream_index(spark, full)
+    snap2 = read_stream_index_at(spark, full, 2)
+    assert snap2.meta["n_docs"] == whole.meta["n_docs"]
+    s1 = sorted((r["term"], r["df"]) for r in snap2.terms.collect())
+    s2 = sorted((r["term"], r["df"]) for r in whole.terms.collect())
+    assert s1 == s2
+    # ingest past the compaction point: a snapshot at the compaction
+    # point excludes the new batch, a snapshot at it includes it
+    append_batch(thirds[0], full, 3, block_size=64)
+    snap_pre = read_stream_index_at(spark, full, 2)
+    assert snap_pre.meta["n_docs"] == whole.meta["n_docs"]
+    snap_post = read_stream_index_at(spark, full, 3)
+    assert (
+        snap_post.meta["n_docs"]
+        == whole.meta["n_docs"] + thirds[0].count()  # one doc per turn
+    )

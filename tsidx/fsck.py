@@ -14,13 +14,19 @@ Checks (one output row each, ``(check, n_bad)``):
                           bounded per-block work, nothing on the driver).
 - ``term_df``           — per-term sum of block_df equals the terms table's
                           global df (full outer join catches orphans on
-                          either side).
+                          either side); on an impact-pruned index
+                          (``meta.pruned_impact_lam``) the equality relaxes
+                          to df_sum <= df, since impact pruning keeps
+                          dictionary df as-built by design.
 - ``doc_ids_dense``     — docs carry exactly n_docs distinct docIDs
                           covering 0..n_docs-1 (the deterministic dense
                           assignment every query path relies on).
 - ``meta_counts``       — meta.json's n_docs / total_tokens match the
                           tables (total tokens = sum of sum_tf over all
-                          posting blocks).
+                          posting blocks); on a pruned index (any
+                          ``pruned_*`` meta marker) token equality relaxes
+                          to <=, since every pruning mode keeps
+                          total_tokens as-built for BM25 length norms.
 - ``manifest_counts``   — per-shard lineage doc counts sum to n_docs
                           (skipped when the index has no manifest).
 
@@ -116,16 +122,22 @@ def fsck_index(index: InvertedIndex) -> DataFrame:
     decode_bad = decoded.agg(F.sum("n_bad")).collect()[0][0] or 0
     checks.append(("block_decode", int(decode_bad)))
 
+    # Impact pruning (tsidx/prune.py::prune_by_impact) deliberately keeps
+    # the dictionary df as-built while dropping postings, so on an
+    # impact-pruned index the invariant weakens to df_sum <= df (the
+    # per-term top posting always survives, so df_sum stays non-null).
+    impact_pruned = "pruned_impact_lam" in meta
     per_term = index.postings.groupBy("term").agg(
         F.sum("block_df").alias("df_sum")
     )
+    df_cmp = (
+        (F.col("df_sum") > F.col("df"))
+        if impact_pruned
+        else (F.col("df_sum") != F.col("df"))
+    )
     df_bad = (
         per_term.join(index.terms, "term", "full_outer")
-        .filter(
-            F.col("df_sum").isNull()
-            | F.col("df").isNull()
-            | (F.col("df_sum") != F.col("df"))
-        )
+        .filter(F.col("df_sum").isNull() | F.col("df").isNull() | df_cmp)
         .count()
     )
     checks.append(("term_df", df_bad))
@@ -147,14 +159,19 @@ def fsck_index(index: InvertedIndex) -> DataFrame:
     total_tokens = (
         index.postings.agg(F.sum("sum_tf")).collect()[0][0] or 0
     )
-    meta_bad = sum(
-        1
-        for got, want in (
-            (stats["n"], n_docs),
-            (int(total_tokens), int(meta["total_tokens"])),
-        )
-        if got != want
+    # Any pruning mode keeps meta.total_tokens as-built (BM25 length
+    # normalization still counts pruned tokens) while posting tokens
+    # shrink — relax the token equality to <= when a marker is present.
+    pruned = any(
+        k in meta
+        for k in ("pruned_max_df", "pruned_terms_n", "pruned_impact_lam")
     )
+    tokens_ok = (
+        int(total_tokens) <= int(meta["total_tokens"])
+        if pruned
+        else int(total_tokens) == int(meta["total_tokens"])
+    )
+    meta_bad = (0 if stats["n"] == n_docs else 1) + (0 if tokens_ok else 1)
     checks.append(("meta_counts", meta_bad))
 
     if index.manifest is not None:

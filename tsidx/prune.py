@@ -74,6 +74,10 @@ def prune_terms(
     meta = dict(index.meta)
     if cap is not None:
         meta["pruned_max_df"] = cap
+    if terms:
+        # lineage marker for explicit stopword pruning; also tells fsck
+        # the dictionary is now a strict subset of the positional artifact
+        meta["pruned_terms_n"] = len(set(terms))
     return replace(index, postings=new_postings, terms=new_terms, meta=meta)
 
 
@@ -170,6 +174,17 @@ def impact_kept_rows(engine, lam: float) -> DataFrame:
     partial-aggregable max, never a corpus-length per-term sort/window
     (a df=N stopword would otherwise rank 10^11 postings in one window
     partition).
+
+    Join shape: the dictionary join carries NO broadcast hint — at 10^12
+    turns the stem vocabulary is 10^7–10^8 rows (multi-GB), and a forced
+    broadcast is a driver/executor OOM hazard. AQE picks the broadcast
+    hash join while the dictionary is genuinely small and falls back to a
+    (skew-splittable) sort-merge join past the threshold. The threshold
+    join keys the decoded posting stream on ``term`` — Zipf-skewed by
+    nature — which is exactly the shape AQE's skew-join splitting exists
+    for; the per-term max itself is computed with map-side partial
+    aggregation, so the skewed shuffle moves (term, max) pairs, not the
+    posting stream twice.
     """
     if not 0.0 < lam <= 1.0:
         raise ValueError(f"lam must be in (0, 1], got {lam}")
@@ -193,7 +208,7 @@ def impact_kept_rows(engine, lam: float) -> DataFrame:
     )
     scored = (
         engine._live(engine.posting_rows_all())
-        .join(F.broadcast(dictionary), "term")
+        .join(dictionary, "term")
         .withColumn("_c", contrib)
     )
     thr = scored.groupBy("term").agg(
@@ -232,4 +247,7 @@ def prune_by_impact(engine, lam: float = 0.5) -> InvertedIndex:
     postings = kept.groupBy("block_id").applyInPandas(
         _make_impact_encoder(), schema=POSTINGS_VARBYTE_SCHEMA
     )
-    return replace(index, postings=postings, tombstones=None)
+    # lineage marker: dictionary df / total_tokens stay as-built while
+    # postings shrink — fsck relaxes its equality checks when it sees this
+    meta = {**index.meta, "pruned_impact_lam": float(lam)}
+    return replace(index, postings=postings, meta=meta, tombstones=None)

@@ -411,6 +411,15 @@ def read_stream_index_at(spark, path: str, through_batch: int) -> InvertedIndex:
             )
     sel = [r for r in rows if int(r["shard_id"]) <= through_batch]
     have = {int(r["shard_id"]) for r in sel}
+    # A compacted shard carries every batch it collapsed: expand its
+    # coverage into the committed set, or a snapshot at/after the
+    # compaction point would be rejected for "missing" batches whose
+    # rows now live inside shard 0 (the predates-compaction check above
+    # already rejected snapshots strictly older than the compaction).
+    for r in sel:
+        covered = str(r.get("compacted_from") or "")
+        if covered:
+            have |= {int(s) for s in covered.split(",") if s}
     missing = sorted(set(range(through_batch + 1)) - have)
     if missing:
         raise ValueError(f"uncommitted batches in snapshot prefix: {missing}")
