@@ -342,6 +342,14 @@ def main():
     train_bpe(transcripts, 10)
     timings["bpe_train10"] = time.time() - t0
 
+    # 1000 merges through the size-gated driver fast path (one corpus agg
+    # + in-process incremental-stats loop): the realistic vocabulary-size
+    # workload the per-round distributed loop cannot reach
+    t0 = time.time()
+    merges_1k = train_bpe(transcripts, 1000)
+    timings["bpe_train1000"] = time.time() - t0
+    assert len(merges_1k) == 1000, len(merges_1k)
+
     # jittered event times so conversations actually split into sessions
     jittered = transcripts.withColumn(
         "ts",

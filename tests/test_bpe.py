@@ -95,3 +95,23 @@ def test_bpe_segment_no_merges(spark, docs):
     got = {r["doc_id"]: r["n_pieces"] for r in bpe_segment(docs, []).collect()}
     for i, t in enumerate(TEXTS):
         assert got[i] == sum(len(w) for w in t.split())
+
+
+def test_driver_and_distributed_paths_identical(spark, docs):
+    """The size-gated driver fast path and the per-round distributed loop
+    must learn the exact same merge list (count, order, tie-breaks)."""
+    fast = train_bpe(docs, 12)  # small dict -> driver path
+    slow = train_bpe(docs, 12, driver_dict_max_bytes=0)  # force distributed
+    assert fast == slow
+    assert fast == _ref_bpe(TEXTS, 12)[0]
+
+
+def test_driver_path_matches_reference_on_sonnets(spark, sonnets):
+    """Deeper replay on the 4,034-word golden corpus: 60 merges through
+    the incremental-stats driver loop equal the full-recount reference."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(sonnets)], "doc_id long, text string"
+    )
+    got = train_bpe(df, 60)
+    want, _ = _ref_bpe(sonnets, 60)
+    assert got == want

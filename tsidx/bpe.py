@@ -17,8 +17,13 @@ Scale design — the one that survives 100 TB:
   re-segmentation of the words that contain the pair (only those rows
   are rewritten; the pandas loop runs over dictionary rows, never corpus
   rows).
-- ``n_merges`` rounds = ``n_merges`` bounded jobs; the driver holds one
-  (pair, count) row per round. Nothing data-scale is ever collected.
+- The merge loop itself runs IN-PROCESS on the driver whenever the
+  dictionary's estimated bytes fit a size gate (incremental pair stats +
+  lazy heap — 30k merges in seconds), because ``n_merges`` distributed
+  rounds = ``2·n_merges`` sequential bounded jobs, which is hours of pure
+  scheduler overhead at real vocabulary sizes. The distributed per-round
+  loop remains as the giant-dictionary fallback. Either way nothing
+  CORPUS-scale is ever collected — the gate bounds the driver copy.
 
 The result is deterministic, so it is pytest-verified against an
 independent single-node reference implementation; the iterative loop is
@@ -90,17 +95,132 @@ def _merge_batch_fn(a: str, b: str):
     return fn
 
 
+#: collect the word dictionary to the driver and run the merge loop
+#: in-process while its estimated serialized size fits this bound (same
+#: size-gate pattern as tsidx/docids.py's offsets broadcast). A 30k-merge
+#: vocabulary over the distributed loop means ~60k sequential bounded
+#: Spark jobs — hours of scheduler overhead — while the dictionary itself
+#: is usually a few hundred MB even at web scale.
+DRIVER_DICT_MAX_BYTES = 512 << 20
+
+
+def _train_bpe_driver(
+    vocab: list, n_merges: int, min_pair: int
+) -> list[tuple[str, str, int]]:
+    """In-process merge loop over the collected ``[(syms, n), ...]``
+    dictionary: incremental pair statistics (only words containing the
+    merged pair are touched, as in Sennrich et al.'s reference trainer)
+    plus a lazy max-heap, so 30k merges cost seconds, not 60k Spark jobs.
+
+    Byte-identical to the distributed loop by construction: the same
+    (count desc, pair asc) tie-break, and incremental stat updates that
+    reproduce a full per-round recount (asserted by the path-equality
+    tests in tests/test_bpe.py).
+    """
+    import heapq
+
+    stats: dict = {}
+    indices: dict = {}  # pair -> set of word indexes containing it
+    for wi, (syms, freq) in enumerate(vocab):
+        for pair in zip(syms, syms[1:]):
+            stats[pair] = stats.get(pair, 0) + freq
+            indices.setdefault(pair, set()).add(wi)
+    heap = [(-c, p) for p, c in stats.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(n_merges)):
+        best = None
+        while heap:
+            negc, pair = heapq.heappop(heap)
+            cur = stats.get(pair, 0)
+            if cur == -negc:
+                best, best_cnt = pair, cur
+                break
+            if cur > 0:
+                # stale entry: re-queue at the current count (lazy decrease)
+                heapq.heappush(heap, (-cur, pair))
+        if best is None or best_cnt < min_pair:
+            break
+        a, b = best
+        merges.append((a, b, int(best_cnt)))
+        merged = a + b
+        for wi in sorted(indices.get(best, ())):
+            syms, freq = vocab[wi]
+            if best not in zip(syms, syms[1:]):
+                continue  # stale index entry from an earlier rewrite
+            res = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            changed: dict = {}
+            for p in zip(syms, syms[1:]):
+                changed[p] = changed.get(p, 0) - freq
+            for p in zip(res, res[1:]):
+                changed[p] = changed.get(p, 0) + freq
+            for p, d in changed.items():
+                if d == 0:
+                    continue
+                cur = stats.get(p, 0) + d
+                if cur <= 0:
+                    stats.pop(p, None)
+                else:
+                    stats[p] = cur
+                    if d > 0:
+                        indices.setdefault(p, set()).add(wi)
+                        heapq.heappush(heap, (-cur, p))
+                # decreases stay lazy in the heap; pops self-correct
+            vocab[wi] = (res, freq)
+        stats.pop(best, None)
+        indices.pop(best, None)
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_pair: int = 2,
+    driver_dict_max_bytes: int = DRIVER_DICT_MAX_BYTES,
 ) -> list[tuple[str, str, int]]:
     """Learn *n_merges* BPE merges from the corpus; returns
     ``[(left, right, count), ...]`` in merge order. Stops early when no
     adjacent pair reaches *min_pair* weighted occurrences.
+
+    The corpus-scale work is always the one ``word_counts`` aggregation.
+    The merge loop then runs on the driver when the dictionary's
+    estimated bytes fit *driver_dict_max_bytes* (the common case — and
+    the only practical one for real 30k-merge vocabularies), falling
+    back to the per-round distributed loop for giant dictionaries.
     """
-    words = word_counts(docs, text_col).withColumn("syms", _initial_symbols())
+    wc = word_counts(docs, text_col)
+    est = wc.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.length("word")).alias("chars"),
+    ).collect()[0]
+    # chars dominate (each becomes a ~60-byte Python str symbol); row
+    # overhead covers the tuple + freq + per-word list
+    est_bytes = int(est["chars"] or 0) * 64 + int(est["rows"] or 0) * 120
+    if est_bytes <= driver_dict_max_bytes:
+        rows = wc.collect()
+        vocab = []
+        for r in rows:
+            w = r["word"]
+            syms = list(w)
+            syms[-1] = syms[-1] + _EOW
+            vocab.append((syms, int(r["n"])))
+        # deterministic input order (collect order is partition-dependent);
+        # the algorithm itself is order-independent, but sorted input makes
+        # failures reproducible
+        vocab.sort(key=lambda t: t[0])
+        return _train_bpe_driver(vocab, n_merges, min_pair)
+
+    words = wc.withColumn("syms", _initial_symbols())
     # the dictionary is the working set for every round: materialize it
     # once so no round recomputes the corpus-scale aggregation
     words = words.select("n", "syms").persist()
