@@ -133,3 +133,41 @@ def test_percolate_docs_streaming(spark, tmp_path):
     got = {tuple(r) for r in
            spark.read.parquet(out_dir).select("query_id", "doc_id", "n_matched").collect()}
     assert got == _reference()
+
+
+def test_percolate_wide_registry_no_broadcast(spark, engine):
+    """A registry past the broadcast byte bound must take the shuffle-join
+    path (zero forced BroadcastExchange carrying the registry pairs) and
+    return identical results; a synthetic wide registry plus the real one
+    exercises both the plan shape and the semantics."""
+    import contextlib
+    import io
+
+    # 2,000 synthetic stored queries over unindexed terms + the real five
+    wide = [
+        (f"syn{i:05d}", [f"zzterm{i}a", f"zzterm{i}b"], 1) for i in range(2000)
+    ] + REGISTRY
+    reg = spark.createDataFrame(wide, REG_SCHEMA)
+    got_wide = {
+        tuple(r)
+        for r in percolate(engine, reg, broadcast_max_bytes=0).collect()
+    }
+    got_small = {tuple(r) for r in percolate(engine, reg).collect()}
+    assert got_wide == got_small == _reference()
+    # plan shape: with the gate forcing the non-broadcast path, no
+    # BroadcastExchange detail block may carry the registry columns
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = percolate(engine, reg, broadcast_max_bytes=0)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    import re
+
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        if block.startswith("(") and "BroadcastExchange" in block.splitlines()[0]:
+            assert "query_id" not in block, block

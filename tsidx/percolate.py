@@ -17,11 +17,18 @@ Physical shape: the registry's distinct vocabulary is collected
 10^6-term dictionary still collect at most the dictionary) and re-planted
 as a pushed ``term IN`` filter on the posting scan, so only the blocks of
 terms ANY stored query uses are read; each gaps-only posting row fans out
-to the stored queries containing its term via a broadcast join, and one
-(query_id, doc_id) aggregation applies each query's threshold. Above
-*max_pushdown_terms* the literal IN list would bloat the plan, so the scan
-falls back to the full index with the same broadcast join — one index
-scan either way.
+to the stored queries containing its term via a join with the (query_id,
+term) pairs, and one (query_id, doc_id) aggregation applies each query's
+threshold. Above *max_pushdown_terms* the literal IN list would bloat the
+plan, so the scan falls back to the full index with the same fan-out join
+— one index scan either way.
+
+The fan-out join is broadcast only while the registry's estimated
+serialized pairs table fits ``PERC_BROADCAST_MAX_BYTES`` (the docids
+offsets size-gate pattern): a 10^6-stored-query registry at ~5 terms each
+is multi-hundred-MB — past the bound the hint is dropped and the join
+shuffles on ``term`` instead (one extra shuffle of the already
+registry-filtered posting rows; AQE skew-splits hot terms).
 """
 
 from __future__ import annotations
@@ -29,13 +36,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["percolate", "percolate_docs"]
+__all__ = ["percolate", "percolate_docs", "PERC_BROADCAST_MAX_BYTES"]
+
+#: broadcast the (query_id, term) fan-out pairs / (query_id, min_match)
+#: thresholds only while their estimated serialized bytes fit this bound
+PERC_BROADCAST_MAX_BYTES = 64 << 20
 
 
 def percolate(
     engine,
     registry: DataFrame,
     max_pushdown_terms: int = 10000,
+    broadcast_max_bytes: int = PERC_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """(query_id, doc_id, n_matched): every (stored query, document) pair
     where the doc contains at least the query's ``min_match`` distinct
@@ -47,6 +59,13 @@ def percolate(
     need = registry.select(
         "query_id", F.col("min_match").cast("long").alias("min_match")
     )
+    est = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("term") + F.length("query_id")).alias("chars"),
+    ).collect()[0]
+    # per-row overhead (UnsafeRow header + field offsets) + string bytes
+    est_bytes = int(est["chars"] or 0) + int(est["n"] or 0) * 32
+    small = est_bytes <= broadcast_max_bytes
     vocab = [
         r["term"]
         for r in pairs.select("term")
@@ -59,13 +78,15 @@ def percolate(
     else:  # registry vocabulary too wide for a literal IN — scan all blocks
         blocks = engine.index.postings
     rows = engine._live(engine.posting_doc_ids(blocks))
+    fan = F.broadcast(pairs) if small else pairs
+    thresholds = F.broadcast(need) if small else need
     matched = (
-        rows.join(F.broadcast(pairs), "term")
+        rows.join(fan, "term")
         .groupBy("query_id", "doc_id")
         .agg(F.count_distinct("term").cast("long").alias("n_matched"))
     )
     return (
-        matched.join(F.broadcast(need), "query_id")
+        matched.join(thresholds, "query_id")
         .filter(F.col("n_matched") >= F.col("min_match"))
         .select("query_id", "doc_id", "n_matched")
     )
