@@ -1757,6 +1757,29 @@ def _q_tfidf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOC_SIM_K = 5
+DOC_SIM_MAX_DF = 100
+
+
+def _q_doc_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-native all-pairs document similarity (tsidx/vectors.py::
+    doc_sim_topk): per-doc top-k tf-idf cosine neighbours via a
+    df-capped postings self-join — pairs meet only through shared rare
+    terms, never a cartesian. Ranking keys on the 6-dp-rounded sim (both
+    engines agree there; float noise from differing sum orders lives at
+    1e-15) with sim_doc_id as the deterministic tie-break."""
+    from tsidx.vectors import doc_sim_topk
+
+    eng = get_engine(spark, sf_dir)
+    return doc_sim_topk(
+        eng, k=DOC_SIM_K, max_df=DOC_SIM_MAX_DF, rank_round=6
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.col("sim_doc_id").cast("long"),
+        F.round("sim", 4).alias("sim_r"),
+    )
+
+
 PRUNE_MAX_DF = 390  # prunes the hot half of the sf0.01 dictionary
 
 
@@ -2547,6 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_term_df": _q_pruned_term_df,
         "pruned_match": _q_pruned_match,
         "tfidf_rows": _q_tfidf_rows,
+        "doc_sim_topk": _q_doc_sim_topk,
         "impact_pruned_rows": _q_impact_pruned_rows,
         "doc_keywords": _q_doc_keywords,
         "conv_stats": _q_conv_stats,
@@ -3887,6 +3911,42 @@ SELECT tf.doc_id, tf.term,
                         + 1.0), 4) AS w_r
 FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
 WHERE tf.doc_id < 50""",
+        "doc_sim_topk": f"""
+WITH {terms_cte},
+stats AS (SELECT count(*)::BIGINT AS n_docs FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+keep AS (
+  SELECT term, ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM dfreq CROSS JOIN stats WHERE df <= {DOC_SIM_MAX_DF}
+),
+coo AS (
+  SELECT tf.doc_id, tf.term, tf.tf * keep.idf AS w
+  FROM tf JOIN keep ON tf.term = keep.term
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM coo GROUP BY doc_id),
+unitv AS (
+  SELECT coo.doc_id, coo.term, coo.w / nrm.nrm AS u
+  FROM coo JOIN nrm ON coo.doc_id = nrm.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.u * b.u) AS sim
+  FROM unitv a JOIN unitv b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT d1 AS doc_id, d2 AS sim_doc_id, sim FROM pairs
+  UNION ALL
+  SELECT d2 AS doc_id, d1 AS sim_doc_id, sim FROM pairs
+),
+rk AS (
+  SELECT doc_id, sim_doc_id, sim,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY round(sim, 6) DESC, sim_doc_id
+         ) AS rn
+  FROM sym
+)
+SELECT doc_id, sim_doc_id, round(sim, 4) AS sim_r
+FROM rk WHERE rn <= {DOC_SIM_K}""",
         # role = ROLES[doc_id % 4] as in documents_as_transcripts
         "facet_counts": f"""
 WITH {terms_cte},

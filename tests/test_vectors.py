@@ -91,3 +91,62 @@ def test_top_terms_per_doc_rejects_nonpositive(built):
     eng = QueryEngine(built)
     with pytest.raises(ValueError):
         top_terms_per_doc(eng, m=0)
+
+
+def _brute_sim_topk(oracle, k, max_df):
+    """Pure-Python replay of the df-capped tf-idf cosine top-k."""
+    import math
+    from collections import defaultdict
+
+    n = oracle.n_docs
+    vecs: dict = defaultdict(dict)
+    for term, plist in oracle.postings.items():
+        if len(plist) > max_df:
+            continue
+        idf = bm25_idf(n, len(plist))
+        for doc_id, tf in plist:
+            vecs[doc_id][term] = tf * idf
+    for d, v in vecs.items():
+        nrm = math.sqrt(sum(w * w for w in v.values()))
+        vecs[d] = {t: w / nrm for t, w in v.items()}
+    sims: dict = defaultdict(dict)
+    docs = sorted(vecs)
+    for i, d1 in enumerate(docs):
+        for d2 in docs[i + 1:]:
+            v1, v2 = vecs[d1], vecs[d2]
+            if len(v2) < len(v1):
+                v1, v2 = v2, v1
+            s = sum(w * v2[t] for t, w in v1.items() if t in v2)
+            if s > 0:
+                sims[d1][d2] = s
+                sims[d2][d1] = s
+    out = {}
+    for d, nbrs in sims.items():
+        ranked = sorted(nbrs.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))
+        out[d] = [(sd, round(s, 6)) for sd, s in ranked[:k]]
+    return out
+
+
+def test_doc_sim_topk_matches_bruteforce(built, oracle):
+    from tsidx.vectors import doc_sim_topk
+
+    k, cap = 5, 40
+    got: dict = {}
+    rows = doc_sim_topk(
+        QueryEngine(built), k=k, max_df=cap, rank_round=9
+    ).collect()
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["sim_doc_id"], round(r["sim"], 6))
+        )
+    want = _brute_sim_topk(oracle, k, cap)
+    assert set(got) == {d for d, v in want.items() if v}
+    for d, nbrs in got.items():
+        assert nbrs == want[d], (d, nbrs, want[d])
+
+
+def test_doc_sim_topk_rejects_bad_k(built):
+    from tsidx.vectors import doc_sim_topk
+
+    with pytest.raises(ValueError):
+        doc_sim_topk(QueryEngine(built), k=0)

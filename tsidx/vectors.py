@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tfidf_rows", "top_terms_per_doc"]
+__all__ = ["tfidf_rows", "top_terms_per_doc", "doc_sim_topk"]
 
 
 def tfidf_rows(engine, normalized: bool = False) -> DataFrame:
@@ -40,7 +40,9 @@ def tfidf_rows(engine, normalized: bool = False) -> DataFrame:
     rows = engine._live(engine.posting_rows_all()).select(
         "doc_id", "term", "tf"
     )
-    coo = rows.join(F.broadcast(dictionary), "term").select(
+    # no broadcast hint: a 10^8-term stem vocabulary is multi-GB (same
+    # OOM rationale as tsidx/prune.py); AQE broadcasts while it's small
+    coo = rows.join(dictionary, "term").select(
         "doc_id", "term", (F.col("tf").cast("double") * F.col("idf")).alias("w")
     )
     if not normalized:
@@ -77,4 +79,93 @@ def top_terms_per_doc(
     return (
         coo.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= m)
+    )
+
+
+def doc_sim_topk(
+    engine,
+    k: int = 10,
+    max_df: int | None = None,
+    max_df_ratio: float = 0.25,
+    rank_round: int | None = None,
+) -> DataFrame:
+    """(doc_id, sim_doc_id, sim): each document's *k* nearest neighbours
+    by tf-idf cosine, computed INDEX-NATIVELY — document pairs meet only
+    through terms they share, via a postings self-join on ``term``
+    (the classic MapReduce pairwise-similarity shape, Elsayed et al.
+    2008 / PAPERS.md §similarity).
+
+    Similarity is defined over the **df-capped vector space**: terms
+    with ``df > cap`` (``max_df``, else ``max_df_ratio · N``) are
+    excluded BEFORE normalization, and norms are taken over the capped
+    vectors, so the result is an exact cosine in that space (fully
+    oracle-checkable), not an approximation of the uncapped one.
+
+    Scale shape: the df cap is what makes the self-join survivable — a
+    term contributes df² candidate pairs, so the Zipf head must be cut
+    (those terms carry near-zero idf weight anyway; the same cut the
+    n-gram Jaccard pair-join uses). After the cap: one (term) self-join
+    + one (pair) partial-agg'd sum + one per-doc window whose
+    ``rank <= k`` bound WindowGroupLimit pushes map-side. No vocabulary
+    broadcast is forced anywhere (AQE decides).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("doc_sim_topk: k must be positive")
+    n = int(engine.index.meta["n_docs"])
+    cap = int(max_df) if max_df is not None else int(max_df_ratio * n)
+    idf = F.log(
+        (F.lit(float(n)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    keep = engine.index.terms.filter(F.col("df") <= cap).select(
+        "term", idf.alias("idf")
+    )
+    rows = engine._live(engine.posting_rows_all()).select(
+        "doc_id", "term", "tf"
+    )
+    coo = rows.join(keep, "term").select(
+        "doc_id", "term",
+        (F.col("tf").cast("double") * F.col("idf")).alias("w"),
+    )
+    norms = coo.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    unit = coo.join(norms, "doc_id").select(
+        "doc_id", "term", (F.col("w") / F.col("nrm")).alias("u")
+    )
+    a = unit.select(
+        F.col("term"), F.col("doc_id").alias("d1"), F.col("u").alias("u1")
+    )
+    b = unit.select(
+        F.col("term"), F.col("doc_id").alias("d2"), F.col("u").alias("u2")
+    )
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("u1") * F.col("u2")).alias("sim"))
+    )
+    both = pairs.select(
+        F.col("d1").alias("doc_id"), F.col("d2").alias("sim_doc_id"), "sim"
+    ).unionByName(
+        pairs.select(
+            F.col("d2").alias("doc_id"),
+            F.col("d1").alias("sim_doc_id"),
+            "sim",
+        )
+    )
+    # rank_round: order on the rounded sim instead — makes the ranking
+    # reproducible across engines/platforms whose float sum orders differ
+    # at the last ulp (used by the cross-engine oracle gate)
+    sim_key = F.round("sim", rank_round) if rank_round is not None else F.col("sim")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(sim_key), F.asc("sim_doc_id")
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "sim_doc_id", "sim")
     )
