@@ -2067,6 +2067,73 @@ def _q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine audio-header parsing (tsidx/multimodal.py::fill_audio_meta):
+    documents become media rows whose payloads are REAL audio container
+    headers (WAV RIFF fmt+data / FLAC STREAMINFO / MP3 CBR frame header,
+    synthesized deterministically from doc_id formulas, plus a garbage
+    class), and the engine recovers mime/sample_rate/duration_ms by
+    parsing the bytes — no codec library. The oracle recomputes the
+    expected values straight from the formulas, so a parser that peeked
+    at anything but the bytes (or mis-read a chunk layout or bit packing)
+    hash-mismatches."""
+    from tsidx.multimodal import attach_media_metadata, fill_audio_meta
+
+    def _payloads(batches):
+        for pdf in batches:
+            outs = []
+            for media_id in pdf["media_id"]:
+                d = int(media_id)
+                k = d % 4
+                if k == 0:  # WAV: RIFF + fmt + data-size declaration
+                    rate = 8000 + (d % 5) * 8000
+                    ch = 1 + d % 2
+                    secs = 1 + d % 4
+                    byte_rate = rate * ch * 2
+                    data = byte_rate * secs
+                    p = (b"RIFF" + (36 + data).to_bytes(4, "little")
+                         + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
+                         + (1).to_bytes(2, "little")
+                         + ch.to_bytes(2, "little")
+                         + rate.to_bytes(4, "little")
+                         + byte_rate.to_bytes(4, "little")
+                         + (ch * 2).to_bytes(2, "little")
+                         + (16).to_bytes(2, "little")
+                         + b"data" + data.to_bytes(4, "little"))
+                elif k == 1:  # FLAC STREAMINFO (rate/channels/total packed)
+                    rate = 16000 + (d % 3) * 16000
+                    ch = 1 + d % 2
+                    total = rate * (1 + d % 6)
+                    packed = ((rate << 44) | ((ch - 1) << 41)
+                              | ((16 - 1) << 36) | total)
+                    p = (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+                         + (4096).to_bytes(2, "big") * 2 + b"\x00" * 6
+                         + packed.to_bytes(8, "big") + b"\x00" * 16)
+                elif k == 2:  # MP3 CBR: MPEG1 L3 128 kbps @ 44100, mono
+                    n = 1600 + (d % 100) * 16
+                    p = bytes([0xFF, 0xFB, 0x90, 0xC0]) + b"\x00" * (n - 4)
+                else:
+                    p = b"not audio " + str(d).encode()
+                outs.append(p)
+            pdf = pdf.copy()
+            pdf["payload"] = outs
+            yield pdf
+
+    raw = (
+        load_documents(spark, sf_dir)
+        .select(F.col("doc_id").alias("media_id"),
+                F.lit(b"").alias("payload"))
+        .mapInPandas(_payloads, schema="media_id long, payload binary")
+    )
+    media = fill_audio_meta(attach_media_metadata(raw, kind="audio"))
+    return media.select(
+        F.col("media_id").cast("long"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
 FRAME_EVERY_MS = 1000
 # deterministic PII suffix so redaction is non-trivial on the synthetic
 # corpus: " contact u<id>@example.com ref <100000+7·id>"
@@ -2542,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_recall": _q_lsh_ann_recall,
         "media_features": _q_media_features,
         "media_dims": _q_media_dims,
+        "media_audio": _q_media_audio,
         "frame_sample": _q_frame_sample,
         "redact_text": _q_redact_text,
         "ivf_ann_topk": _q_ivf_ann_topk,
@@ -3520,6 +3588,20 @@ SELECT doc_id AS media_id,
                        WHEN 2 THEN 'image/gif' END AS mime,
        CASE WHEN doc_id % 4 <= 2 THEN (16 + doc_id % 317)::INTEGER END AS width,
        CASE WHEN doc_id % 4 <= 2 THEN (16 + doc_id % 211)::INTEGER END AS height
+FROM documents""",
+        "media_audio": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'audio/wav'
+                       WHEN 1 THEN 'audio/flac'
+                       WHEN 2 THEN 'audio/mpeg' END AS mime,
+       (CASE doc_id % 4
+             WHEN 0 THEN 8000 + (doc_id % 5) * 8000
+             WHEN 1 THEN 16000 + (doc_id % 3) * 16000
+             WHEN 2 THEN 44100 END)::INTEGER AS sample_rate,
+       (CASE doc_id % 4
+             WHEN 0 THEN (1 + doc_id % 4) * 1000
+             WHEN 1 THEN (1 + doc_id % 6) * 1000
+             WHEN 2 THEN 100 + doc_id % 100 END)::INTEGER AS duration_ms
 FROM documents""",
         "lsh_dedup_recall": """
 SELECT true AS recall_ok""",

@@ -182,3 +182,112 @@ def test_fill_image_dims(spark):
     assert media.schema == attach_media_metadata(df, kind="image").schema
     kinds = {r["media_id"]: r["meta"]["kind"] for r in media.collect()}
     assert all(k == "image" for k in kinds.values())
+
+
+def _wav(rate, ch, secs):
+    byte_rate = rate * ch * 2
+    data = byte_rate * secs
+    return (b"RIFF" + (36 + data).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+            + (ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + data.to_bytes(4, "little"))
+
+
+def _flac(rate, ch, total_samples, extra_block_first=False):
+    packed = ((rate << 44) | ((ch - 1) << 41) | ((16 - 1) << 36)
+              | total_samples)
+    si = ((4096).to_bytes(2, "big") * 2 + b"\x00" * 6
+          + packed.to_bytes(8, "big") + b"\x00" * 16)
+    streaminfo = bytes([0x80]) + (34).to_bytes(3, "big") + si
+    if extra_block_first:
+        # a PADDING block before STREAMINFO exercises the block walk
+        pad = bytes([0x01]) + (6).to_bytes(3, "big") + b"\x00" * 6
+        streaminfo = pad + bytes([0x80]) + (34).to_bytes(3, "big") + si
+    return b"fLaC" + streaminfo
+
+
+def _ogg_vorbis(rate, ch):
+    return (b"OggS" + b"\x00" * 22 + b"\x01vorbis"
+            + (0).to_bytes(4, "little") + bytes([ch])
+            + rate.to_bytes(4, "little") + b"\x00" * 8)
+
+
+def _mp3_v1(n_bytes=41700, stereo=False):
+    # 0xFF 0xFB = MPEG1 Layer III; 0x90 = 128 kbps @ 44100 Hz
+    return (bytes([0xFF, 0xFB, 0x90, 0x00 if stereo else 0xC0])
+            + b"\x00" * (n_bytes - 4))
+
+
+def _mp3_v2(n_bytes=10000):
+    # 0xFF 0xF3 = MPEG2 Layer III; 0x54 = 40 kbps @ 24000 Hz
+    return bytes([0xFF, 0xF3, 0x54, 0xC0]) + b"\x00" * (n_bytes - 4)
+
+
+def test_parse_audio_meta_goldens():
+    from tsidx.multimodal import parse_audio_meta
+
+    assert parse_audio_meta(_wav(44100, 2, 3)) == ("audio/wav", 44100, 2, 3000)
+    assert parse_audio_meta(_wav(8000, 1, 10)) == ("audio/wav", 8000, 1, 10000)
+    assert parse_audio_meta(_flac(48000, 2, 48000 * 5)) == (
+        "audio/flac", 48000, 2, 5000)
+    assert parse_audio_meta(_flac(48000, 2, 48000 * 5,
+                                  extra_block_first=True)) == (
+        "audio/flac", 48000, 2, 5000)
+    # total_samples=0 means unknown -> duration null
+    assert parse_audio_meta(_flac(22050, 1, 0)) == ("audio/flac", 22050, 1, None)
+    assert parse_audio_meta(_ogg_vorbis(22050, 1)) == (
+        "audio/ogg", 22050, 1, None)
+    # MPEG1 L3 CBR 128 kbps: 41700 B * 8 / 128 kbps = 2606 ms
+    assert parse_audio_meta(_mp3_v1()) == ("audio/mpeg", 44100, 1, 2606)
+    assert parse_audio_meta(_mp3_v1(stereo=True)) == (
+        "audio/mpeg", 44100, 2, 2606)
+    # MPEG2 L3 40 kbps @ 24 kHz: 10000 B * 8 / 40 kbps = 2000 ms
+    assert parse_audio_meta(_mp3_v2()) == ("audio/mpeg", 24000, 1, 2000)
+    # garbage / truncation never raises
+    assert parse_audio_meta(b"") == (None, None, None, None)
+    assert parse_audio_meta(None) == (None, None, None, None)
+    assert parse_audio_meta(b"not audio at all") == (None, None, None, None)
+    assert parse_audio_meta(_wav(44100, 2, 3)[:10]) == (None, None, None, None)
+    assert parse_audio_meta(b"fLaC\x80") == (None, None, None, None)
+    assert parse_audio_meta(b"OggS no vorbis header") == (
+        None, None, None, None)
+    # reserved sample-rate index / reserved version / non-Layer-III rejected
+    assert parse_audio_meta(bytes([0xFF, 0xFB, 0x9C, 0xC0]) + b"\x00" * 100
+                            ) == (None, None, None, None)
+    assert parse_audio_meta(bytes([0xFF, 0xEB, 0x90, 0xC0]) + b"\x00" * 100
+                            ) == (None, None, None, None)
+    assert parse_audio_meta(bytes([0xFF, 0xFD, 0x90, 0xC0]) + b"\x00" * 100
+                            ) == (None, None, None, None)
+
+
+def test_fill_audio_meta(spark):
+    from tsidx.multimodal import fill_audio_meta
+
+    rows = [
+        (0, _wav(44100, 2, 2)),
+        (1, _flac(48000, 1, 48000 * 7)),
+        (2, _ogg_vorbis(16000, 2)),
+        (3, _mp3_v1()),
+        (4, b"utter garbage"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = fill_audio_meta(attach_media_metadata(df, kind="audio"))
+    got = {
+        r["media_id"]: (r["meta"]["mime"], r["meta"]["sample_rate"],
+                        r["meta"]["duration_ms"])
+        for r in media.collect()
+    }
+    assert got == {
+        0: ("audio/wav", 44100, 2000),
+        1: ("audio/flac", 48000, 7000),
+        2: ("audio/ogg", 16000, None),
+        3: ("audio/mpeg", 44100, 2606),
+        4: (None, None, None),
+        5: (None, None, None),
+    }
+    assert media.schema == attach_media_metadata(df, kind="audio").schema
+    kinds = {r["media_id"]: r["meta"]["kind"] for r in media.collect()}
+    assert all(k == "audio" for k in kinds.values())

@@ -5,12 +5,15 @@ audio / video ride through the engine as ``binary`` columns with a typed
 metadata struct; the Spark-side plumbing — schemas, partition-friendly
 batch shapes, Arrow UDF signatures — is real and tested. Image
 *dimensions and mime type* are parsed genuinely from container headers
-(PNG IHDR, JPEG SOFn, GIF, BMP, WebP — :func:`parse_image_dims`, pure
-Python, no codec library). Only the pixel-level feature decode is
-stubbed: those libraries are not in this container, so ``decode_fn``
-defaults to a deterministic fake that derives feature values from the
-payload bytes. Swap in a real decoder (PIL / torchaudio / pyav) via the
-``decode_fn`` parameter on a cluster that ships one.
+(PNG IHDR, JPEG SOFn, GIF, BMP, WebP — :func:`parse_image_dims`) and
+audio *sample rate / channels / duration* from audio container headers
+(WAV fmt+data chunks, FLAC STREAMINFO, Ogg Vorbis identification header,
+MP3 frame header — :func:`parse_audio_meta`), all pure Python, no codec
+library. Only the sample-level feature decode is stubbed: those
+libraries are not in this container, so ``decode_fn`` defaults to a
+deterministic fake that derives feature values from the payload bytes.
+Swap in a real decoder (PIL / torchaudio / pyav) via the ``decode_fn``
+parameter on a cluster that ships one.
 
 Batch shape notes for 100 TB: payloads dominate row size, so stages that
 don't need bytes must prune the column (metadata-only plans never touch
@@ -34,6 +37,8 @@ __all__ = [
     "default_fake_decode",
     "parse_image_dims",
     "fill_image_dims",
+    "parse_audio_meta",
+    "fill_audio_meta",
 ]
 
 # (payload binary, media struct) — the typed metadata carried beside bytes
@@ -167,6 +172,138 @@ def fill_image_dims(media: DataFrame) -> DataFrame:
                     "height": None, "duration_ms": None, "sample_rate": None,
                 }
                 d.update(mime=mime, width=w, height=h)
+                metas.append(d)
+            pdf = pdf.copy()
+            pdf["meta"] = metas
+            yield pdf
+
+    return media.mapInPandas(_fill, schema=media.schema)
+
+
+# MPEG audio frame-header tables (MPEG1/2/2.5 × Layer I/II/III).
+# Bitrate rows indexed by the 4-bit bitrate field; kbit/s; 0 = free, None = bad.
+_MP3_RATES = {  # (version_bits) -> sample rates by the 2-bit rate field
+    3: (44100, 48000, 32000),   # MPEG1
+    2: (22050, 24000, 16000),   # MPEG2
+    0: (11025, 12000, 8000),    # MPEG2.5
+}
+_MP3_BITRATE_V1L3 = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                     224, 256, 320, None)
+_MP3_BITRATE_V2L3 = (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                     128, 144, 160, None)
+
+
+def parse_audio_meta(
+    payload: bytes,
+) -> tuple[str | None, int | None, int | None, int | None]:
+    """``(mime, sample_rate, channels, duration_ms)`` parsed from audio
+    container headers alone — pure Python, no codec library:
+
+    - WAV: walk the RIFF chunk list; ``fmt `` carries channels /
+      sample rate / byte rate, ``data``'s declared size over the byte
+      rate gives the exact duration.
+    - FLAC: STREAMINFO metadata block — sample rate (20 bits),
+      channels-1 (3 bits) and total samples (36 bits) packed big-endian;
+      duration = total_samples / rate (null when total_samples is 0,
+      i.e. unknown/streamed).
+    - Ogg Vorbis: the identification header (``\\x01vorbis``) in the
+      first page carries channels + rate; duration lives in the LAST
+      page's granule position, which a header-only scan can't reach —
+      left null.
+    - MP3: first frame header's version/layer/bitrate/rate fields;
+      duration estimated from the declared byte length only for CBR
+      Layer III (VBR without a Xing walk would lie — left null).
+
+    Unknown/truncated/corrupt payloads return all-``None`` — never
+    raises, so a 10^10-clip scan can't be killed by one bad blob.
+    """
+    try:
+        b = payload or b""
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            rate = channels = byte_rate = data_size = None
+            i, n = 12, len(b)
+            while i + 8 <= n:
+                cid = b[i : i + 4]
+                clen = int.from_bytes(b[i + 4 : i + 8], "little")
+                if cid == b"fmt " and i + 24 <= n:
+                    channels = int.from_bytes(b[i + 10 : i + 12], "little")
+                    rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                    byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+                elif cid == b"data":
+                    data_size = clen
+                i += 8 + clen + (clen & 1)  # chunks are word-aligned
+            dur = (
+                data_size * 1000 // byte_rate
+                if byte_rate and data_size is not None
+                else None
+            )
+            if rate is None:
+                return (None, None, None, None)
+            return ("audio/wav", rate, channels, dur)
+        if b[:4] == b"fLaC" and len(b) >= 8:
+            i, n = 4, len(b)
+            while i + 4 <= n:
+                btype = b[i] & 0x7F
+                blen = int.from_bytes(b[i + 1 : i + 4], "big")
+                if btype == 0 and i + 4 + 18 <= n:  # STREAMINFO
+                    s = i + 4
+                    packed = int.from_bytes(b[s + 10 : s + 18], "big")
+                    rate = packed >> 44
+                    channels = ((packed >> 41) & 0x7) + 1
+                    total = packed & ((1 << 36) - 1)
+                    dur = total * 1000 // rate if rate and total else None
+                    if not rate:
+                        return (None, None, None, None)
+                    return ("audio/flac", rate, channels, dur)
+                if b[i] & 0x80:  # last-metadata-block flag
+                    break
+                i += 4 + blen
+            return (None, None, None, None)
+        if b[:4] == b"OggS":
+            j = b.find(b"\x01vorbis", 0, 256)
+            if j >= 0 and j + 16 <= len(b):
+                channels = b[j + 11]
+                rate = int.from_bytes(b[j + 12 : j + 16], "little")
+                return ("audio/ogg", rate or None, channels or None, None)
+            return (None, None, None, None)
+        if len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+            version = (b[1] >> 3) & 0x3  # 3=MPEG1 2=MPEG2 0=MPEG2.5
+            layer = (b[1] >> 1) & 0x3    # 1=Layer III
+            if version == 1 or layer != 1:
+                return (None, None, None, None)
+            rate_idx = (b[2] >> 2) & 0x3
+            if rate_idx == 3:
+                return (None, None, None, None)
+            rate = _MP3_RATES[version][rate_idx]
+            channels = 1 if (b[3] >> 6) & 0x3 == 3 else 2
+            table = _MP3_BITRATE_V1L3 if version == 3 else _MP3_BITRATE_V2L3
+            kbps = table[(b[2] >> 4) & 0xF]
+            dur = len(b) * 8 // kbps if kbps else None
+            return ("audio/mpeg", rate, channels, dur)
+        return (None, None, None, None)
+    except Exception:
+        return (None, None, None, None)
+
+
+def fill_audio_meta(media: DataFrame) -> DataFrame:
+    """Fill ``meta.mime/sample_rate/duration_ms`` genuinely from the
+    payload's audio container header (:func:`parse_audio_meta`) — the
+    audio twin of :func:`fill_image_dims`, same map-only Arrow pass, no
+    shuffle, no driver data. Channel count is parsed too but the shared
+    media struct doesn't carry a channels field; callers that need it
+    use :func:`parse_audio_meta` directly in their own pass."""
+
+    def _fill(batches):
+        for pdf in batches:
+            metas = []
+            for payload, m in zip(pdf["payload"], pdf["meta"]):
+                data = bytes(payload) if payload is not None else b""
+                mime, rate, _channels, dur = parse_audio_meta(data)
+                d = dict(m) if m is not None else {
+                    "kind": None, "mime": None, "width": None,
+                    "height": None, "duration_ms": None, "sample_rate": None,
+                }
+                d.update(mime=mime, sample_rate=rate, duration_ms=dur)
                 metas.append(d)
             pdf = pdf.copy()
             pdf["meta"] = metas
