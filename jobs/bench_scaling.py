@@ -64,7 +64,49 @@ def main() -> None:
                          "run-to-run interference, min filters it")
     ap.add_argument("--probe", action="store_true",
                     help="measure raw per-core CPU scaling of this machine")
+    ap.add_argument("--jvm-probe", action="store_true",
+                    help="measure in-JVM thread scaling: the shared host "
+                         "sometimes caps a single process's threads at "
+                         "~1-2 effective cores while separate python "
+                         "processes scale normally (round-2 discard "
+                         "windows) — the plain --probe cannot see that. "
+                         "Healthy: speedup close to the requested "
+                         "parallelism; capped: <= ~2.")
     args = ap.parse_args()
+
+    if args.jvm_probe:
+        import time
+
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(f"local[{args.high}]")
+            .appName("tsidx-jvm-probe")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        # whole-stage-codegen sum loops: pure JVM CPU, no shuffle, no python.
+        # Untimed warmup first — the serial measurement must not pay JIT.
+        spark.range(0, 50_000_000, 1, args.high).selectExpr(
+            "sum(id % 1000003) s").collect()
+        t0 = time.time()
+        spark.range(0, 100_000_000, 1, 1).selectExpr(
+            "sum(id % 1000003) s").collect()
+        serial = time.time() - t0
+        t0 = time.time()
+        spark.range(0, 100_000_000 * args.high, 1, args.high).selectExpr(
+            "sum(id % 1000003) s").collect()
+        par = time.time() - t0
+        speedup = serial * args.high / par
+        print(json.dumps({
+            "job": "jvm_probe", "threads": args.high,
+            "serial_sec": round(serial, 2), "parallel_sec": round(par, 2),
+            "jvm_thread_speedup": round(speedup, 2),
+            "healthy": speedup >= 0.75 * args.high,
+        }))
+        spark.stop()
+        return
 
     if args.probe:
         import time
