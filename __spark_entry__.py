@@ -1667,6 +1667,37 @@ def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SYMSPELL_TOKEN = "bat"  # 6 dictionary stems within 2 edits at sf0.01
+SYMSPELL_DIST = 2
+
+
+def _q_symspell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean via the SymSpell deletes-index probe
+    (tsidx/termindex.py): the token's own deletion variants become a pushed
+    ``del_key IN`` probe of the precomputed deletion neighborhood; the
+    exact ``levenshtein <= d`` filter on the candidate superset makes the
+    rows identical to the full-dictionary scan the oracle runs."""
+    eng = get_engine(spark, sf_dir)
+    return eng.suggest_terms_indexed(SYMSPELL_TOKEN, SYMSPELL_DIST).select(
+        "term", F.col("df").cast("long"), F.col("dist").cast("long")
+    )
+
+
+CONTAINS_INFIX = "erg"  # matches e.g. "merg*" stems infix-wise
+
+
+def _q_contains_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-wildcard search ``*erg*`` via the character-trigram dictionary
+    index (tsidx/termindex.py): candidate terms must carry ALL the infix's
+    trigrams (pushed ``gram IN`` probe), the exact ``contains`` predicate
+    narrows to the scan-identical expansion, and the expansion re-plants as
+    the standard pushed ``term IN`` posting scan."""
+    eng = get_engine(spark, sf_dir)
+    return eng.match_contains(CONTAINS_INFIX).select(
+        F.col("doc_id").cast("long")
+    )
+
+
 PACK_BUDGET = 200  # tokens per training shard
 
 
@@ -1988,6 +2019,70 @@ def _q_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall = len(exact & approx) / len(exact) if exact else 1.0
     return spark.createDataFrame(
         [(ANN_NQ, bool(recall >= IVF_ANN_RECALL_BOUND))],
+        "n_queries long, recall_ok boolean",
+    )
+
+
+PQ_SUBSPACES = 16
+PQ_CODES = 32
+PQ_RERANK_N = 50
+PQ_ANN_RECALL_BOUND = 0.7
+
+
+def _pq_state(spark: SparkSession, sf_dir: str):
+    key = (id(spark), os.path.normpath(sf_dir), "pq")
+    state = _INDEX_CACHE.get(key)
+    if state is None:
+        from tsidx.ann import pq_encode, pq_train_codebooks
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        cbs = pq_train_codebooks(
+            emb, n_subspaces=PQ_SUBSPACES, n_codes=PQ_CODES, n_iters=2
+        )
+        codes = pq_encode(emb, cbs).cache()
+        codes.count()
+        state = (emb, cbs, codes)
+        _INDEX_CACHE[key] = state
+    return state
+
+
+def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, two-stage (approximate, rows-only): ADC
+    over the ~M-bytes/vector codes retrieves a PQ_RERANK_N shortlist (the
+    float corpus is never scanned), then only the shortlist reads floats
+    for the exact rerank — the Jegou et al. 2011 production shape. The
+    exact ``ann_cosine_topk`` is the ground truth (gated by
+    pq_ann_recall)."""
+    from tsidx.ann import pq_topk_rerank
+
+    emb, cbs, codes = _pq_state(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    topk = pq_topk_rerank(
+        emb, codes, queries_df, k=ANN_K, codebooks=cbs, rerank_n=PQ_RERANK_N
+    )
+    return topk.select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.round("sim", 4).alias("sim_r"),
+    )
+
+
+def _q_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable recall gate for the PQ shortlist+rerank path (same
+    shape as ivf_ann_recall)."""
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in _q_ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in _q_pq_ann_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact) if exact else 1.0
+    return spark.createDataFrame(
+        [(ANN_NQ, bool(recall >= PQ_ANN_RECALL_BOUND))],
         "n_queries long, recall_ok boolean",
     )
 
@@ -2639,6 +2734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_match": _q_pruned_match,
         "tfidf_rows": _q_tfidf_rows,
         "doc_sim_topk": _q_doc_sim_topk,
+        "symspell_suggest": _q_symspell_suggest,
+        "contains_match": _q_contains_match,
+        "pq_ann_topk": _q_pq_ann_topk,
+        "pq_ann_recall": _q_pq_ann_recall,
         "impact_pruned_rows": _q_impact_pruned_rows,
         "doc_keywords": _q_doc_keywords,
         "conv_stats": _q_conv_stats,
@@ -3562,6 +3661,8 @@ SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term""",
 SELECT {ANN_NQ}::BIGINT AS n_queries, true AS recall_ok""",
         "ivf_ann_recall": f"""
 SELECT {ANN_NQ}::BIGINT AS n_queries, true AS recall_ok""",
+        "pq_ann_recall": f"""
+SELECT {ANN_NQ}::BIGINT AS n_queries, true AS recall_ok""",
         # payload = UTF-8 bytes of text; sha256(VARCHAR) hashes those same
         # bytes, so the digest replays exactly
         "frame_sample": f"""
@@ -3853,6 +3954,18 @@ cand AS (
   HAVING levenshtein(term, '{_sql_query_terms(FUZZY_TOKEN)[0]}') <= {FUZZY_DIST}
 )
 SELECT DISTINCT doc_id FROM trm JOIN cand USING (term)""",
+        # the index probe is provably row-identical to the scan, so the
+        # oracle IS the scan (same twin shape as suggest_terms)
+        "symspell_suggest": f"""
+WITH {terms_cte},
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df,
+       levenshtein(term, '{_sql_query_terms(SYMSPELL_TOKEN)[0]}')::BIGINT AS dist
+FROM dfreq
+WHERE levenshtein(term, '{_sql_query_terms(SYMSPELL_TOKEN)[0]}') <= {SYMSPELL_DIST}""",
+        "contains_match": f"""
+WITH {terms_cte}
+SELECT DISTINCT doc_id FROM trm WHERE term LIKE '%{CONTAINS_INFIX}%'""",
         "suffix_match": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm WHERE term LIKE '%{SUFFIX_Q}'""",

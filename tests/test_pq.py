@@ -1,0 +1,131 @@
+"""Product quantization (tsidx/ann.py): codebook training determinism,
+encode/score consistency vs a numpy replay, and the ADC recall bound."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsidx.ann import (
+    cosine_topk,
+    pq_encode,
+    pq_topk,
+    pq_topk_rerank,
+    pq_train_codebooks,
+)
+
+SF = "/root/testdata/sf0.001"
+M, K = 16, 32
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return pq_train_codebooks(emb, n_subspaces=M, n_codes=K, n_iters=2)
+
+
+def test_codebook_shape_and_determinism(emb, codebooks):
+    assert len(codebooks) == M
+    assert all(len(cb) == K for cb in codebooks)
+    assert all(len(c) == 64 // M for cb in codebooks for c in cb)
+    again = pq_train_codebooks(
+        emb.repartition(7), n_subspaces=M, n_codes=K, n_iters=2
+    )
+    assert again == codebooks  # partitioning-independent (rounded means)
+
+
+def test_dim_not_divisible_raises(emb):
+    with pytest.raises(ValueError):
+        pq_train_codebooks(emb, n_subspaces=7)
+
+
+def test_encode_matches_numpy(emb, codebooks):
+    import numpy as np
+
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in pq_encode(emb, codebooks).collect()}
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    dsub = 64 // M
+    for vid in list(vecs)[:25]:
+        v = vecs[vid]
+        for mi in range(M):
+            cb = np.asarray(codebooks[mi], dtype=np.float64)
+            sub = v[mi * dsub: (mi + 1) * dsub]
+            d2 = ((cb - sub[None, :]) ** 2).sum(axis=1)
+            assert codes[vid][mi] == int(d2.argmin())
+
+
+def test_adc_scores_match_reconstruction(emb, queries, codebooks):
+    """sim(q, codes) must equal cosine(q, x_hat) for the reconstructed
+    vector — the ADC lookup tables are exact over x_hat."""
+    import numpy as np
+
+    codes_df = pq_encode(emb, codebooks)
+    got = pq_topk(codes_df, queries, k=5, codebooks=codebooks).collect()
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in codes_df.collect()}
+    qvecs = {r["query_id"]: np.asarray(r["q_emb"], dtype=np.float64)
+             for r in queries.collect()}
+    dsub = 64 // M
+    for r in got[:20]:
+        xhat = np.concatenate([
+            np.asarray(codebooks[mi][codes[r["vec_id"]][mi]])
+            for mi in range(M)
+        ])
+        q = qvecs[r["query_id"]]
+        want = float(q @ xhat / (np.linalg.norm(q) * np.linalg.norm(xhat)))
+        assert abs(r["sim"] - want) < 1e-9
+
+
+def test_pq_recall_bound(emb, queries, codebooks):
+    """ADC top-10 must recover a solid fraction of the exact top-10 on the
+    random 64-dim corpus (quantization error bounds recall below 1)."""
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(emb, queries, k=10).collect()}
+    codes_df = pq_encode(emb, codebooks)
+    approx = {(r["query_id"], r["vec_id"])
+              for r in pq_topk(codes_df, queries, k=10,
+                               codebooks=codebooks).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall  # measured 0.575 at (M=16, K=32)
+
+
+def test_pq_rerank_recall(emb, queries, codebooks):
+    """The two-stage production path: ADC shortlist (rerank_n=50) + exact
+    rerank. Recall equals the shortlist's (measured 0.96 here) — far above
+    pure ADC."""
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(emb, queries, k=10).collect()}
+    codes_df = pq_encode(emb, codebooks)
+    got = pq_topk_rerank(emb, codes_df, queries, k=10,
+                         codebooks=codebooks, rerank_n=50).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_pq_rerank_sims_are_exact(emb, queries, codebooks):
+    """Reranked sims must equal the exact cosine for the same pairs."""
+    exact = {(r["query_id"], r["vec_id"]): r["sim"]
+             for r in cosine_topk(emb, queries, k=50).collect()}
+    codes_df = pq_encode(emb, codebooks)
+    got = pq_topk_rerank(emb, codes_df, queries, k=10,
+                         codebooks=codebooks, rerank_n=50).collect()
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact:
+            assert abs(r["sim"] - exact[key]) < 1e-9

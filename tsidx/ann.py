@@ -818,3 +818,263 @@ def mean_pool(
         ).alias(vec_col)
     )
     return pooled.withColumnRenamed("_g", group_col)
+
+
+# --------------------------------------------------------------------- PQ
+
+
+def _pq_check(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {m}")
+    return dim // m
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+    round_dims: int = 6,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jegou et al. 2011), deterministic.
+
+    Splits each *dim*-vector into *n_subspaces* contiguous subvectors and
+    runs an independent k-means (k = *n_codes*, squared-L2) in every
+    subspace. Returns ``codebooks[m][j]`` = centroid *j* of subspace *m* —
+    M*K*(dim/M) floats, always driver/broadcast-sized (kilobytes).
+
+    Spark shape: seeds are the *n_codes* corpus vectors with the smallest
+    md5(id) (hash-spread, no RNG — the IVF trainer's device); each Lloyd
+    iteration is ONE map-only Arrow pass (all subspaces assigned per batch
+    with a vectorized distance matmul, ties to the lower code via stable
+    argmin) emitting M rows per vector, then ONE (m, code) groupBy of
+    per-dimension means — partial-aggregable, shuffle bounded by
+    O(partitions * M * K * dsub). Centroid dims round to *round_dims*
+    decimals so float accumulation order can never flip an assignment —
+    the codebooks are engine/partitioning-reproducible.
+    """
+    if dim is None:
+        dim = len(corpus.select(emb_col).first()[0])
+    dsub = _pq_check(dim, n_subspaces)
+    seed_rows = (
+        corpus.select(id_col, emb_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    codebooks = [
+        [
+            [float(x) for x in r[emb_col][m * dsub: (m + 1) * dsub]]
+            for r in seed_rows
+        ]
+        for m in range(n_subspaces)
+    ]
+    src = corpus.select(id_col, emb_col)
+    sub_schema = "m int, code int, " + ", ".join(
+        f"s{i} double" for i in range(dsub)
+    )
+    for _ in range(int(n_iters)):
+        def explode_assign(batches, cbs=codebooks):
+            import numpy as np
+            import pandas as pd
+
+            mats = [np.asarray(cb, dtype=np.float64) for cb in cbs]  # (K, dsub)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                emb = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+                outs = []
+                for mi, cb in enumerate(mats):
+                    sub = emb[:, mi * dsub: (mi + 1) * dsub]
+                    # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; drop ||x||^2
+                    d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+                    code = d2.argmin(axis=1)  # first occurrence: lower code
+                    out = {"m": np.full(len(sub), mi, dtype="int32"),
+                           "code": code.astype("int32")}
+                    for i in range(dsub):
+                        out[f"s{i}"] = sub[:, i]
+                    outs.append(pd.DataFrame(out))
+                yield pd.concat(outs, ignore_index=True)
+
+        means = (
+            src.mapInPandas(explode_assign, schema=sub_schema)
+            .groupBy("m", "code")
+            .agg(*[
+                F.round(F.avg(f"s{i}"), round_dims).alias(f"s{i}")
+                for i in range(dsub)
+            ])
+            .collect()
+        )
+        new = {
+            (r["m"], r["code"]): [r[f"s{i}"] for i in range(dsub)]
+            for r in means
+        }
+        # empty codes keep their previous centroid (deterministic)
+        codebooks = [
+            [new.get((mi, j), codebooks[mi][j]) for j in range(n_codes)]
+            for mi in range(n_subspaces)
+        ]
+    return codebooks
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector compressed to M one-byte-ish code ids —
+    the PQ index build. Map-only Arrow pass (broadcast codebooks, one
+    distance matmul per subspace, stable argmin); at 10^12 vectors the
+    codes table is ~M bytes/vector where the float corpus is 4*dim —
+    a 32x memory cut at (M=8, dim=64) that is the point of PQ at scale."""
+    dsub = len(codebooks[0][0])
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        mats = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(emb), len(mats)), dtype="int32")
+            for mi, cb in enumerate(mats):
+                sub = emb[:, mi * dsub: (mi + 1) * dsub]
+                d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+                codes[:, mi] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, emb_col).mapInPandas(
+        encode, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation (ADC)
+    over PQ codes: (query_id, vec_id, sim), sim = cosine(q, x_hat) where
+    x_hat is the code-reconstructed vector.
+
+    Plan: the bounded query set collects to M*K lookup tables per query
+    (dot and reconstructed-sqnorm partials — subspaces are orthogonal so
+    both are exact sums of per-subspace terms), broadcast in the Arrow
+    closure; scoring is a map-only vectorized table gather over the codes
+    frame — the float corpus is never read. Per-query top-k is the same
+    WindowGroupLimit shape as :func:`cosine_topk`. Recall < 1 by design
+    (quantization error); the exact path is the oracle, and
+    ``pq_ann_recall`` gates it.
+    """
+    import numpy as np
+
+    dsub = len(codebooks[0][0])
+    n_sub = len(codebooks)
+    q_rows = queries.select(query_id_col, query_emb_col).collect()
+    qids = [int(r[query_id_col]) for r in q_rows]
+    qmat = np.asarray(
+        [[float(x) for x in r[query_emb_col]] for r in q_rows],
+        dtype=np.float64,
+    )
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0.0] = 1.0
+    mats = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    # lut_dot[qi, m, j] = q_sub(qi, m) . codebook[m][j]
+    lut_dot = np.stack(
+        [qmat[:, mi * dsub: (mi + 1) * dsub] @ mats[mi].T
+         for mi in range(n_sub)], axis=1,
+    )
+    cb_sq = np.stack([(cb * cb).sum(axis=1) for cb in mats])  # (M, K)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            ids = pdf[id_col].to_numpy()
+            b = len(ids)
+            sq = cb_sq[np.arange(n_sub)[None, :], codes].sum(axis=1)
+            xnorm = np.sqrt(sq)
+            xnorm[xnorm == 0.0] = 1.0
+            outs = []
+            for qi, qid in enumerate(qids):
+                dot = lut_dot[qi][np.arange(n_sub)[None, :], codes].sum(axis=1)
+                outs.append(pd.DataFrame({
+                    query_id_col: np.full(b, qid, dtype="int64"),
+                    id_col: ids,
+                    "sim": dot / (xnorm * qnorm[qi]),
+                }))
+            yield pd.concat(outs, ignore_index=True)
+
+    scored = codes_df.select(id_col, "codes").mapInPandas(
+        score, schema=f"{query_id_col} long, {id_col} long, sim double"
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    codes_df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    codebooks: list[list[list[float]]],
+    rerank_n: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+) -> DataFrame:
+    """PQ shortlist + exact rerank — the production two-stage ANN shape
+    (Jegou et al. 2011 §V): ADC over the compressed codes retrieves each
+    query's *rerank_n* candidates (the map-only gather of :func:`pq_topk`,
+    float corpus untouched), then ONLY those nq*rerank_n rows read their
+    float vectors for exact cosine, top-*k* per query.
+
+    Recall == the shortlist's recall (the rerank is exact within it), so
+    raising *rerank_n* trades a linearly bigger - but still bounded -
+    exact stage for recall; the corpus-scale scan stays on the ~M-bytes/
+    vector codes. The shortlist is broadcast into the float join (nq *
+    rerank_n rows), so the corpus is never shuffled.
+    """
+    shortlist = pq_topk(
+        codes_df, queries, rerank_n, codebooks,
+        id_col=id_col, query_id_col=query_id_col,
+        query_emb_col=query_emb_col,
+    ).select(query_id_col, id_col)
+    c = _with_norm(corpus.select(id_col, emb_col), emb_col, "_n")
+    q = _with_norm(
+        queries.select(query_id_col, query_emb_col), query_emb_col, "_qn"
+    ).select(query_id_col, F.col("_e").alias("_qe"), "_qn")
+    cand = c.join(F.broadcast(shortlist), id_col).join(
+        F.broadcast(q), query_id_col
+    )
+    sim = (_dot(F.col("_e"), F.col("_qe")) / (F.col("_n") * F.col("_qn"))).alias("sim")
+    scored = cand.select(query_id_col, id_col, sim)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

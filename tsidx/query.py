@@ -755,12 +755,16 @@ class QueryEngine:
         against the expansion would forfeit. Pinned docs are unioned as in
         ``match``.
         """
-        terms = [
-            r["term"]
-            for r in self.index.terms.filter(dictionary_predicate)
-            .select("term")
-            .collect()
-        ]
+        expansion = self.index.terms.filter(dictionary_predicate).select(
+            "term"
+        )
+        return self._match_term_list(
+            [r["term"] for r in expansion.collect()]
+        )
+
+    def _match_term_list(self, terms: list[str]) -> DataFrame:
+        """Posting scan + pinned union for an explicit expansion set (the
+        second half of every dictionary-expansion match plan)."""
         spark = self.index.docs.sparkSession
         hits = (
             self.posting_doc_ids(self._blocks_for(terms))
@@ -854,6 +858,38 @@ class QueryEngine:
         ``regexp_matches``; anchor with ``^...$`` for a full-term match) —
         see :meth:`_match_expanded` for the plan."""
         return self._match_expanded(F.col("term").rlike(pattern))
+
+    def suggest_terms_indexed(
+        self, token: str, max_dist: int = 1, deletes: DataFrame | None = None
+    ) -> DataFrame:
+        """Row-identical to :meth:`suggest_terms`, but probing a SymSpell
+        deletes index (:mod:`tsidx.termindex`) instead of scanning the
+        dictionary — the production path once the stem dictionary is
+        10^7-10^8 rows. Pass a persisted *deletes* table to get pushed
+        ``del_key IN`` row-group pruning; omitted, the neighborhood is
+        derived in-plan (test scale)."""
+        from tsidx.termindex import symspell_terms
+
+        q = self.terms_of([token])
+        lit = q[0] if q else token
+        return symspell_terms(self.index.terms, lit, max_dist, deletes)
+
+    def match_contains(
+        self, infix: str, grams: DataFrame | None = None
+    ) -> DataFrame:
+        """Docs containing any term with *infix* anywhere — double-wildcard
+        search ``*infix*``. Row-identical to
+        ``match_regex(re.escape(infix))``, but the dictionary expansion
+        probes a character-trigram index (:mod:`tsidx.termindex`) instead
+        of regex-scanning the dictionary when ``len(infix) >= 3``; the
+        expansion set then re-plants as the same pushed ``term IN`` posting
+        scan as every other expansion mode."""
+        from tsidx.termindex import contains_terms
+
+        expansion = contains_terms(self.index.terms, infix, grams)
+        return self._match_term_list(
+            [r["term"] for r in expansion.select("term").collect()]
+        )
 
     def match_with_context(
         self, query: str | list[str], window: int = 1
