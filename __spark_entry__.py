@@ -1698,6 +1698,22 @@ def _q_contains_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest exact dedup (tsidx/dedup.py::cross_dedup_exact):
+    the odd-doc_id half of the corpus arrives as the new batch and is
+    flagged against the even half's DISTINCT md5 text keys — new docs
+    whose text already exists in the curated corpus get is_dup=true.
+    AQE picks the key-table join strategy (broadcast while small)."""
+    from tsidx.dedup import cross_dedup_exact
+
+    docs = load_documents(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return cross_dedup_exact(new, ref).select(
+        F.col("doc_id").cast("long"), "is_dup"
+    )
+
+
 PACK_BUDGET = 200  # tokens per training shard
 
 
@@ -2738,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contains_match": _q_contains_match,
         "pq_ann_topk": _q_pq_ann_topk,
         "pq_ann_recall": _q_pq_ann_recall,
+        "cross_dedup": _q_cross_dedup,
         "impact_pruned_rows": _q_impact_pruned_rows,
         "doc_keywords": _q_doc_keywords,
         "conv_stats": _q_conv_stats,
@@ -3966,6 +3983,13 @@ WHERE levenshtein(term, '{_sql_query_terms(SYMSPELL_TOKEN)[0]}') <= {SYMSPELL_DI
         "contains_match": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm WHERE term LIKE '%{CONTAINS_INFIX}%'""",
+        "cross_dedup": """
+WITH ref AS (
+  SELECT DISTINCT md5(text) AS tkey FROM documents WHERE doc_id % 2 = 0
+)
+SELECT d.doc_id, (ref.tkey IS NOT NULL) AS is_dup
+FROM documents d LEFT JOIN ref ON md5(d.text) = ref.tkey
+WHERE d.doc_id % 2 = 1""",
         "suffix_match": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm WHERE term LIKE '%{SUFFIX_Q}'""",

@@ -237,3 +237,49 @@ def test_cluster_split_leakage_safe(spark):
         assert by_id[i]["split"] == plain[i]
     # with 60 docs and these fracs all three splits should be populated
     assert {r["split"] for r in rows} == {"train", "valid", "test"}
+
+
+# ------------------------------------------------------ cross-corpus dedup
+
+
+def test_cross_dedup_exact(spark):
+    from tsidx.dedup import cross_dedup_exact
+
+    ref = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon"), (2, "zeta eta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "delta epsilon"), (11, "brand new text"), (12, "zeta eta"),
+         (13, "alpha beta gamma "),  # trailing space: NOT an exact dup
+         ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["is_dup"]
+           for r in cross_dedup_exact(new, ref).collect()}
+    assert got == {10: True, 11: False, 12: True, 13: False}
+    # the reference corpus is never re-flagged: output ids are new-side only
+    assert set(got) == {10, 11, 12, 13}
+
+
+def test_cross_dup_candidates_near_dups(spark, docs):
+    """Identical texts across corpora must collide (equal signatures agree
+    on every band); unrelated texts must not; no same-side pairs exist."""
+    from tsidx.dedup import cross_dup_candidates, minhash_signatures
+
+    ref = docs  # ids 0-5
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),  # == doc 0/2
+         (101, "totally novel content nothing shared anywhere"),
+         (102, "spark builds inverted index postings at scale")],  # == doc 4
+        "doc_id long, text string",
+    )
+    sig_ref = minhash_signatures(ref, num_hashes=32)
+    sig_new = minhash_signatures(new, num_hashes=32)
+    pairs = {(r["new_id"], r["ref_id"])
+             for r in cross_dup_candidates(sig_new, sig_ref).collect()}
+    assert (100, 0) in pairs and (100, 2) in pairs
+    assert (102, 4) in pairs
+    assert not any(n == 101 for n, _ in pairs)
+    # strictly cross: every left id is new-side, every right id ref-side
+    assert all(n >= 100 and r < 100 for n, r in pairs)

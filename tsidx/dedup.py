@@ -365,8 +365,25 @@ def lsh_candidate_pairs(
     the band key; pair explosion bounded per bucket (use minhash params and
     ``max_key_df``-style capping upstream for adversarial corpora).
     """
+    banded = _band_keys(signatures, bands, rows_per_band)
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _band_keys(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, band, key): one row per (doc, band) — the LSH bucket keys
+    shared by within-corpus and cross-corpus candidate generation. Key =
+    the band's signature slice joined as a string."""
     assert bands * rows_per_band <= 1024
-    banded = signatures.select(
+    return signatures.select(
         "doc_id",
         F.explode(
             F.array(
@@ -386,14 +403,65 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+
+
+def cross_dedup_exact(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, is_dup): every NEW doc flagged when its exact text already
+    exists in the reference corpus — the incremental-ingest dedup shape
+    (dedupe an incoming batch against the already-curated corpus instead
+    of re-deduping the union from scratch).
+
+    Plan: the reference side collapses to DISTINCT md5 text keys (one
+    partial-aggregable agg; keys are 16 B however long the documents are,
+    and md5 replays identically in DuckDB so the twin can verify), then
+    the new side left-joins the key table — AQE broadcasts it while small
+    and shuffle-joins past the byte bound. Neither corpus self-pairs; the
+    reference corpus is never re-flagged.
+    """
+    key = F.md5(F.col(text_col))
+    ref_keys = (
+        ref_docs.select(key.alias("tkey")).distinct()
     )
+    new_keyed = new_docs.select(
+        F.col(id_col).alias("doc_id"), key.alias("tkey")
+    )
+    hit = ref_keys.withColumn("is_dup", F.lit(True))
+    return (
+        new_keyed.join(hit, "tkey", "left")
+        .select("doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
+
+
+def cross_dup_candidates(
+    new_sigs: DataFrame,
+    ref_sigs: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(new_id, ref_id) MinHash-LSH candidate pairs ACROSS two corpora: a
+    new doc agreeing with a reference doc on all rows of >= 1 band — the
+    near-duplicate version of :func:`cross_dedup_exact`.
+
+    Same band-key shuffle as :func:`lsh_candidate_pairs`, but the join is
+    new x ref only: no new-new or ref-ref pairs are generated, so the
+    per-bucket explosion is |new ∩ bucket| * |ref ∩ bucket| instead of the
+    union squared — the right cost model for a small daily increment
+    against a huge curated corpus. Both inputs are signature frames from
+    :func:`minhash_signatures` (run with the SAME num_hashes/n params, or
+    the keys never collide).
+    """
+    a = _band_keys(new_sigs, bands, rows_per_band).select(
+        F.col("doc_id").alias("new_id"), "band", "key"
+    )
+    b = _band_keys(ref_sigs, bands, rows_per_band).select(
+        F.col("doc_id").alias("ref_id"), "band", "key"
+    )
+    return a.join(b, ["band", "key"]).select("new_id", "ref_id").distinct()
 
 
 def simhash(
