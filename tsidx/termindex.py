@@ -165,10 +165,14 @@ def contains_terms(
     if grams is None:
         grams = trigram_index(terms)
     qg = query_grams(infix)
+    # (gram, term) rows are unique by construction (array_distinct in
+    # trigram_index), so count(*) == count_distinct(gram) and the agg
+    # partial-combines map-side; rebuild the index if you hand-author one
+    # with duplicate rows.
     cand = (
         grams.filter(F.col("gram").isin(qg))
         .groupBy("term")
-        .agg(F.count_distinct("gram").alias("ng"))
+        .agg(F.count("*").alias("ng"))
         .filter(F.col("ng") == len(qg))
         .select("term")
     )
