@@ -129,3 +129,17 @@ def test_pq_rerank_sims_are_exact(emb, queries, codebooks):
         key = (r["query_id"], r["vec_id"])
         if key in exact:
             assert abs(r["sim"] - exact[key]) < 1e-9
+
+
+def test_pq_write_read_roundtrip(spark, emb, queries, codebooks, tmp_path):
+    from tsidx.ann import pq_read, pq_write
+
+    path = str(tmp_path / "pqidx")
+    codes = pq_encode(emb, codebooks)
+    pq_write(codes, codebooks, path)
+    codes2, cbs2 = pq_read(spark, path)
+    assert cbs2 == codebooks
+    got = pq_topk(codes2, queries, k=5, codebooks=cbs2).collect()
+    want = pq_topk(codes, queries, k=5, codebooks=codebooks).collect()
+    key = lambda r: (r["query_id"], r["vec_id"], round(r["sim"], 12))
+    assert sorted(map(key, got)) == sorted(map(key, want))

@@ -1078,3 +1078,35 @@ def pq_topk_rerank(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def pq_write(
+    codes_df: DataFrame, codebooks: list[list[list[float]]], path: str
+) -> None:
+    """Persist a PQ index: codebooks as JSON (M*K*(dim/M) floats —
+    kilobytes, driver-sized by design) and the codes table as parquet.
+    The codes table is the whole per-vector state (~M bytes/vector), so
+    a 10^12-vector corpus stores terabytes of codes where the float
+    vectors would be ~32x that — the artifact the ADC scan reads."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    codes_df.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    tmp = os.path.join(path, "codebooks.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"codebooks": codebooks}, f)
+    os.replace(tmp, os.path.join(path, "codebooks.json"))
+
+
+def pq_read(spark, path: str) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Load (codes, codebooks) written by :func:`pq_write`; pass both to
+    :func:`pq_topk` / :func:`pq_topk_rerank` to amortize training and
+    encoding across queries (the persistent-index usage)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "codebooks.json")) as f:
+        codebooks = json.load(f)["codebooks"]
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return codes, codebooks
