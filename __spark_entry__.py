@@ -2696,8 +2696,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries each round (confirmed r1/r2), so each round
     # front-loads keys that have never earned a driver-verified row
     # (r3: 47 of the 68 unchecked after r1+r2) behind three stable
-    # canaries. Positions 51-71 hold the remaining unchecked keys (the
-    # next round's window), then the already-verified backlog.
+    # canaries. Positions 51+ hold the remaining unchecked keys — incl.
+    # the round-3 additions (symspell/contains/pq/cross_dedup), which are
+    # the r4 front-load — then the already-verified backlog. All entries
+    # pass the full local gate (tools/check_oracle.py) every round.
     return {
         "index_stats": _q_index_stats,
         "bm25_topk": _q_bm25_topk,
