@@ -34,9 +34,16 @@ def expand_transcripts(spark, sf_dir: str, replicas: int):
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    reps = spark.range(replicas).select(F.col("id").alias("rep"))
     n_parts = max(int(spark.sparkContext.defaultParallelism) * 2, 8)
-    return docs.crossJoin(reps).repartition(n_parts).select(
+    # partitioned replica axis × broadcast docs: the expansion fans out
+    # across n_parts tasks instead of running serially in the one
+    # docs-scan task (docs is the small bench table — bounded broadcast)
+    reps = spark.range(0, replicas, 1, min(replicas, n_parts)).select(
+        F.col("id").alias("rep"))
+    out = reps.crossJoin(F.broadcast(docs))
+    if replicas < n_parts:
+        out = out.repartition(n_parts)
+    return out.select(
         F.format_string(
             "r%03d-c%07d", F.col("rep"), (F.col("doc_id") / 8).cast("long")
         ).alias("conv_id"),

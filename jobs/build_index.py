@@ -74,11 +74,19 @@ def load_transcripts(spark, input_path: str, replicas: int,
     n_parts = max(int(sc.defaultParallelism) * 2, 8)
     docs_pq = os.path.join(input_path, "documents.parquet")
     if os.path.exists(docs_pq):
-        # small-file scan + broadcast cross join would yield 1 partition;
-        # spread the expansion so every downstream stage parallelizes
+        # The replica axis is the streamed (partitioned) side and the small
+        # docs table is broadcast — the reverse (broadcast reps) would run
+        # the whole expansion in the one docs-scan task, a serial prefix
+        # measured at ~15 min for 40M turns. docs here is the bench
+        # documents table (thousands of rows); this expansion path exists
+        # only for synthetic corpus scaling, never for real inputs.
         docs = spark.read.parquet(docs_pq)
-        reps = spark.range(replicas).select(F.col("id").alias("rep"))
-        return docs.crossJoin(reps).repartition(n_parts).select(
+        reps = spark.range(0, replicas, 1, min(replicas, n_parts)).select(
+            F.col("id").alias("rep"))
+        out = reps.crossJoin(F.broadcast(docs))
+        if replicas < n_parts:
+            out = out.repartition(n_parts)
+        return out.select(
             F.format_string(
                 "r%03d-c%07d", F.col("rep"),
                 (F.col("doc_id") / turns_per_conv).cast("long"),
