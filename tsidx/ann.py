@@ -26,6 +26,7 @@ __all__ = [
     "mean_pool",
     "rocchio_topk",
     "cosine_dup_pairs_exact",
+    "max_sim_vs_set",
     "quantize_int8",
     "quantize_write",
     "quantize_read",
@@ -107,6 +108,53 @@ def cosine_dup_pairs_exact(
     pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
     sim = (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim")
     return pairs.select("id_a", "id_b", sim).filter(F.col("sim") >= tau)
+
+
+def max_sim_vs_set(
+    corpus: DataFrame,
+    refset: DataFrame,
+    *,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    ref_id_col: str | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Semantic decontamination: ``(id_col, max_sim, flagged)`` — for every
+    corpus vector, its maximum cosine similarity against ANY reference
+    (benchmark) vector, flagged when ``max_sim >= tau``.
+
+    The embedding-space analog of ``tsidx.decontam.ngram_overlap``
+    (Phi/Llama-style semantic decontamination: drop training docs whose
+    embedding is too close to an eval item even when no n-gram matches).
+
+    Scale shape mirrors decontam: the reference side is an EVAL SET —
+    MBs, not TBs, by definition — so it is broadcast and the corpus is
+    never shuffled: one corpus scan -> map-side cosine against the
+    broadcast rows -> unique-key ``groupBy(id_col)`` max (partial-agg).
+    Corpus-vs-corpus near-dup (both sides unbounded) is the separate
+    LSH/SemDeDup machinery — do not point this at an unbounded refset.
+
+    ``exclude_self`` drops ref rows with the same id as the corpus row
+    (for demos where the refset is a slice of the corpus and self-match
+    should not auto-flag). Deterministic: ``_dot`` accumulates in
+    sequential order.
+    """
+    ref_id = ref_id_col or id_col
+    c = _with_norm(corpus.select(id_col, emb_col), emb_col, "_n")
+    r = _with_norm(
+        refset.select(F.col(ref_id).alias("_rid"), emb_col), emb_col, "_rn"
+    ).select("_rid", F.col("_e").alias("_re"), "_rn")
+    joined = c.crossJoin(F.broadcast(r))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col("_rid"))
+    sim = _dot(F.col("_e"), F.col("_re")) / (F.col("_n") * F.col("_rn"))
+    agg = joined.select(F.col(id_col), sim.alias("_sim")).groupBy(id_col).agg(
+        F.max("_sim").alias("max_sim")
+    )
+    return agg.select(
+        id_col, "max_sim", (F.col("max_sim") >= F.lit(float(tau))).alias("flagged")
+    )
 
 
 def _dot_long(a, b):

@@ -742,6 +742,58 @@ class QueryEngine:
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         )
 
+    def correct_query(
+        self, query: str | list[str], max_dist: int = 2
+    ) -> DataFrame:
+        """Full-query did-you-mean: ``(pos, token, stem, suggestion,
+        dist, df)`` — one row per query token in order.  Tokens whose
+        stem is already in the dictionary correct to themselves
+        (``dist = 0``); out-of-vocabulary tokens get the best dictionary
+        term within ``max_dist`` edits ranked by ``(dist ASC, df DESC,
+        term ASC)``; tokens with no candidate return NULL suggestion.
+
+        Plan: the |q|-row token frame (a bounded driver literal, like
+        every query plan here) is broadcast against ONE scan of the
+        (term, df) dictionary with a JVM ``levenshtein`` filter; the
+        per-token winner comes from a window over the filtered
+        candidates — the window's partition count is |q| and its rows
+        are the handful of near-miss terms, never data-scale. No
+        posting bytes are touched.
+        """
+        from pyspark.sql import Window
+
+        from tsidx.tokenize import break_on_whitespace
+
+        tokens = (
+            break_on_whitespace(query) if isinstance(query, str) else list(query)
+        )
+        rows = [
+            (i, tok, (self.terms_of([tok]) or [tok])[0])
+            for i, tok in enumerate(tokens)
+        ]
+        spark = self.index.docs.sparkSession
+        qdf = spark.createDataFrame(rows, "pos int, token string, stem string")
+        dist = F.levenshtein(F.col("term"), F.col("stem"))
+        cand = (
+            F.broadcast(qdf)
+            .crossJoin(self.index.terms.select("term", "df"))
+            .withColumn("dist", dist)
+            .filter(F.col("dist") <= max_dist)
+        )
+        w = Window.partitionBy("pos").orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("term")
+        )
+        best = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("pos", F.col("term").alias("suggestion"), "dist", "df")
+        )
+        return (
+            qdf.join(best, on="pos", how="left")
+            .select("pos", "token", "stem", "suggestion", "dist", "df")
+            .orderBy("pos")
+        )
+
     def _match_expanded(self, dictionary_predicate) -> DataFrame:
         """Shared plan for dictionary-expansion match modes (fuzzy, suffix,
         regex): one scan of the (term, df) dictionary filtered by

@@ -21,6 +21,7 @@ __all__ = [
     "sample_mix",
     "sample_fixed_n",
     "mixture_rates",
+    "alpha_mixture_rates",
     "mixture_sample",
     "group_split",
     "ngram_counts",
@@ -501,6 +502,56 @@ def mixture_rates(
         F.coalesce(
             F.round(F.col("w") * F.col("t"), 4), F.lit(0.0)
         ).alias("expected_tokens"),
+    )
+
+
+def alpha_mixture_rates(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-smoothed mixture planning (mBERT/XLM-R-style
+    alpha-sampling): target weights are DERIVED from the corpus itself,
+
+        w_s = n_s^alpha / sum_t n_t^alpha
+
+    (alpha < 1 up-weights small strata / down-weights dominant ones;
+    alpha = 1 reproduces natural proportions, alpha = 0 is uniform),
+    then the same no-upsampling water fill as :func:`mixture_rates`:
+    ``T = min_s n_s / w_s`` and ``rate_s = w_s * T / n_s``.  With
+    w ∝ n^alpha the binding (kept-whole) stratum is the SMALLEST one
+    for alpha < 1.
+
+    Returns ``(strata_col, n_tokens, weight, rate, expected_tokens)``.
+    Plan: ONE corpus token-count aggregation (map-side combined on the
+    bounded stratum key); everything after operates on the |strata|-row
+    result — the corpus is never shuffled.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = docs.groupBy(strata_col).agg(
+        F.sum(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).cast("long").alias("n_tokens")
+    )
+    counts = counts.localCheckpoint(eager=False)
+    pow_col = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    with_pow = counts.withColumn("_p", pow_col)
+    tot = with_pow.agg(F.sum("_p").alias("_tot"))
+    weighted = with_pow.crossJoin(F.broadcast(tot)).withColumn(
+        "weight", F.col("_p") / F.col("_tot")
+    )
+    weighted = weighted.localCheckpoint(eager=False)
+    t_row = weighted.agg(
+        F.min(F.col("n_tokens") / F.col("weight")).alias("t")
+    )
+    return weighted.crossJoin(F.broadcast(t_row)).select(
+        strata_col,
+        "n_tokens",
+        "weight",
+        (F.col("weight") * F.col("t") / F.col("n_tokens")).alias("rate"),
+        F.round(F.col("weight") * F.col("t"), 4).alias("expected_tokens"),
     )
 
 
