@@ -158,17 +158,19 @@ def _py_nb(labeled, positive, alpha):
                 n_neg += 1
     v = len(vocab)
     dp, dn = n_pos + alpha * v, n_neg + alpha * v
-    logodds = {
+    lo6 = {
         t: round(
-            math.log((c_pos.get(t, 0) + alpha) / dp)
-            - math.log((c_neg.get(t, 0) + alpha) / dn),
-            6,
+            (
+                math.log((c_pos.get(t, 0) + alpha) / dp)
+                - math.log((c_neg.get(t, 0) + alpha) / dn)
+            )
+            * 1e6
         )
         for t in vocab
     }
-    default = round(math.log(alpha / dp) - math.log(alpha / dn), 6)
-    prior = round(math.log(d_pos) - math.log(d_neg), 6)
-    return logodds, default, prior
+    default6 = round((math.log(alpha / dp) - math.log(alpha / dn)) * 1e6)
+    prior6 = round((math.log(d_pos) - math.log(d_neg)) * 1e6)
+    return lo6, default6, prior6
 
 
 LABELED = [
@@ -192,11 +194,13 @@ def test_train_nb_matches_python(spark):
 
     df = spark.createDataFrame(LABELED, "doc_id long, text string, label string")
     model, params = train_nb(df, positive="hq", alpha=0.5)
-    want_lo, want_default, want_prior = _py_nb(LABELED, "hq", 0.5)
-    got = {r.term: r.logodds for r in model.collect()}
-    assert got == pytest.approx(want_lo)
-    assert params["default"] == pytest.approx(want_default)
-    assert params["prior"] == pytest.approx(want_prior)
+    want_lo6, want_default6, want_prior6 = _py_nb(LABELED, "hq", 0.5)
+    got = {r.term: (r.lo6, r.logodds) for r in model.collect()}
+    assert {t: l for t, (l, _) in got.items()} == want_lo6
+    for t, (l, disp) in got.items():
+        assert disp == pytest.approx(l / 1e6)
+    assert params["default6"] == want_default6
+    assert params["prior6"] == want_prior6
 
 
 def test_nb_score_matches_python(spark):
@@ -205,12 +209,13 @@ def test_nb_score_matches_python(spark):
     lab = spark.createDataFrame(LABELED, "doc_id long, text string, label string")
     docs = spark.createDataFrame(SCORE_DOCS, "doc_id long, text string")
     model, params = train_nb(lab, positive="hq", alpha=0.5)
-    lo, default, prior = _py_nb(LABELED, "hq", 0.5)
+    lo6, default6, prior6 = _py_nb(LABELED, "hq", 0.5)
 
     got = {r.doc_id: (r.score, r.positive) for r in
            nb_score(docs, model, params).collect()}
     for doc_id, text in SCORE_DOCS:
-        s = round(prior + sum(lo.get(t, default) for t in text.split()), 3)
+        s6 = prior6 + sum(lo6.get(t, default6) for t in text.split())
+        s = round(s6 / 1e6, 3)
         assert got[doc_id] == (pytest.approx(s), s > 0)
 
     kept = {r.doc_id for r in nb_filter(docs, model, params).collect()}

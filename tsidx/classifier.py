@@ -27,11 +27,14 @@ Scale design (100 TB corpus, labeled seed set much smaller):
   (NO broadcast hint — vocabulary tables can exceed broadcast size at
   web scale; AQE picks BHJ while small and skew-splits the SMJ on hot
   stopword terms) -> unique-key ``groupBy(doc_id)`` sum.
-- Float determinism: per-term log-odds are rounded to 6 decimals when
-  the model is built and the per-doc sum is rounded again by callers
-  (the repo-wide ``round_dims`` discipline), so accumulation order
-  cannot flip classifications across partitionings except at
-  measure-zero boundaries.
+- Float determinism: per-term log-odds are stored as **micro-nat
+  integers** (``lo6 = round(logodds * 1e6)``, a BIGINT) and the per-doc
+  score is an exact integer sum divided once at the end — integer
+  accumulation is order-independent, so the score is bit-identical
+  across partitionings and engines.  (Summing 6-decimal-rounded DOUBLES
+  instead puts scores exactly on round-half boundaries — the values sit
+  on a 1e-6 grid — and addition order then flips the displayed digit;
+  measured on the sf0.01 gate corpus before this design.)
 
 No reference equivalent (the reference has no classifier); this is a
 training-data-pipeline operator per the build brief.
@@ -68,10 +71,11 @@ def train_nb(
     """Train the two-class NB model on a labeled seed set.
 
     Returns ``(model, params)``: ``model`` is a vocabulary-bounded
-    ``(term, logodds)`` DataFrame (log-odds rounded to 6 decimals);
-    ``params`` carries ``default`` (unseen-term log-odds), ``prior``
-    (labeled doc-count log ratio), and the raw counts for inspection.
-    Rows whose label is NULL are ignored.
+    ``(term, logodds, lo6)`` DataFrame — ``lo6`` is the micro-nat
+    integer the scorer accumulates, ``logodds = lo6 / 1e6`` for
+    inspection; ``params`` carries ``default``/``default6``
+    (unseen-term log-odds), ``prior``/``prior6`` (labeled doc-count log
+    ratio), and the raw counts. Rows whose label is NULL are ignored.
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
@@ -104,19 +108,27 @@ def train_nb(
         )
     denom_pos = n_pos + alpha * v
     denom_neg = n_neg + alpha * v
+    lo6 = F.round(
+        (
+            F.log((F.col("c_pos") + F.lit(alpha)) / F.lit(denom_pos))
+            - F.log((F.col("c_neg") + F.lit(alpha)) / F.lit(denom_neg))
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
     model = counts.select(
         "term",
-        F.round(
-            F.log((F.col("c_pos") + F.lit(alpha)) / F.lit(denom_pos))
-            - F.log((F.col("c_neg") + F.lit(alpha)) / F.lit(denom_neg)),
-            6,
-        ).alias("logodds"),
+        lo6.alias("lo6"),
+    ).withColumn("logodds", F.col("lo6") / F.lit(1e6))
+    default6 = round(
+        (math.log(alpha / denom_pos) - math.log(alpha / denom_neg)) * 1e6
     )
+    prior6 = round((math.log(d_pos) - math.log(d_neg)) * 1e6)
     params = {
-        "default": round(
-            math.log(alpha / denom_pos) - math.log(alpha / denom_neg), 6
-        ),
-        "prior": round(math.log(d_pos) - math.log(d_neg), 6),
+        "default6": default6,
+        "prior6": prior6,
+        "default": default6 / 1e6,
+        "prior": prior6 / 1e6,
         "alpha": alpha,
         "n_pos": n_pos,
         "n_neg": n_neg,
@@ -140,17 +152,22 @@ def nb_score(
 
     ``score = prior + sum(logodds or default per token)``, rounded to
     ``round_to`` decimals; ``positive = score > 0``. One corpus scan,
-    no-hint model join, unique-key doc agg.
+    no-hint model join, unique-key doc agg.  The sum runs over the
+    micro-nat integers (``lo6``) with a LONG accumulator and divides
+    once — order-independent, so the score is engine- and
+    partitioning-stable bit for bit.
     """
     stream = _token_stream(docs, id_col, text_col)
-    joined = stream.join(model, on="term", how="left")
+    joined = stream.join(model.select("term", "lo6"), on="term", how="left")
     agg = joined.groupBy(id_col).agg(
         F.count("term").alias("n_tokens"),
         F.sum(
-            F.coalesce(F.col("logodds"), F.lit(float(params["default"])))
-        ).alias("_s"),
+            F.coalesce(F.col("lo6"), F.lit(int(params["default6"])))
+        ).alias("_s6"),
     )
-    score = F.round(F.col("_s") + F.lit(float(params["prior"])), round_to)
+    score = F.round(
+        (F.col("_s6") + F.lit(int(params["prior6"]))) / F.lit(1e6), round_to
+    )
     return agg.select(
         id_col,
         "n_tokens",
