@@ -449,6 +449,41 @@ def main():
     repeated_spans(docs_flat, n=8, min_count=2).count()
     timings["repeated_spans"] = time.time() - t0
 
+    # round-3 additions at full transcript scale. chunk_docs is map-only
+    # (scan speed; sum forces the window assembly). Line dedup: the
+    # replicated corpus is its worst case — every derived line repeats
+    # ~replicas times, so ~100% of lines strip (real corpora strip a few
+    # percent); the timing covers the 8-byte-hash df agg + reassembly.
+    from tsidx.chunk import chunk_docs, strip_boilerplate_lines
+
+    t0 = time.time()
+    chunk_docs(docs_flat, 16, 8, min_tokens=4).agg(
+        F.sum("n_tokens")
+    ).collect()
+    timings["chunk_docs"] = time.time() - t0
+
+    lined = docs_flat.withColumn(
+        "text", F.regexp_replace("text", r"(\S+\s+\S+)\s+", "$1\n")
+    )
+    t0 = time.time()
+    strip_boilerplate_lines(lined, min_docs=20).agg(
+        F.sum("n_removed")
+    ).collect()
+    timings["strip_lines"] = time.time() - t0
+
+    # NB classifier filtering: train on a 1/3 seed slice (deterministic
+    # two-class split), score the whole corpus (one scan + model join)
+    from tsidx.classifier import nb_score, train_nb
+
+    t0 = time.time()
+    nb_seed = docs_flat.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        "doc_id", "text",
+        (F.pmod(F.col("doc_id"), F.lit(2)) == 0).alias("label"),
+    )
+    nb_model, nb_params = train_nb(nb_seed, positive=True)
+    nb_score(docs_flat, nb_model, nb_params).agg(F.sum("score")).collect()
+    timings["nb_quality"] = time.time() - t0
+
     total = sum(timings.values())
     print(
         json.dumps(

@@ -788,8 +788,11 @@ class QueryEngine:
             .filter(F.col("_rn") == 1)
             .select("pos", F.col("term").alias("suggestion"), "dist", "df")
         )
+        # best has at most |q| rows (one winner per token) — a bounded
+        # broadcast by construction, so hint it rather than let the
+        # planner fall back to a sort-merge join on a |q|-row frame.
         return (
-            qdf.join(best, on="pos", how="left")
+            qdf.join(F.broadcast(best), on="pos", how="left")
             .select("pos", "token", "stem", "suggestion", "dist", "df")
             .orderBy("pos")
         )
