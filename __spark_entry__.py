@@ -2836,6 +2836,39 @@ def _q_query_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEDUP_NORM_OFFSET = 100_000  # variant copies get doc_id + offset
+
+
+def _q_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup (CCNet-style normalize-then-hash): the
+    corpus is unioned with a deterministically mutated copy of itself
+    (uppercased, commas injected), and grouping on the analyzer-folded,
+    whitespace-canonicalized text collapses each (original, variant)
+    pair — case/accent/punctuation variants dedup that raw exact dedup
+    misses. Same one-shuffle hash-groupBy plan as ``dedup_exact``, keyed
+    on the folded form."""
+    from tsidx.analyze import fold_expr
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + DEDUP_NORM_OFFSET).alias("doc_id"),
+        F.regexp_replace(F.upper(F.col("text")), " ", ", ").alias("text"),
+    )
+    union = docs.unionByName(variants)
+    ntext = F.array_join(
+        F.split(F.trim(fold_expr("text")), r"\s+"), " "
+    ).alias("ntext")
+    return (
+        union.select("doc_id", ntext)
+        .groupBy("ntext")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+        .select("keep_doc_id", "n_dups")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate records only
     # the FIRST 50 entries each round (confirmed r1/r2), so each round
@@ -2857,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": _q_semantic_decontam,
         "alpha_mixture": _q_alpha_mixture,
         "query_correct": _q_query_correct,
+        "dedup_norm": _q_dedup_norm,
         "dup_clusters": _q_dup_clusters,
         "cluster_split": _q_cluster_split,
         "conv_embedding": _q_conv_embedding,
@@ -5000,6 +5034,23 @@ cand AS (
 SELECT q.pos::BIGINT AS pos, q.token, q.stem, c.term AS suggestion,
        c.dist, c.df
 FROM q LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c ON q.pos = c.pos""",
+        "dedup_norm": f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DEDUP_NORM_OFFSET}, replace(upper(text), ' ', ', ')
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+         array_to_string(regexp_split_to_array(trim(
+           regexp_replace(translate(lower(text), '{ACCENT_SRC}', '{ACCENT_DST}'),
+                          '[^\\w\\s]', ' ', 'g')
+         ), '\\s+'), ' ') AS ntext
+  FROM u
+)
+SELECT min(doc_id)::BIGINT AS keep_doc_id, count(*)::BIGINT AS n_dups
+FROM n GROUP BY ntext""",
         "decontam_overlap": f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
