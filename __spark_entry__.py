@@ -1714,6 +1714,94 @@ def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 4  # fingerprint gram length (tokens)
+WINNOW_W = 5  # winnowing window (grams) — guarantee length w + k - 1 = 8
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_KEY_DF = 50  # boilerplate-fingerprint quadratic cap
+
+
+def _q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (tsidx/winnow.py): per doc, the
+    rightmost-minimum md5 gram hash of every w-gram window — local
+    fingerprints that localize shared passages (Schleimer et al. 2003).
+    Map-only: selection is a JVM higher-order fold, zero shuffles."""
+    from tsidx.winnow import winnow_fingerprints
+
+    docs = load_documents(spark, sf_dir)
+    return winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W).select(
+        F.col("doc_id").cast("long"), F.col("pos").cast("long"), "fp"
+    )
+
+
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism/quote-reuse candidates: doc pairs sharing >= MIN_SHARED
+    distinct winnowing fingerprint values, boilerplate fingerprints capped
+    at MAX_KEY_DF docs (tsidx/winnow.py::winnow_pairs)."""
+    from tsidx.winnow import winnow_fingerprints, winnow_pairs
+
+    docs = load_documents(spark, sf_dir)
+    fps = winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+    return winnow_pairs(
+        fps, min_shared=WINNOW_MIN_SHARED, max_key_df=WINNOW_MAX_KEY_DF
+    ).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("n_shared").cast("long"),
+    )
+
+
+LLR_MIN_PAIR = 5  # collocation evidence floor
+
+#: DuckDB replay of the winnowing selection (tsidx/winnow.py): gram q
+#: belongs to windows j in [q-w+1, q] ∩ [1, n_windows]; per window the
+#: minimum hash wins with the RIGHTMOST tie rule (max q among the minima),
+#: matching the Spark fold's `<=` accumulator. Yields CTE `fps`.
+_WINNOW_FPS_CTE_SQL = f"""wtoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS q,
+         md5(array_to_string(t[i:i+{WINNOW_K}-1], ' ')) AS g,
+         greatest(len(t) - {WINNOW_K} + 1, 1) AS ng
+  FROM wtoks,
+       unnest(range(1, greatest(len(t) - {WINNOW_K} + 1, 1) + 1)) AS u(i)
+),
+wins AS (
+  SELECT doc_id, j, q, g
+  FROM grams,
+       unnest(range(greatest(q - {WINNOW_W} + 1, 1),
+                    least(q, greatest(ng - {WINNOW_W} + 1, 1)) + 1)) AS v(j)
+),
+wsel AS (SELECT doc_id, j, min(g) AS h FROM wins GROUP BY doc_id, j),
+wpos AS (
+  SELECT w.doc_id, w.j, s.h, max(w.q) AS p
+  FROM wins w JOIN wsel s ON w.doc_id = s.doc_id AND w.j = s.j AND w.g = s.h
+  GROUP BY w.doc_id, w.j, s.h
+),
+fps AS (SELECT DISTINCT doc_id, p AS pos, h AS fp FROM wpos)"""
+
+
+def _llr_term_sql(k: str, row: str, col: str) -> str:
+    """One G² contingency cell in DuckDB, operand order mirroring
+    tsidx/cooccur.py::collocations_llr so the doubles agree pre-round."""
+    return (
+        f"(CASE WHEN {k} > 0 THEN {k}::DOUBLE * "
+        f"ln((n::DOUBLE * {k}::DOUBLE) / ({row}::DOUBLE * {col}::DOUBLE)) "
+        f"ELSE 0.0 END)"
+    )
+
+
+def _q_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram collocations ranked by Dunning's G² log-likelihood
+    ratio (tsidx/cooccur.py::collocations_llr) — the standard
+    phrase-induction statistic; one corpus-scale bigram agg, marginals
+    re-aggregated from the vocabulary²-bounded pair table."""
+    from tsidx.cooccur import collocations_llr
+
+    docs = load_documents(spark, sf_dir)
+    return collocations_llr(docs, min_pair=LLR_MIN_PAIR)
+
+
 PACK_BUDGET = 200  # tokens per training shard
 
 
@@ -2944,6 +3032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": _q_pq_ann_topk,
         "pq_ann_recall": _q_pq_ann_recall,
         "cross_dedup": _q_cross_dedup,
+        "winnow_fps": _q_winnow_fps,
+        "winnow_pairs": _q_winnow_pairs,
+        "collocations_llr": _q_collocations_llr,
         "impact_pruned_rows": _q_impact_pruned_rows,
         "doc_keywords": _q_doc_keywords,
         "conv_stats": _q_conv_stats,
@@ -4189,6 +4280,45 @@ WITH ref AS (
 SELECT d.doc_id, (ref.tkey IS NOT NULL) AS is_dup
 FROM documents d LEFT JOIN ref ON md5(d.text) = ref.tkey
 WHERE d.doc_id % 2 = 1""",
+        "winnow_fps": f"""
+WITH {_WINNOW_FPS_CTE_SQL}
+SELECT doc_id, pos, fp FROM fps""",
+        "winnow_pairs": f"""
+WITH {_WINNOW_FPS_CTE_SQL},
+inc AS (SELECT DISTINCT fp, doc_id FROM fps),
+keyed AS (
+  SELECT fp FROM inc GROUP BY fp
+  HAVING count(*) <= {WINNOW_MAX_KEY_DF}
+),
+prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inc a JOIN inc b USING (fp) JOIN keyed USING (fp)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, count(*)::BIGINT AS n_shared
+FROM prs GROUP BY id_a, id_b HAVING count(*) >= {WINNOW_MIN_SHARED}""",
+        "collocations_llr": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+bg AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+  WHERE i < len(t)
+),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS k11 FROM bg GROUP BY w1, w2),
+rws AS (SELECT w1, sum(k11)::BIGINT AS r1 FROM c12 GROUP BY w1),
+cls AS (SELECT w2, sum(k11)::BIGINT AS c1 FROM c12 GROUP BY w2),
+nn AS (SELECT sum(k11)::BIGINT AS n FROM c12)
+SELECT c12.w1, c12.w2, k11 AS pair_count,
+       round(2.0 * (
+    {_llr_term_sql('k11', 'r1', 'c1')}
+  + {_llr_term_sql('(r1 - k11)', 'r1', '(n - c1)')}
+  + {_llr_term_sql('(c1 - k11)', '(n - r1)', 'c1')}
+  + {_llr_term_sql('(n - r1 - c1 + k11)', '(n - r1)', '(n - c1)')}
+       ), 4) AS llr_r
+FROM c12 JOIN rws USING (w1) JOIN cls USING (w2) CROSS JOIN nn
+WHERE k11 >= {LLR_MIN_PAIR}""",
         "suffix_match": f"""
 WITH {terms_cte}
 SELECT DISTINCT doc_id FROM trm WHERE term LIKE '%{SUFFIX_Q}'""",

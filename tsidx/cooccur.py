@@ -29,7 +29,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cooccurrence_pmi"]
+__all__ = ["cooccurrence_pmi", "collocations_llr"]
 
 
 def cooccurrence_pmi(
@@ -98,4 +98,93 @@ def cooccurrence_pmi(
         pairs.join(F.broadcast(da), "term_a")
         .join(F.broadcast(db), "term_b")
         .select("term_a", "term_b", "df_ab", pmi.alias("pmi"))
+    )
+
+
+def collocations_llr(
+    docs: DataFrame,
+    *,
+    min_pair: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(w1, w2, pair_count, llr_r)`` — adjacent-bigram collocations
+    ranked by Dunning's log-likelihood ratio (G², "Accurate Methods for
+    the Statistics of Surprise and Coincidence", CL 1993). Unlike PMI
+    (which over-rewards rare pairs), G² weighs evidence mass, so it is
+    the standard phrase-induction statistic at corpus scale.
+
+    Contingency per ordered pair over the corpus bigram stream:
+    ``k11 = c(w1 w2)``, row marginal ``r1 = c(w1 ·)``, column marginal
+    ``c1 = c(· w2)``, ``N`` = total bigrams;
+    ``G² = 2·Σ k_ij·ln(N·k_ij / (row_i·col_j))`` over the four cells,
+    zero-count cells contributing 0. ``llr_r`` is rounded to 4 decimals
+    so the statistic is engine-stable (same convention as lm_quality's
+    xent_r).
+
+    Scale design: ONE corpus-scale aggregation (the (w1, w2) bigram
+    count — partial-agg combines per partition before the shuffle);
+    the pair table is lazily ``localCheckpoint``-ed so the N collect
+    materializes it ONCE and both marginals plus the final join reuse
+    that vocabulary²-bounded result instead of re-expanding the corpus
+    lineage (plan-audited: without the checkpoint Catalyst re-scans the
+    corpus three times). N is a 1-row aggregate. The marginal joins are
+    vocabulary-bounded — no hint, AQE picks the strategy. Token
+    convention matches tsidx/lmquality.py (raw whitespace tokens via
+    doc_bigrams).
+    """
+    from tsidx.lmquality import doc_bigrams
+
+    bg = doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("k11"))
+        .localCheckpoint(eager=False)
+    )
+    rows = c12.groupBy("w1").agg(F.sum("k11").alias("r1"))
+    cols = c12.groupBy("w2").agg(F.sum("k11").alias("c1"))
+    n = c12.agg(F.sum("k11").alias("n")).collect()[0]["n"]  # 1-row agg
+    if n is None or int(n) == 0:
+        return c12.select(
+            "w1",
+            "w2",
+            F.col("k11").alias("pair_count"),
+            F.lit(0.0).alias("llr_r"),
+        ).limit(0)
+    n = int(n)
+
+    def term(k: str, row: str, col: str) -> str:
+        # k * ln(N*k / (row*col)) with the exact operand order mirrored
+        # in the oracle SQL so the doubles agree before rounding
+        return (
+            f"(CASE WHEN {k} > 0 THEN cast({k} as double) * "
+            f"ln((cast({n} as double) * cast({k} as double)) / "
+            f"(cast({row} as double) * cast({col} as double))) "
+            f"ELSE 0.0 END)"
+        )
+
+    g2 = (
+        "round(2.0 * ("
+        + " + ".join(
+            [
+                term("k11", "r1", "c1"),
+                term(f"(r1 - k11)", "r1", f"({n} - c1)"),
+                term(f"(c1 - k11)", f"({n} - r1)", "c1"),
+                term(
+                    f"({n} - r1 - c1 + k11)", f"({n} - r1)", f"({n} - c1)"
+                ),
+            ]
+        )
+        + "), 4)"
+    )
+    return (
+        c12.filter(F.col("k11") >= int(min_pair))
+        .join(rows, "w1")
+        .join(cols, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("k11").cast("long").alias("pair_count"),
+            F.expr(g2).alias("llr_r"),
+        )
     )
