@@ -1698,6 +1698,23 @@ def _q_contains_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxScore term-pruned top-k (tsidx/maxscore.py) — bit-identical to
+    the naive BM25 plan by construction (safe term pruning: skipped docs
+    carry only non-essential terms whose bounds sum below θ), so it
+    shares bm25_topk's oracle SQL. ``small_candidate_limit=0`` forces
+    the seed/partition/prune path so the gate exercises the pruning
+    machinery, not the fast path."""
+    from tsidx.maxscore import maxscore_topk
+
+    idx = get_index(spark, sf_dir)
+    return maxscore_topk(
+        idx, Q_BM25, Q_BM25_K, small_candidate_limit=0
+    ).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
+
+
 def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest exact dedup (tsidx/dedup.py::cross_dedup_exact):
     the odd-doc_id half of the corpus arrives as the new batch and is
@@ -3035,6 +3052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": _q_winnow_fps,
         "winnow_pairs": _q_winnow_pairs,
         "collocations_llr": _q_collocations_llr,
+        "maxscore_topk": _q_maxscore_topk,
         "impact_pruned_rows": _q_impact_pruned_rows,
         "doc_keywords": _q_doc_keywords,
         "conv_stats": _q_conv_stats,
@@ -4114,6 +4132,11 @@ WHERE len(list_intersect(stems.st, reg.terms)) >= reg.min_match""",
         # WAND is rank- and score-identical to the naive plan by
         # construction, so it shares the bm25_topk oracle verbatim
         "wand_topk": f"""
+SELECT * FROM ({_bm25_scores_sql(Q_BM25)})
+ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
+        # MaxScore is rank- and score-identical to the naive plan by
+        # construction, so it too shares the bm25_topk oracle verbatim
+        "maxscore_topk": f"""
 SELECT * FROM ({_bm25_scores_sql(Q_BM25)})
 ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "bm25_scores_rare": _bm25_scores_sql(Q_RARE),
