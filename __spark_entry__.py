@@ -1478,6 +1478,42 @@ def _phrase_df(spark: SparkSession, sf_dir: str, phrase: str) -> DataFrame:
     )
 
 
+CDC_K, CDC_MOD = 3, 8  # gram length / boundary modulus (≈ chunk length)
+
+
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (tsidx/chunk.py::cdc_chunks): LBFS-style
+    gram-hash boundaries — edits re-chunk only their neighborhood, so
+    chunk-level dedup survives crawl-snapshot drift. Map-only."""
+    from tsidx.chunk import cdc_chunks
+
+    docs = load_documents(spark, sf_dir)
+    return cdc_chunks(docs, k=CDC_K, mod=CDC_MOD).select(
+        F.col("doc_id").cast("long"), "chunk_id", "n_tokens", "chunk"
+    )
+
+
+KWIC_QUERY = "merge window"
+KWIC_BEFORE, KWIC_AFTER = 3, 3
+
+
+def _q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance (tsidx/positions.py::kwic): every
+    occurrence of the query stems with raw-token context windows; hit
+    positions come from the positional index, context extraction is a
+    map-only JVM slice over the docs join."""
+    from tsidx.positions import kwic
+
+    idx = get_index(spark, sf_dir)
+    return kwic(
+        get_positional(spark, sf_dir),
+        idx.docs,
+        KWIC_QUERY,
+        before=KWIC_BEFORE,
+        after=KWIC_AFTER,
+    )
+
+
 def _q_phrase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-phrase search (positional postings): docs containing the
     consecutive stemmed bigram Q_PHRASE, with occurrence counts."""
@@ -3053,6 +3089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "collocations_llr": _q_collocations_llr,
         "maxscore_topk": _q_maxscore_topk,
+        "kwic": _q_kwic,
+        "cdc_chunks": _q_cdc_chunks,
         "impact_pruned_rows": _q_impact_pruned_rows,
         "doc_keywords": _q_doc_keywords,
         "conv_stats": _q_conv_stats,
@@ -4139,6 +4177,51 @@ ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "maxscore_topk": f"""
 SELECT * FROM ({_bm25_scores_sql(Q_BM25)})
 ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
+        "kwic": f"""
+WITH ta AS (
+  SELECT doc_id, {_toks_sql()} AS t FROM documents WHERE trim(text) <> ''
+),
+tp AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) - 1 AS p
+  FROM ta
+),
+khits AS (
+  SELECT doc_id, p
+  FROM (SELECT doc_id, {_stem_case_sql()} AS term, p FROM tp)
+  WHERE term IN ({_terms_in(KWIC_QUERY)})
+)
+SELECT h.doc_id, h.p::INT AS pos,
+       coalesce(
+         array_to_string(t[greatest(h.p + 1 - {KWIC_BEFORE}, 1) : h.p], ' '),
+         '') AS "left",
+       t[h.p + 1] AS hit,
+       coalesce(array_to_string(t[h.p + 2 : h.p + 1 + {KWIC_AFTER}], ' '), '')
+         AS "right"
+FROM khits h JOIN ta USING (doc_id)""",
+        "cdc_chunks": f"""
+WITH ta AS (SELECT doc_id, {_toks_sql()} AS t FROM documents),
+cut AS (
+  SELECT doc_id,
+         unnest(list_filter(range({CDC_K}, len(t) + 1),
+           i -> (('0x' || substr(md5(array_to_string(
+                    t[i - {CDC_K} + 1 : i], ' ')), 1, 15))::BIGINT
+                 % {CDC_MOD}) = 0)) AS c
+  FROM ta
+),
+tp AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) AS p
+  FROM ta
+),
+tc AS (
+  SELECT tp.doc_id, tp.p, tp.tok, count(cut.c) AS chunk_id
+  FROM tp LEFT JOIN cut ON cut.doc_id = tp.doc_id AND cut.c < tp.p
+  GROUP BY tp.doc_id, tp.p, tp.tok
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id, count(*)::BIGINT AS n_tokens,
+       string_agg(tok, ' ' ORDER BY p) AS chunk
+FROM tc GROUP BY doc_id, chunk_id""",
         "bm25_scores_rare": _bm25_scores_sql(Q_RARE),
         "bm25_topk_multi": _bm25_multi_sql(MULTI_QUERIES, MULTI_K),
         # batched WAND is rank- and score-identical to the naive batch

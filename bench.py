@@ -160,6 +160,10 @@ def main():
         "wand_topk_wide",
         lambda: eng.wand_topk("vector stream dup small batch", 100).collect(),
     )
+    p50(
+        "maxscore_topk",
+        lambda: eng.maxscore_topk("customer query merge", 25).collect(),
+    )
 
     p50(
         "bool_search",

@@ -361,3 +361,93 @@ def test_correct_query(spark):
     assert out[1] == ("tabel", "tabl", 1)
     assert out[2] == ("zzzzzz", None, None)
     assert out[3] == ("scan", "scan", 0)
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks (content-defined chunking)
+# ---------------------------------------------------------------------------
+
+
+def _md5_mod(gram: str, mod: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16) % mod
+
+
+def _py_cdc(text: str, k: int, mod: int):
+    # Spark's split(trim(x), '\s+') yields [''] for empty text — one
+    # empty token, one empty chunk; mirror that convention here
+    toks = text.strip().split() or [""]
+    n = len(toks)
+    cuts = [
+        i
+        for i in range(k, n + 1)
+        if _md5_mod(" ".join(toks[i - k : i]), mod) == 0
+    ]
+    bounds = [0] + sorted(set(cuts) | {n} if n else {n})
+    bounds = sorted(set(bounds))
+    out = []
+    for j in range(len(bounds) - 1):
+        c = toks[bounds[j] : bounds[j + 1]]
+        out.append((j, len(c), " ".join(c)))
+    return out
+
+
+@pytest.mark.parametrize("k,mod", [(3, 4), (2, 8), (1, 2), (4, 1000000)])
+def test_cdc_chunks_matches_python(spark, k, mod):
+    import random
+
+    from tsidx.chunk import cdc_chunks
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(20)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 60))))
+        for i in range(25)
+    ] + [(100, ""), (101, "one"), (102, "a b c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(df, k=k, mod=mod).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_id, r.n_tokens, r.chunk))
+    for d in got:
+        got[d].sort()
+    want = {d: _py_cdc(t, k, mod) for d, t in docs}
+    assert got == want
+    # chunks reassemble the document exactly
+    for d, t in docs:
+        assert " ".join(c for _, _, c in got[d]) == " ".join(t.strip().split())
+
+
+def test_cdc_chunks_stable_under_insertion(spark):
+    """The content-defined property: an insertion near the head re-chunks
+    only its neighborhood — chunks further than k tokens past the edit
+    are identical in both versions."""
+    import random
+
+    from tsidx.chunk import cdc_chunks
+
+    rng = random.Random(9)
+    vocab = [f"t{i}" for i in range(30)]
+    body = [rng.choice(vocab) for _ in range(400)]
+    orig = " ".join(body)
+    edited = " ".join(body[:5] + ["INSERTED"] + body[5:])
+    df = spark.createDataFrame(
+        [(0, orig), (1, edited)], "doc_id long, text string"
+    )
+    by_doc = {0: set(), 1: set()}
+    for r in cdc_chunks(df, k=3, mod=8).collect():
+        by_doc[r.doc_id].add(r.chunk)
+    shared = by_doc[0] & by_doc[1]
+    # the overwhelming majority of chunks survive the edit (fixed windows
+    # would share almost nothing: every boundary after the insert shifts)
+    assert len(shared) >= 0.7 * len(by_doc[0])
+
+
+def test_cdc_chunks_rejects_bad_params(spark):
+    from tsidx.chunk import cdc_chunks
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        cdc_chunks(df, k=0)
+    with pytest.raises(ValueError):
+        cdc_chunks(df, mod=0)

@@ -511,3 +511,53 @@ def test_phrase_prefix_edges(spark, sonnets_positional):
         phrase_prefix_counts(
             sonnets_positional, "of t*", terms_df, max_expansion=1
         )
+
+
+# ---------------------------------------------------------------------------
+# kwic (keyword-in-context concordance)
+# ---------------------------------------------------------------------------
+
+
+def _py_kwic(docs, query, before, after):
+    from tsidx.tokenize import query_terms
+
+    qt = set(query_terms(query))
+    out = set()
+    for doc_id, text in docs:
+        toks = text.split()
+        for i, t in enumerate(toks):
+            if stem(t) in qt:
+                out.add(
+                    (
+                        doc_id,
+                        i,
+                        " ".join(toks[max(i - before, 0) : i]),
+                        t,
+                        " ".join(toks[i + 1 : i + 1 + after]),
+                    )
+                )
+    return out
+
+
+@pytest.mark.parametrize(
+    "query,before,after",
+    [("quick", 3, 3), ("quick brown", 2, 1), ("dog fox", 0, 5), ("jumping", 4, 0)],
+)
+def test_kwic_matches_python(spark, positional, query, before, after):
+    from tsidx.positions import kwic
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos, r.left, r.hit, r.right)
+        for r in kwic(
+            positional, docs, query, before=before, after=after
+        ).collect()
+    }
+    assert got == _py_kwic(CORPUS, query, before, after)
+
+
+def test_kwic_empty_query(spark, positional):
+    from tsidx.positions import kwic
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    assert kwic(positional, docs, "").collect() == []

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "chunk_docs",
+    "cdc_chunks",
     "split_lines",
     "boilerplate_lines",
     "strip_boilerplate_lines",
@@ -95,6 +96,73 @@ def chunk_docs(
         "chunk_id",
         F.size("_c").alias("n_tokens"),
         F.array_join("_c", " ").alias("chunk"),
+    )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    mod: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id_col, chunk_id, n_tokens, chunk)`` — content-defined
+    chunking: cut AFTER token ``i`` (1-based, ``i >= k``) whenever the
+    md5-derived hash of the k-token gram ending at ``i`` is ``0 mod
+    mod``. The LBFS/rsync boundary rule lifted to token streams: chunk
+    boundaries are a pure function of LOCAL content, so an insertion or
+    deletion re-chunks only its neighborhood — unlike fixed windows
+    (:func:`chunk_docs`) where one edit shifts every later chunk. The
+    chunk-level-dedup-friendly splitter for crawl snapshots that drift
+    between dumps; expected chunk length ≈ *mod* tokens.
+
+    The hash is ``conv(substr(md5(gram), 1, 15), 16, 10) % mod`` — the
+    engine-reproducible md5 convention shared with
+    ``tsidx.textstats.group_split`` (any engine replays the exact
+    boundaries; the DuckDB oracle twin does).
+
+    Map-only plan: token array bound as its own projection, cut
+    positions via ``filter(sequence(...))``, chunk ranges assembled
+    from the boundary array, ``posexplode``. Zero shuffles.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if mod < 1:
+        raise ValueError(f"mod must be >= 1, got {mod}")
+    with_t = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_t")
+    )
+    gram_hash = (
+        f"cast(conv(substring(md5(concat_ws(' ', slice(_t, i - {k} + 1, {k}))),"
+        f" 1, 15), 16, 10) as bigint) % {mod}"
+    )
+    # cut positions (cuts strictly inside the doc; a cut at the last
+    # token is harmless — the trailing empty range is suppressed by the
+    # distinct boundary assembly below)
+    with_b = with_t.select(
+        id_col,
+        "_t",
+        F.expr(
+            f"array_distinct(concat(array(0),"
+            f" filter(sequence({k}, greatest(size(_t), {k})),"
+            f"        i -> i <= size(_t) AND ({gram_hash}) = 0),"
+            f" array(size(_t))))"
+        ).alias("_b"),
+    )
+    chunks = F.expr(
+        "transform(sequence(1, size(_b) - 1),"
+        " j -> slice(_t, element_at(_b, j) + 1,"
+        "            element_at(_b, j + 1) - element_at(_b, j)))"
+    )
+    return (
+        with_b.select(id_col, F.posexplode(chunks).alias("chunk_id", "_c"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long"),
+            F.size("_c").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "_c").alias("chunk"),
+        )
     )
 
 

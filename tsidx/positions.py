@@ -45,6 +45,7 @@ __all__ = [
     "write_positional",
     "read_positional",
     "best_window",
+    "kwic",
     "proximity_counts",
     "proximity_boosted_topk",
 ]
@@ -461,6 +462,64 @@ def proximity_boosted_topk(
         boosted.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(int(k))
         .select("doc_id", "score", "n_pairs")
+    )
+
+
+def kwic(
+    positional: DataFrame,
+    docs: DataFrame,
+    query: str | list[str],
+    before: int = 3,
+    after: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, pos, left, hit, right)`` — Keyword-In-Context
+    concordance lines for every occurrence of the query's stems: the RAW
+    token at the hit position plus up to *before*/*after* surrounding raw
+    tokens joined with single spaces. ``pos`` is the 0-based token
+    position (the positional index's convention). The corpus-linguistics
+    concordancer (and the exhaustive sibling of :func:`best_window`,
+    which keeps only the best snippet per doc).
+
+    Plan: pushed ``term IN`` scan of the query stems' position blocks →
+    decode → ONE (doc_id) agg collecting each matching doc's hit
+    positions (bounded by hit count, not doc length) → join against the
+    docs table (unique doc_id key, AQE-chosen strategy — the hit side is
+    tiny for selective queries) → explode + JVM ``slice`` context
+    extraction, map-only. Raw text never shuffles: the join brings hit
+    positions TO the text rows.
+    """
+    from tsidx.tokenize import query_terms
+
+    spark = positional.sparkSession
+    out_schema = "doc_id long, pos int, left string, hit string, right string"
+    terms = query_terms(query)
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    hits = decode_positional(positional.filter(F.col("term").isin(terms)))
+    per_doc = hits.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_ps")
+    )
+    j = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+    ).join(per_doc, "doc_id")
+    pos = F.col("pos")
+    # 0-based pos -> 1-based array index pos+1; slices truncate at the ends
+    left_start = F.greatest(pos + 1 - before, F.lit(1))
+    left_len = F.least(F.lit(before), pos)
+    return (
+        j.select("doc_id", F.explode("_ps").alias("pos"), "_t")
+        .select(
+            F.col("doc_id").cast("long"),
+            pos.cast("int").alias("pos"),
+            F.concat_ws(" ", F.slice("_t", left_start, left_len)).alias("left"),
+            F.element_at("_t", pos + 1).alias("hit"),
+            F.concat_ws(" ", F.slice("_t", pos + 2, F.lit(after))).alias(
+                "right"
+            ),
+        )
     )
 
 

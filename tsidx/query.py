@@ -1174,6 +1174,13 @@ class QueryEngine:
 
         return wand_topk(self.index, query, k)
 
+    def maxscore_topk(self, query: str | list[str], k: int) -> DataFrame:
+        """MaxScore top-k (tsidx.maxscore) — rank- and score-identical to
+        :meth:`bm25_topk`, prunes terms whose bounds can't reach θ."""
+        from tsidx.maxscore import maxscore_topk
+
+        return maxscore_topk(self.index, query, k)
+
     def highlight(self, query: str | list[str], text: str,
                   start: str = "[bold green]", end: str = "[/bold green]") -> str:
         """Wrap words whose stem is a query stem in marker tags — reference
