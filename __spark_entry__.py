@@ -1478,6 +1478,46 @@ def _phrase_df(spark: SparkSession, sf_dir: str, phrase: str) -> DataFrame:
     )
 
 
+def _q_entropy_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy quality signals (tsidx/textstats.py): char- and
+    token-distribution entropy per doc — the cheap gibberish/template
+    detector. Map-only, fixed sorted-symbol fold order."""
+    from tsidx.textstats import entropy_signals
+
+    return entropy_signals(load_documents(spark, sf_dir))
+
+
+BURST_BUCKET = "hour"
+BURST_MIN_TOTAL = 50
+
+
+def _q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection (tsidx/sessions.py::term_burstiness): per-bucket
+    stem counts z-scored against the term's own across-bucket moments
+    (exact LONG sums — engine-reproducible)."""
+    from tsidx.sessions import term_burstiness
+
+    t = documents_as_transcripts(spark, sf_dir)
+    return term_burstiness(
+        t, bucket=BURST_BUCKET, min_total=BURST_MIN_TOTAL
+    )
+
+
+VSM_K = 25
+
+
+def _q_vsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic VSM retrieval (tsidx/vectors.py::vsm_topk): tf-idf cosine
+    top-k, ordered by the 6-decimal rounded score so the page is
+    engine-reproducible."""
+    from tsidx.vectors import vsm_topk
+
+    eng = get_engine(spark, sf_dir)
+    return vsm_topk(eng, Q_BM25, VSM_K).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
+
+
 CDC_K, CDC_MOD = 3, 8  # gram length / boundary modulus (≈ chunk length)
 
 
@@ -1832,6 +1872,17 @@ wpos AS (
   GROUP BY w.doc_id, w.j, s.h
 ),
 fps AS (SELECT DISTINCT doc_id, p AS pos, h AS fp FROM wpos)"""
+
+
+def _entropy_sql(l: str) -> str:
+    """Shannon entropy of a DuckDB list in the engine's exact shape:
+    sorted-distinct symbol fold of p·ln(p), p = count/len, negated with
+    the +0.0 that canonicalizes -0.0 (tsidx/textstats.py::entropy_signals)."""
+    p = f"(len(list_filter({l}, x -> x = s))::DOUBLE / len({l}))"
+    return (
+        f"(-(list_sum(list_transform(list_sort(list_distinct({l})),"
+        f" s -> {p} * ln({p})))) + 0.0)"
+    )
 
 
 def _llr_term_sql(k: str, row: str, col: str) -> str:
@@ -3091,6 +3142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxscore_topk": _q_maxscore_topk,
         "kwic": _q_kwic,
         "cdc_chunks": _q_cdc_chunks,
+        "entropy_signals": _q_entropy_signals,
+        "term_burstiness": _q_term_burstiness,
+        "vsm_topk": _q_vsm_topk,
         "impact_pruned_rows": _q_impact_pruned_rows,
         "doc_keywords": _q_doc_keywords,
         "conv_stats": _q_conv_stats,
@@ -4222,6 +4276,71 @@ tc AS (
 SELECT doc_id, chunk_id::BIGINT AS chunk_id, count(*)::BIGINT AS n_tokens,
        string_agg(tok, ' ' ORDER BY p) AS chunk
 FROM tc GROUP BY doc_id, chunk_id""",
+        "entropy_signals": f"""
+WITH sy AS (
+  SELECT doc_id, text, string_split(text, '') AS cs, {_toks_sql()} AS tt
+  FROM documents
+)
+SELECT doc_id, len(text)::BIGINT AS n_chars,
+       round({_entropy_sql('cs')}, 4) AS char_entropy_r,
+       len(tt)::BIGINT AS n_tokens,
+       round({_entropy_sql('tt')}, 4) AS token_entropy_r
+FROM sy""",
+        "term_burstiness": f"""
+WITH {terms_cte},
+dt AS (SELECT DISTINCT doc_id, term FROM trm),
+bt AS (
+  SELECT epoch(date_trunc('{BURST_BUCKET}',
+           TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE
+         ))::BIGINT AS bucket_epoch, term
+  FROM dt
+),
+cnt AS (
+  SELECT bucket_epoch, term, count(*)::BIGINT AS n_docs
+  FROM bt GROUP BY bucket_epoch, term
+),
+nbk AS (SELECT count(DISTINCT bucket_epoch)::BIGINT AS b FROM cnt),
+bst AS (
+  SELECT term, sum(n_docs)::BIGINT AS s1,
+         sum(n_docs * n_docs)::BIGINT AS s2
+  FROM cnt GROUP BY term
+)
+SELECT bucket_epoch, term, n_docs,
+       round(CASE WHEN sqrt(greatest(
+                s2::DOUBLE / b::DOUBLE
+                - (s1::DOUBLE / b::DOUBLE) * (s1::DOUBLE / b::DOUBLE),
+                0.0)) > 0
+             THEN (n_docs::DOUBLE - s1::DOUBLE / b::DOUBLE)
+                  / sqrt(greatest(
+                      s2::DOUBLE / b::DOUBLE
+                      - (s1::DOUBLE / b::DOUBLE) * (s1::DOUBLE / b::DOUBLE),
+                      0.0))
+             END, 4) AS z_r
+FROM cnt JOIN bst USING (term) CROSS JOIN nbk
+WHERE s1 >= {BURST_MIN_TOTAL}""",
+        "vsm_topk": f"""
+WITH {terms_cte},
+stats AS (SELECT count(*)::BIGINT AS n_docs FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+widf AS (
+  SELECT term, ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM dfreq CROSS JOIN stats
+),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf::DOUBLE * widf.idf AS w
+  FROM tf JOIN widf USING (term)
+),
+nrm AS (SELECT doc_id, round(sqrt(sum(w * w)), 6) AS nrm FROM w GROUP BY doc_id),
+qidf AS (SELECT term, idf FROM widf WHERE term IN ({_terms_in(Q_BM25)})),
+qn AS (SELECT sqrt(sum(idf * idf)) AS qn FROM qidf),
+dots AS (
+  SELECT tf.doc_id,
+         sum(tf.tf::DOUBLE * ((qidf.idf / qn.qn) * qidf.idf)) AS d
+  FROM tf JOIN qidf USING (term) CROSS JOIN qn GROUP BY tf.doc_id
+)
+SELECT dots.doc_id, round(dots.d / nrm.nrm, 4) AS score_r
+FROM dots JOIN nrm USING (doc_id)
+ORDER BY round(dots.d / nrm.nrm, 6) DESC, dots.doc_id LIMIT {VSM_K}""",
         "bm25_scores_rare": _bm25_scores_sql(Q_RARE),
         "bm25_topk_multi": _bm25_multi_sql(MULTI_QUERIES, MULTI_K),
         # batched WAND is rank- and score-identical to the naive batch

@@ -30,7 +30,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "streaming_term_trend", "trending_terms", "event_window_stats"]
+__all__ = [
+    "sessionize",
+    "streaming_term_trend",
+    "trending_terms",
+    "term_burstiness",
+    "event_window_stats",
+]
 
 
 def sessionize(
@@ -170,6 +176,61 @@ def trending_terms(
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= int(top_n))
         .select("bucket_epoch", "rank", "term", "n_docs")
+    )
+
+
+def term_burstiness(
+    transcripts: DataFrame,
+    bucket: str = "hour",
+    min_total: int = 5,
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(bucket_epoch, term, n_docs, z_r)`` — per-bucket stem counts
+    z-scored against the term's own across-bucket distribution: ``z =
+    (n - μ) / σ`` with μ, σ over ALL buckets in the corpus's time range
+    that contain any data (absent (term, bucket) pairs count as zero via
+    the moment identity — they are never materialized). The burst
+    detector: ``z ≫ 0`` flags a term spiking in one window regardless of
+    its base rate, where raw counts (:func:`trending_terms`) just
+    resurface stopwords every bucket.
+
+    Plan: the same one (bucket, term) aggregation as trending_terms,
+    then per-term moments re-aggregated from that bounded table (exact
+    LONG sums — engine-reproducible) joined back; the bucket count rides
+    a 1-row cross join. No corpus re-shuffle, no windows.
+    """
+    from tsidx.tokenize import stem_array_udf
+
+    ex = transcripts.select(
+        F.unix_timestamp(F.date_trunc(bucket, F.col(ts_col))).alias(
+            "bucket_epoch"
+        ),
+        stem_array_udf()(F.col(text_col)).alias("st"),
+    ).select("bucket_epoch", F.explode(F.array_distinct("st")).alias("term"))
+    counts = ex.groupBy("bucket_epoch", "term").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    nb = counts.select("bucket_epoch").distinct().agg(
+        F.count("*").cast("long").alias("_B")
+    )
+    stats = counts.groupBy("term").agg(
+        F.sum("n_docs").alias("_s1"),
+        F.sum(F.col("n_docs") * F.col("n_docs")).alias("_s2"),
+    )
+    j = counts.join(stats, "term").crossJoin(nb)
+    mean = F.col("_s1").cast("double") / F.col("_B").cast("double")
+    var = F.col("_s2").cast("double") / F.col("_B").cast("double") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col("n_docs").cast("double") - mean) / std
+    return (
+        j.filter(F.col("_s1") >= int(min_total))
+        .select(
+            "bucket_epoch",
+            "term",
+            "n_docs",
+            F.round(F.when(std > 0, z), 4).alias("z_r"),
+        )
     )
 
 

@@ -17,6 +17,7 @@ __all__ = [
     "lang_id_heuristic",
     "token_counts",
     "quality_signals",
+    "entropy_signals",
     "quality_filter",
     "sample_mix",
     "sample_fixed_n",
@@ -168,6 +169,63 @@ def quality_signals(
         ).alias("mean_tok_len_r"),
         F.round(n_sw.cast("double") / n, 4).alias("stopword_ratio_r"),
         F.round(n_punct.cast("double") / n_chars, 4).alias("punct_ratio_r"),
+    )
+
+
+def entropy_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc Shannon-entropy quality signals (nats, rounded to 4):
+
+    - ``char_entropy_r`` — entropy of the character distribution. Near
+      zero flags degenerate pages (one repeated char, padding); very
+      high flags binary/base64 junk. The standard cheap gibberish
+      detector alongside :func:`quality_signals`'s ratios.
+    - ``token_entropy_r`` — entropy of the token distribution; low
+      values flag template/repetition pages whose TTR alone looks fine
+      (e.g. two tokens alternating).
+
+    Map-only, zero shuffles: per-row histogram terms via
+    ``array_sort(array_distinct(...))`` + a fixed-order ``aggregate``
+    fold, so the float accumulation order is the sorted symbol order —
+    engine-reproducible (the DuckDB twin folds the identical sorted
+    list). Per-row cost is O(len · distinct); characters are bounded by
+    the alphabet, and tokens by doc length — for million-token docs
+    pair this with :func:`chunk_docs` first (documented bound, not a
+    hidden cap).
+    """
+    chars = F.split(F.col(text_col), "")
+    toks = _tokens(text_col)
+
+    def _entropy(arr):
+        n = F.size(arr).cast("double")
+        # fold in sorted-symbol order: -(Σ p ln p), p = count/n; the
+        # trailing +0.0 canonicalizes -0.0 (single-symbol docs) so both
+        # engines hash the same zero. Empty text splits to [''] on both
+        # Spark and DuckDB (one empty symbol -> entropy 0); the size
+        # guard only covers a hypothetical engine yielding a true empty
+        # array
+        fold = -F.aggregate(
+            F.array_sort(F.array_distinct(arr)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + (
+                F.size(F.filter(arr, lambda x: x == s)).cast("double") / n
+            )
+            * F.log(
+                F.size(F.filter(arr, lambda x: x == s)).cast("double") / n
+            ),
+        ) + F.lit(0.0)
+        return F.when(F.size(arr) > 0, fold)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.round(_entropy(chars), 4).alias("char_entropy_r"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(_entropy(toks), 4).alias("token_entropy_r"),
     )
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tfidf_rows", "top_terms_per_doc", "doc_sim_topk"]
+__all__ = ["tfidf_rows", "top_terms_per_doc", "doc_sim_topk", "doc_norms", "vsm_topk"]
 
 
 def tfidf_rows(engine, normalized: bool = False) -> DataFrame:
@@ -52,6 +52,78 @@ def tfidf_rows(engine, normalized: bool = False) -> DataFrame:
     )
     return coo.join(norms, "doc_id").select(
         "doc_id", "term", (F.col("w") / F.col("nrm")).alias("w")
+    )
+
+
+def doc_norms(engine) -> DataFrame:
+    """``(doc_id, nrm)`` — each document's tf-idf L2 norm, rounded to 6
+    decimals so the value is identical on every engine/partitioning (the
+    pre-round partial-agg jitter is ~1 ulp, far inside the rounding
+    bucket; the same convention as ``tsidx.ann.round_dims``).
+
+    ONE full posting decode + one (doc_id) aggregation. At production
+    scale compute this once per index build and persist it next to the
+    index (it is the VSM analog of the BM25 ``dl`` column); pass the
+    stored frame to :func:`vsm_topk`.
+    """
+    coo = tfidf_rows(engine)
+    return coo.groupBy("doc_id").agg(
+        F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("nrm")
+    )
+
+
+def vsm_topk(engine, query: str | list[str], k: int,
+             norms: DataFrame | None = None) -> DataFrame:
+    """``(doc_id, score)`` — classic vector-space-model retrieval: cosine
+    between the query's tf-idf vector and each document's, the Salton
+    VSM ranking that predates BM25 (and the lexical twin of
+    ``tsidx.ann.cosine_topk``). Ordered by (-round(score, 6), doc_id):
+    the rounded ordering key makes the page engine-reproducible while
+    the returned score stays exact.
+
+    Query weights are ``idf_t`` (distinct-term set semantics, matching
+    ``Index.match``), normalized driver-side in sorted-term order. Doc
+    scores need only the QUERY terms' postings — a pushed ``term IN``
+    block scan — plus the per-doc norm; pass a precomputed *norms* frame
+    (:func:`doc_norms`) to avoid the full-decode norm pass per query.
+    The norm join is doc-keyed on the candidate rows only (bounded by
+    the query terms' df), AQE-chosen.
+    """
+    import math
+
+    from tsidx.oracle import bm25_idf
+    from tsidx.tokenize import query_terms
+
+    spark = engine.index.docs.sparkSession
+    terms = query_terms(query)
+    n = int(engine.index.meta["n_docs"])
+    rows = (
+        engine.index.terms.filter(F.col("term").isin(terms)).collect()
+        if terms
+        else []
+    )
+    idfs = {r["term"]: bm25_idf(n, r["df"]) for r in rows}
+    if not idfs:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qnorm = math.sqrt(sum(idfs[t] * idfs[t] for t in sorted(idfs)))
+    # per-term scoring coefficient: q̂_t · idf_t (driver floats, |q| rows)
+    coeff = {t: (idfs[t] / qnorm) * idfs[t] for t in sorted(idfs)}
+    coeff_map = F.create_map(
+        *[F.lit(x) for t in sorted(coeff) for x in (t, coeff[t])]
+    )
+    if norms is None:
+        norms = doc_norms(engine)
+    cand = engine._live(engine.posting_rows(sorted(idfs)))
+    dots = cand.groupBy("doc_id").agg(
+        F.sum(F.col("tf").cast("double") * coeff_map[F.col("term")]).alias(
+            "_dot"
+        )
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .select("doc_id", (F.col("_dot") / F.col("nrm")).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+        .limit(k)
     )
 
 
