@@ -1874,6 +1874,36 @@ wpos AS (
 fps AS (SELECT DISTINCT doc_id, p AS pos, h AS fp FROM wpos)"""
 
 
+def _bm25_plus_scores_sql(query: str, delta: float, round_to: int = 4) -> str:
+    """BM25+ twin of _bm25_scores_sql: per-term contribution
+    ``(idf · wtf) + idf · δ`` with the engine's exact operand order
+    (QueryEngine.bm25_plus_scores)."""
+    terms = _terms_in(query)
+    idf = "ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)"
+    return f"""
+WITH {_terms_cte()},
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ({idf}
+          * ((tf.tf * {K1 + 1.0}) /
+             (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl))))
+         + {idf} * {delta} AS c
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ({terms})
+)
+SELECT doc_id, round(sum(c), {round_to}) AS score_r
+FROM contrib GROUP BY doc_id"""
+
+
 def _entropy_sql(l: str) -> str:
     """Shannon entropy of a DuckDB list in the engine's exact shape:
     sorted-distinct symbol fold of p·ln(p), p = count/len, negated with
@@ -2137,6 +2167,36 @@ def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rrf", 6).alias("rrf_r"),
         F.col("r_text").cast("long"),
         F.col("r_vec").cast("long"),
+    )
+
+
+def _q_hybrid_topk_mnz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CombMNZ hybrid fusion (tsidx/hybrid.py::hybrid_topk_comb):
+    min-max-normalized BM25 ⊕ cosine pools, summed and multiplied by the
+    evidence count — the score-aware sibling of the RRF entry."""
+    from tsidx.hybrid import hybrid_topk_comb
+
+    eng = get_engine(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = hybrid_topk_comb(
+        eng, emb, Q_BM25, HYBRID_VEC_ID, HYBRID_K, pool=HYBRID_POOL, mnz=True
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.round("fused", 6).alias("fused_r"),
+        F.col("n_lists").cast("long"),
+    )
+
+
+BM25_PLUS_DELTA = 0.5
+
+
+def _q_bm25_plus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25+ top-k (QueryEngine.bm25_plus_topk): the Lv & Zhai δ floor on
+    the tf normalization; same pushed scan + sorted-term fold."""
+    eng = get_engine(spark, sf_dir)
+    return eng.bm25_plus_topk(Q_BM25, Q_BM25_K, BM25_PLUS_DELTA).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
     )
 
 
@@ -3145,6 +3205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_signals": _q_entropy_signals,
         "term_burstiness": _q_term_burstiness,
         "vsm_topk": _q_vsm_topk,
+        "hybrid_topk_mnz": _q_hybrid_topk_mnz,
+        "bm25_plus_topk": _q_bm25_plus_topk,
         "impact_pruned_rows": _q_impact_pruned_rows,
         "doc_keywords": _q_doc_keywords,
         "conv_stats": _q_conv_stats,
@@ -4341,6 +4403,55 @@ dots AS (
 SELECT dots.doc_id, round(dots.d / nrm.nrm, 4) AS score_r
 FROM dots JOIN nrm USING (doc_id)
 ORDER BY round(dots.d / nrm.nrm, 6) DESC, dots.doc_id LIMIT {VSM_K}""",
+        "bm25_plus_topk": f"""
+SELECT * FROM ({_bm25_plus_scores_sql(Q_BM25, BM25_PLUS_DELTA)})
+ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
+        "hybrid_topk_mnz": f"""
+WITH tp AS (
+  SELECT doc_id, score_r AS s
+  FROM ({_bm25_scores_sql(Q_BM25, round_to=12)})
+  ORDER BY score_r DESC, doc_id LIMIT {HYBRID_POOL}
+),
+qv AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id = {HYBRID_VEC_ID}
+),
+sims AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(qv.qe, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(qv.qe, qv.qe)) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS sim
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> {HYBRID_VEC_ID}
+),
+vp AS (
+  SELECT doc_id, sim AS s FROM sims
+  ORDER BY sim DESC, doc_id LIMIT {HYBRID_POOL}
+),
+tn AS (
+  SELECT doc_id,
+         CASE WHEN mm.mx > mm.mn THEN (s - mm.mn) / (mm.mx - mm.mn)
+              ELSE 1.0 END AS st
+  FROM tp CROSS JOIN (SELECT min(s) AS mn, max(s) AS mx FROM tp) mm
+),
+vn AS (
+  SELECT doc_id,
+         CASE WHEN mm.mx > mm.mn THEN (s - mm.mn) / (mm.mx - mm.mn)
+              ELSE 1.0 END AS sv
+  FROM vp CROSS JOIN (SELECT min(s) AS mn, max(s) AS mx FROM vp) mm
+),
+fsd AS (
+  SELECT coalesce(tn.doc_id, vn.doc_id) AS doc_id,
+         (coalesce(tn.st, 0.0) + coalesce(vn.sv, 0.0))
+           * ((tn.doc_id IS NOT NULL)::INT
+              + (vn.doc_id IS NOT NULL)::INT)::DOUBLE AS fused,
+         ((tn.doc_id IS NOT NULL)::INT
+          + (vn.doc_id IS NOT NULL)::INT)::BIGINT AS n_lists
+  FROM tn FULL OUTER JOIN vn ON tn.doc_id = vn.doc_id
+)
+SELECT doc_id, round(fused, 6) AS fused_r, n_lists
+FROM fsd ORDER BY fused DESC, doc_id LIMIT {HYBRID_K}""",
         "bm25_scores_rare": _bm25_scores_sql(Q_RARE),
         "bm25_topk_multi": _bm25_multi_sql(MULTI_QUERIES, MULTI_K),
         # batched WAND is rank- and score-identical to the naive batch

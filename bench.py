@@ -230,6 +230,12 @@ def main():
     prune_by_impact(eng, lam=0.5).postings.agg(F.sum("block_df")).collect()
     timings["impact_prune"] = time.time() - t0
 
+    # VSM cosine: norms computed per call here (production persists them);
+    # the dominant cost is the one full-decode norm pass
+    from tsidx.vectors import vsm_topk
+
+    p50("vsm_topk", lambda: vsm_topk(eng, "customer query merge", 25).collect())
+
     from tsidx.cooccur import cooccurrence_pmi
 
     n_docs = int(idx.meta["n_docs"])
@@ -262,6 +268,10 @@ def main():
         ).collect(),
     )
 
+    from tsidx.positions import kwic
+
+    p50("kwic", lambda: kwic(positional, idx.docs, "merge window").count())
+
     t0 = time.time()
     stats = idx.statistics()
     timings["index_stats"] = time.time() - t0
@@ -290,6 +300,18 @@ def main():
     t0 = time.time()
     minhash_signatures(docs, num_hashes=32).count()
     timings["minhash"] = time.time() - t0
+
+    # map-only splitters/fingerprints at corpus scale
+    from tsidx.chunk import cdc_chunks
+    from tsidx.winnow import winnow_fingerprints
+
+    t0 = time.time()
+    cdc_chunks(docs, k=3, mod=8).count()
+    timings["cdc_chunks"] = time.time() - t0
+
+    t0 = time.time()
+    winnow_fingerprints(docs, k=4, w=5).count()
+    timings["winnow_fps"] = time.time() - t0
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries = emb.filter(F.col("vec_id") < 16).select(

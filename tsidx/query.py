@@ -399,6 +399,44 @@ class QueryEngine:
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
 
+    def bm25_plus_scores(
+        self, query: str | list[str], delta: float = 0.5
+    ) -> DataFrame:
+        """BM25+ (Lv & Zhai, CIKM 2011 "Lower-bounding term frequency
+        normalization"): each matching term contributes ``idf · (wtf +
+        δ)`` — the δ floor stops very long documents from scoring a
+        match below what a non-match would get, the documented BM25
+        deficiency on long-document corpora. Same pushed term-IN scan
+        and sorted-term accumulation as :meth:`bm25_scores`; the extra
+        ``idf·δ`` lands as ``contrib + idf·δ`` (exact operand order
+        mirrored in the DuckDB twin)."""
+        idfs = self.query_idfs(self.terms_of(query))
+        spark = self.index.docs.sparkSession
+        if not idfs:
+            return spark.createDataFrame([], "doc_id long, score double")
+        rows = self._live(self.posting_rows(sorted(idfs)))
+        idf_map, contrib = self._contrib_expr(idfs)
+        plus = contrib + idf_map[F.col("term")] * F.lit(float(delta))
+        return (
+            rows.withColumn("contrib", plus)
+            .groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score")
+            )
+        )
+
+    def bm25_plus_topk(
+        self, query: str | list[str], k: int, delta: float = 0.5
+    ) -> DataFrame:
+        """Deterministic BM25+ top-k by (-score, doc_id)."""
+        return self.bm25_plus_scores(query, delta).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).limit(k)
+
     def rm3_topk(
         self,
         query: str | list[str],
