@@ -3,8 +3,9 @@
     python jobs/query_topk.py --index /tmp/idx --query "fire heat" -k 10 \
         --engine wand --parallelism 8
 
-Engines: ``naive`` (Catalyst join+agg+TakeOrdered plan) and ``wand``
-(block-max pruned, tsidx.wand) — rank- and score-identical by construction.
+Engines: ``naive`` (Catalyst join+agg+TakeOrdered plan), ``wand``
+(block-max pruned, tsidx.wand) and ``maxscore`` (term-pruned,
+tsidx.maxscore) — all rank- and score-identical by construction.
 ``--mode match`` runs the reference's disjunctive boolean retrieval instead
 (results in docID order, ``ts_type_filter/inverted_index.py:71-101``).
 """
@@ -27,7 +28,9 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", required=True, nargs="+")
     ap.add_argument("-k", type=int, default=10)
-    ap.add_argument("--engine", default="wand", choices=["naive", "wand"])
+    ap.add_argument(
+        "--engine", default="wand", choices=["naive", "wand", "maxscore"]
+    )
     ap.add_argument(
         "--mode",
         default="topk",
@@ -163,6 +166,8 @@ def main() -> None:
             ).collect()
         elif args.engine == "wand":
             rows = eng.wand_topk(query, args.k).collect()
+        elif args.engine == "maxscore":
+            rows = eng.maxscore_topk(query, args.k).collect()
         else:
             rows = eng.bm25_topk(query, args.k).collect()
         latencies.append(time.time() - t0)
