@@ -451,3 +451,11 @@ def test_cdc_chunks_rejects_bad_params(spark):
         cdc_chunks(df, k=0)
     with pytest.raises(ValueError):
         cdc_chunks(df, mod=0)
+
+
+def test_cdc_chunks_is_map_only(spark):
+    from tsidx.chunk import cdc_chunks
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = cdc_chunks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -226,3 +226,11 @@ def test_vsm_topk_empty_query(built):
 
     idx, _ = built
     assert vsm_topk(QueryEngine(idx), "zzznope", 5).collect() == []
+
+
+def test_entropy_signals_is_map_only(spark):
+    from tsidx.textstats import entropy_signals
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = entropy_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

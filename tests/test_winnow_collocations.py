@@ -213,3 +213,13 @@ def test_collocations_llr_empty_corpus(spark):
 
     df = spark.createDataFrame([(0, "solo")], "doc_id long, text string")
     assert collocations_llr(df).collect() == []
+
+
+def test_winnow_fingerprints_is_map_only(spark):
+    from tsidx.winnow import winnow_fingerprints
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = (
+        winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
