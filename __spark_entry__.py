@@ -2497,6 +2497,107 @@ def _q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine video-header parsing (tsidx/multimodal.py::fill_video_meta):
+    payloads are REAL MP4 (ISO BMFF, v0 and v1 boxes) and AVI RIFF
+    container headers synthesized deterministically from doc_id formulas,
+    plus a garbage class; the engine recovers mime/width/height/
+    duration_ms by walking the box/chunk structure — no codec library.
+    The oracle replays the formulas, so a parser that mis-walks the box
+    tree or mis-reads the 16.16 fixed point hash-mismatches."""
+    from tsidx.multimodal import attach_media_metadata, fill_video_meta
+
+    def _payloads(batches):
+        def box(typ, payload):
+            return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+        def tkhd(w, h, version=0):
+            pre = 88 if version == 1 else 76
+            return (
+                bytes([version, 0, 0, 0])
+                + b"\x00" * (pre - 4)
+                + (w << 16).to_bytes(4, "big")
+                + (h << 16).to_bytes(4, "big")
+            )
+
+        for pdf in batches:
+            outs = []
+            for media_id in pdf["media_id"]:
+                d = int(media_id)
+                k = d % 4
+                if k == 0:  # MP4, v0 mvhd/tkhd + a 0x0 audio trak first
+                    secs = 1 + d % 5
+                    dim = 1 + d % 3
+                    mvhd = (
+                        bytes([0, 0, 0, 0]) + b"\x00" * 8
+                        + (90000).to_bytes(4, "big")
+                        + (90000 * secs).to_bytes(4, "big") + b"\x00" * 80
+                    )
+                    moov = box(
+                        b"moov",
+                        box(b"mvhd", mvhd)
+                        + box(b"trak", box(b"tkhd", tkhd(0, 0)))
+                        + box(b"trak", box(b"tkhd", tkhd(320 * dim, 180 * dim))),
+                    )
+                    p = box(b"ftyp", b"isom\x00\x00\x02\x00isom") + moov
+                elif k == 1:  # MP4, v1 (64-bit duration) boxes
+                    secs = 2 + d % 7
+                    wide = d % 2
+                    mvhd = (
+                        bytes([1, 0, 0, 0]) + b"\x00" * 16
+                        + (600).to_bytes(4, "big")
+                        + (600 * secs).to_bytes(8, "big") + b"\x00" * 80
+                    )
+                    moov = box(
+                        b"moov",
+                        box(b"mvhd", mvhd)
+                        + box(
+                            b"trak",
+                            box(
+                                b"tkhd",
+                                tkhd(1280 + wide * 640, 720 + wide * 360, 1),
+                            ),
+                        ),
+                    )
+                    p = box(b"ftyp", b"isom\x00\x00\x02\x00isom") + moov
+                elif k == 2:  # AVI RIFF: 40 ms/frame
+                    frames = 25 * (1 + d % 6)
+                    avih = (
+                        (40000).to_bytes(4, "little") + b"\x00" * 12
+                        + frames.to_bytes(4, "little") + b"\x00" * 12
+                        + (704).to_bytes(4, "little")
+                        + (576).to_bytes(4, "little") + b"\x00" * 16
+                    )
+                    hdrl = (
+                        b"LIST" + (12 + len(avih)).to_bytes(4, "little")
+                        + b"hdrl" + b"avih"
+                        + len(avih).to_bytes(4, "little") + avih
+                    )
+                    body = b"AVI " + hdrl
+                    p = b"RIFF" + len(body).to_bytes(4, "little") + body
+                else:
+                    p = b"not a video " + str(d).encode()
+                outs.append(p)
+            pdf = pdf.copy()
+            pdf["payload"] = outs
+            yield pdf
+
+    raw = (
+        load_documents(spark, sf_dir)
+        .select(F.col("doc_id").alias("media_id"),
+                F.lit(b"").alias("payload"))
+        .mapInPandas(_payloads, schema="media_id long, payload binary")
+    )
+    media = fill_video_meta(attach_media_metadata(raw, kind="video"))
+    return media.select(
+        F.col("media_id").cast("long"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
 FRAME_EVERY_MS = 1000
 # deterministic PII suffix so redaction is non-trivial on the synthetic
 # corpus: " contact u<id>@example.com ref <100000+7·id>"
@@ -3165,6 +3266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_dims": _q_media_dims,
         "media_audio": _q_media_audio,
+        "media_video": _q_media_video,
         "frame_sample": _q_frame_sample,
         "redact_text": _q_redact_text,
         "ivf_ann_topk": _q_ivf_ann_topk,
@@ -4185,6 +4287,24 @@ SELECT doc_id AS media_id,
              WHEN 0 THEN (1 + doc_id % 4) * 1000
              WHEN 1 THEN (1 + doc_id % 6) * 1000
              WHEN 2 THEN 100 + doc_id % 100 END)::INTEGER AS duration_ms
+FROM documents""",
+        "media_video": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'video/mp4'
+                       WHEN 1 THEN 'video/mp4'
+                       WHEN 2 THEN 'video/x-msvideo' END AS mime,
+       (CASE doc_id % 4
+             WHEN 0 THEN 320 * (1 + doc_id % 3)
+             WHEN 1 THEN 1280 + (doc_id % 2) * 640
+             WHEN 2 THEN 704 END)::INTEGER AS width,
+       (CASE doc_id % 4
+             WHEN 0 THEN 180 * (1 + doc_id % 3)
+             WHEN 1 THEN 720 + (doc_id % 2) * 360
+             WHEN 2 THEN 576 END)::INTEGER AS height,
+       (CASE doc_id % 4
+             WHEN 0 THEN (1 + doc_id % 5) * 1000
+             WHEN 1 THEN (2 + doc_id % 7) * 1000
+             WHEN 2 THEN (1 + doc_id % 6) * 1000 END)::INTEGER AS duration_ms
 FROM documents""",
         "lsh_dedup_recall": """
 SELECT true AS recall_ok""",

@@ -93,6 +93,10 @@ def main() -> None:
     # the same query — the ratio is the headline at the larger index
     p50("bm25_topk", lambda: eng.bm25_topk("customer query merge", 25).collect())
     p50("wand_topk", lambda: eng.wand_topk("customer query merge", 25).collect())
+    p50(
+        "maxscore_topk",
+        lambda: eng.maxscore_topk("customer query merge", 25).collect(),
+    )
 
     docs_flat = transcripts.select(
         F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
@@ -136,6 +140,9 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "queries_best": {k: round(v, 3) for k, v in best.items()},
         "wand_vs_naive": round(timings["bm25_topk"] / timings["wand_topk"], 2),
+        "maxscore_vs_naive": round(
+            timings["bm25_topk"] / timings["maxscore_topk"], 2
+        ),
         "host_canary_pre": canary_pre,
         "host_canary_post": canary_post,
     }))

@@ -291,3 +291,107 @@ def test_fill_audio_meta(spark):
     assert media.schema == attach_media_metadata(df, kind="audio").schema
     kinds = {r["media_id"]: r["meta"]["kind"] for r in media.collect()}
     assert all(k == "audio" for k in kinds.values())
+
+
+# ---------------------------------------------------------------------------
+# video container headers (MP4 ISO BMFF / AVI RIFF)
+# ---------------------------------------------------------------------------
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def _mp4(timescale, dur_units, w, h, v=0, extra_audio_trak=True):
+    if v == 1:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + timescale.to_bytes(
+            4, "big"
+        ) + dur_units.to_bytes(8, "big") + b"\x00" * 80
+    else:
+        mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 + timescale.to_bytes(
+            4, "big"
+        ) + dur_units.to_bytes(4, "big") + b"\x00" * 80
+    def tkhd(width, height, version=0):
+        pre = 88 if version == 1 else 76
+        return bytes([version, 0, 0, 0]) + b"\x00" * (pre - 4) + (
+            width << 16
+        ).to_bytes(4, "big") + (height << 16).to_bytes(4, "big")
+    traks = b""
+    if extra_audio_trak:  # audio track first: 0x0 dims must be skipped
+        traks += _box(b"trak", _box(b"tkhd", tkhd(0, 0)))
+    traks += _box(b"trak", _box(b"tkhd", tkhd(w, h, version=v)))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + traks)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + _box(
+        b"mdat", b"\x00" * 32
+    )
+
+
+def _avi(us_pf, frames, w, h):
+    avih = (
+        us_pf.to_bytes(4, "little")
+        + b"\x00" * 12
+        + frames.to_bytes(4, "little")
+        + b"\x00" * 12
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdrl = b"LIST" + (4 + 8 + len(avih)).to_bytes(4, "little") + b"hdrl" + (
+        b"avih" + len(avih).to_bytes(4, "little") + avih
+    )
+    body = b"AVI " + hdrl
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_parse_video_meta_goldens():
+    from tsidx.multimodal import parse_video_meta
+
+    # MP4 v0: 90000 units/s, 3s, 640x360, audio trak skipped
+    assert parse_video_meta(_mp4(90000, 270000, 640, 360)) == (
+        "video/mp4", 640, 360, 3000,
+    )
+    # MP4 v1 mvhd + v1 tkhd
+    assert parse_video_meta(_mp4(600, 9000, 1920, 1080, v=1)) == (
+        "video/mp4", 1920, 1080, 15000,
+    )
+    # no audio trak variant
+    assert parse_video_meta(
+        _mp4(1000, 2500, 320, 240, extra_audio_trak=False)
+    ) == ("video/mp4", 320, 240, 2500)
+    # AVI: 40ms/frame x 250 frames = 10s, 704x576
+    assert parse_video_meta(_avi(40000, 250, 704, 576)) == (
+        "video/x-msvideo", 704, 576, 10000,
+    )
+    # garbage / truncated / empty never raise
+    assert parse_video_meta(b"not a video") == (None, None, None, None)
+    assert parse_video_meta(b"") == (None, None, None, None)
+    assert parse_video_meta(_mp4(90000, 270000, 640, 360)[:20]) == (
+        "video/mp4", None, None, None,
+    )
+    assert parse_video_meta(None) == (None, None, None, None)
+
+
+def test_fill_video_meta_spark(spark):
+    from tsidx.multimodal import attach_media_metadata, fill_video_meta
+
+    rows = [
+        (0, _mp4(90000, 180000, 1280, 720)),
+        (1, _avi(33333, 300, 640, 480)),
+        (2, b"junk payload"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = fill_video_meta(attach_media_metadata(df, kind="video"))
+    got = {
+        r["media_id"]: (
+            r["meta"]["mime"],
+            r["meta"]["width"],
+            r["meta"]["height"],
+            r["meta"]["duration_ms"],
+        )
+        for r in media.collect()
+    }
+    assert got == {
+        0: ("video/mp4", 1280, 720, 2000),
+        1: ("video/x-msvideo", 640, 480, 9999),
+        2: (None, None, None, None),
+    }

@@ -39,6 +39,8 @@ __all__ = [
     "fill_image_dims",
     "parse_audio_meta",
     "fill_audio_meta",
+    "parse_video_meta",
+    "fill_video_meta",
 ]
 
 # (payload binary, media struct) — the typed metadata carried beside bytes
@@ -304,6 +306,142 @@ def fill_audio_meta(media: DataFrame) -> DataFrame:
                     "height": None, "duration_ms": None, "sample_rate": None,
                 }
                 d.update(mime=mime, sample_rate=rate, duration_ms=dur)
+                metas.append(d)
+            pdf = pdf.copy()
+            pdf["meta"] = metas
+            yield pdf
+
+    return media.mapInPandas(_fill, schema=media.schema)
+
+
+def parse_video_meta(
+    payload: bytes,
+) -> tuple[str | None, int | None, int | None, int | None]:
+    """``(mime, width, height, duration_ms)`` parsed from video container
+    headers alone — pure Python, no codec library (the video twin of
+    :func:`parse_audio_meta`):
+
+    - MP4 / ISO BMFF: walk the top-level box list (``[size be32][type]``)
+      to ``moov``; ``moov > mvhd`` carries timescale + duration (v0:
+      32-bit, v1: 64-bit fields), ``moov > trak > tkhd`` carries
+      presentation width/height as 16.16 fixed point — the first track
+      with nonzero dimensions is the video track (audio tracks store 0×0).
+    - AVI: walk the RIFF chunk list descending into ``LIST`` chunks; the
+      ``avih`` main header carries µs-per-frame, total frames, and
+      width/height; duration = frames · µs-per-frame.
+
+    Codec payloads (``mdat``, ``movi``) are never touched. Unknown /
+    truncated / corrupt payloads return all-``None`` — never raises, so
+    a 10^10-clip scan can't be killed by one bad blob.
+    """
+    try:
+        b = payload or b""
+        n = len(b)
+        if n >= 12 and b[4:8] == b"ftyp":
+            dur_ms = width = height = None
+            i = 0
+            while i + 8 <= n:
+                size = int.from_bytes(b[i : i + 4], "big")
+                typ = b[i + 4 : i + 8]
+                if size < 8:
+                    break
+                if typ == b"moov":
+                    j, end = i + 8, min(i + size, n)
+                    while j + 8 <= end:
+                        s2 = int.from_bytes(b[j : j + 4], "big")
+                        t2 = b[j + 4 : j + 8]
+                        if s2 < 8:
+                            break
+                        if t2 == b"mvhd" and j + 8 < end:
+                            v = b[j + 8]
+                            if v == 1 and j + 8 + 28 + 8 <= end:
+                                ts = int.from_bytes(
+                                    b[j + 28 : j + 32], "big"
+                                )
+                                dur = int.from_bytes(
+                                    b[j + 32 : j + 40], "big"
+                                )
+                            elif j + 8 + 12 + 8 <= end:
+                                ts = int.from_bytes(
+                                    b[j + 20 : j + 24], "big"
+                                )
+                                dur = int.from_bytes(
+                                    b[j + 24 : j + 28], "big"
+                                )
+                            else:
+                                ts = dur = 0
+                            if ts:
+                                dur_ms = dur * 1000 // ts
+                        elif t2 == b"trak":
+                            k, tend = j + 8, min(j + s2, end)
+                            while k + 8 <= tend:
+                                s3 = int.from_bytes(b[k : k + 4], "big")
+                                t3 = b[k + 4 : k + 8]
+                                if s3 < 8:
+                                    break
+                                if t3 == b"tkhd" and k + 8 < tend:
+                                    v3 = b[k + 8]
+                                    # v0 payload: 4+4+4+4+4+4+8+2+2+2+2+36
+                                    # = 76 bytes before width; v1 adds 12
+                                    off = k + 8 + (88 if v3 == 1 else 76)
+                                    if off + 8 <= tend:
+                                        w = int.from_bytes(
+                                            b[off : off + 4], "big"
+                                        ) >> 16
+                                        h = int.from_bytes(
+                                            b[off + 4 : off + 8], "big"
+                                        ) >> 16
+                                        if w and h and width is None:
+                                            width, height = w, h
+                                k += s3
+                        j += s2
+                i += size
+            return ("video/mp4", width, height, dur_ms)
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            i = 12
+            while i + 8 <= n:
+                cid = b[i : i + 4]
+                clen = int.from_bytes(b[i + 4 : i + 8], "little")
+                if cid == b"LIST":
+                    i += 12  # descend into the list's children
+                    continue
+                if cid == b"avih" and i + 8 + 40 <= n:
+                    us_pf = int.from_bytes(b[i + 8 : i + 12], "little")
+                    frames = int.from_bytes(b[i + 24 : i + 28], "little")
+                    w = int.from_bytes(b[i + 40 : i + 44], "little")
+                    h = int.from_bytes(b[i + 44 : i + 48], "little")
+                    dur = (
+                        frames * us_pf // 1000 if us_pf and frames else None
+                    )
+                    return (
+                        "video/x-msvideo",
+                        w or None,
+                        h or None,
+                        dur,
+                    )
+                i += 8 + clen + (clen & 1)
+            return ("video/x-msvideo", None, None, None)
+    except Exception:
+        pass
+    return (None, None, None, None)
+
+
+def fill_video_meta(media: DataFrame) -> DataFrame:
+    """Fill ``meta.mime/width/height/duration_ms`` genuinely from the
+    payload's video container header (:func:`parse_video_meta`) — same
+    map-only Arrow pass as :func:`fill_image_dims` / `fill_audio_meta`."""
+
+    def _fill(batches):
+        for pdf in batches:
+            metas = []
+            for payload, m in zip(pdf["payload"], pdf["meta"]):
+                data = bytes(payload) if payload is not None else b""
+                mime, w, h, dur = parse_video_meta(data)
+                d = dict(m) if m is not None else {
+                    "kind": None, "mime": None, "width": None,
+                    "height": None, "duration_ms": None, "sample_rate": None,
+                }
+                d.update(mime=mime, width=w, height=h, duration_ms=dur)
                 metas.append(d)
             pdf = pdf.copy()
             pdf["meta"] = metas
