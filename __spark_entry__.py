@@ -1951,6 +1951,26 @@ def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BATCH_BUDGET = 120  # tokens per length-bucketed training batch
+
+
+def _q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-minimizing batch assignment
+    (tsidx/pack.py::length_bucketed_batches): power-of-two length bands,
+    per-band token-budget packing via ONE composite-key distributed
+    prefix sum + a bounded per-band rebase."""
+    from tsidx.pack import length_bucketed_batches
+
+    return length_bucketed_batches(
+        load_documents(spark, sf_dir), BATCH_BUDGET
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("band").cast("long"),
+        F.col("batch_id").cast("long"),
+    )
+
+
 CTX_QUERY = "dup"  # rare term: selective anchors with real context fans
 CTX_WINDOW = 1
 
@@ -3312,6 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vsm_topk": _q_vsm_topk,
         "hybrid_topk_mnz": _q_hybrid_topk_mnz,
         "bm25_plus_topk": _q_bm25_plus_topk,
+        "length_batches": _q_length_batches,
         "impact_pruned_rows": _q_impact_pruned_rows,
         "doc_keywords": _q_doc_keywords,
         "conv_stats": _q_conv_stats,
@@ -4842,6 +4863,23 @@ SELECT doc_id, n_tok AS n_tokens,
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         // {PACK_BUDGET})::BIGINT AS shard_id
 FROM t""",
+        "length_batches": f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tok
+  FROM documents
+),
+bd AS (
+  SELECT doc_id, n_tok,
+         (length(bin(greatest(n_tok, 1))) - 1)::BIGINT AS band
+  FROM t
+)
+SELECT doc_id, n_tok AS n_tokens, band,
+       (band * {1 << 40}
+        + coalesce(sum(n_tok) OVER (PARTITION BY band ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // {BATCH_BUDGET})::BIGINT AS batch_id
+FROM bd""",
         # conv = doc_id // 8, turn_idx = doc_id % 8, role = ROLES[doc_id % 4]
         "match_context": f"""
 WITH {terms_cte},

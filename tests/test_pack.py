@@ -100,3 +100,79 @@ def test_shuffled_positions_partitioning_invariant(docs):
     }
     assert a == b
     assert sorted(a.values()) == list(range(len(a)))
+
+
+# ---------------------------------------------------------------------------
+# length_bucketed_batches
+# ---------------------------------------------------------------------------
+
+
+def _brute_bucketed(texts_by_id, budget):
+    bands = {}
+    for d in sorted(texts_by_id):
+        n = len(texts_by_id[d].strip().split())
+        band = max(n, 1).bit_length() - 1
+        bands.setdefault(band, []).append((d, n))
+    out = {}
+    for band, rows in bands.items():
+        run = 0
+        for d, n in rows:  # doc_id order within band
+            out[d] = (n, band, band * (1 << 40) + run // budget)
+            run += n
+    return out
+
+
+@pytest.mark.parametrize("budget", [30, 200, 10_000])
+def test_length_bucketed_matches_bruteforce(docs, sonnets, budget):
+    from tsidx.pack import length_bucketed_batches
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["band"], r["batch_id"])
+        for r in length_bucketed_batches(docs, budget).collect()
+    }
+    assert got == _brute_bucketed(dict(enumerate(sonnets)), budget)
+
+
+def test_length_bucketed_bounds_padding(spark):
+    """The point of banding: within any batch, max/min doc length < 2x,
+    so padding waste is bounded by construction."""
+    import random
+
+    from tsidx.pack import length_bucketed_batches
+
+    rng = random.Random(13)
+    docs = [
+        (i, " ".join("w" for _ in range(rng.randint(1, 300))))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = length_bucketed_batches(df, 256).collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], []).append(r["n_tokens"])
+    assert len(rows) == 400
+    for b, lens in by_batch.items():
+        assert max(lens) < 2 * max(min(lens), 1), (b, lens)
+
+
+def test_length_bucketed_partitioning_invariant(docs, spark):
+    from tsidx.pack import length_bucketed_batches
+
+    a = {
+        (r["doc_id"], r["batch_id"])
+        for r in length_bucketed_batches(docs, 100, num_partitions=2).collect()
+    }
+    b = {
+        (r["doc_id"], r["batch_id"])
+        for r in length_bucketed_batches(
+            docs.repartition(13), 100, num_partitions=7
+        ).collect()
+    }
+    assert a == b
+
+
+def test_length_bucketed_bad_budget(docs):
+    from tsidx.pack import length_bucketed_batches
+
+    with pytest.raises(ValueError):
+        length_bucketed_batches(docs, 0)

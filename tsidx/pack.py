@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from tsidx.docids import _prefix_sum_offsets
 from tsidx.textstats import token_counts
 
-__all__ = ["pack_shards", "shuffled_positions"]
+__all__ = ["pack_shards", "shuffled_positions", "length_bucketed_batches"]
 
 
 def shuffled_positions(
@@ -95,4 +95,73 @@ def pack_shards(
         (F.col("offset") / F.lit(int(budget)))
         .cast("long")
         .alias("shard_id"),
+    )
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, band, batch_id): padding-minimizing batch
+    assignment — docs are grouped into power-of-two LENGTH BANDS
+    (``band = floor(log2(n_tokens))``), and within each band packed into
+    contiguous token-budget batches in doc_id order (same straddle rule
+    as :func:`pack_shards`). Because a batch is padded to its longest
+    member, banding bounds padding waste to < 2x by construction —
+    the standard dynamic-batching prep for sequence-model training.
+
+    ``batch_id`` is globally unique and deterministic:
+    ``band * 2^40 + batch_in_band``.
+
+    Scale shape: ONE distributed prefix sum over the composite
+    ``(band, doc_id)`` range key (reusing the build's machinery —
+    no data-scale window), then each band's running totals are rebased
+    by the band's first offset via a **bounded** (≤ ~40 bands) aggregate
+    joined back broadcast-size. Adding a band never re-shuffles the
+    corpus; only the tiny rebase table changes.
+    """
+    if budget <= 0:
+        raise ValueError("length_bucketed_batches: budget must be positive")
+    spark = docs.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    n = max(1, min(n, 20000))
+    sizes = token_counts(docs, text_col, id_col).select(
+        F.col("doc_id"),
+        F.col("n_ws_tokens").cast("long").alias("size"),
+    ).withColumn(
+        # integer band = floor(log2(size)) computed WITHOUT floats
+        # (bin-string length), so both engines band identically at
+        # power-of-two boundaries where float log2 is off by one ulp
+        "band",
+        (
+            F.length(F.expr("bin(greatest(size, 1))")) - F.lit(1)
+        ).cast("long"),
+    ).withColumn(
+        # composite range key: band-major, doc_id-minor — one global
+        # prefix sum whose per-band segments are contiguous
+        "bkey",
+        F.format_string("%02d:%020d", F.col("band"), F.col("doc_id")),
+    )
+    off = _prefix_sum_offsets(
+        sizes.select("bkey", "doc_id", "band", "size"), "bkey", n
+    )
+    # rebase: the running total at each band's first doc (bounded agg)
+    starts = off.groupBy("band").agg(F.min("offset").alias("_start"))
+    return (
+        off.join(starts, "band")
+        .select(
+            "doc_id",
+            F.col("size").alias("n_tokens"),
+            "band",
+            (
+                F.col("band") * F.lit(1 << 40)
+                + ((F.col("offset") - F.col("_start")) / F.lit(int(budget)))
+                .cast("long")
+            ).alias("batch_id"),
+        )
     )
