@@ -1093,6 +1093,36 @@ def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SB_LAM = 0.4  # Brants et al. 2007 backoff penalty
+
+
+def _q_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM quality score (tsidx/lmquality.py
+    backoff_lm_score, Brants et al. 2007): per-doc cross-entropy in nats
+    under the corpus-trained counting LM."""
+    from tsidx.lmquality import backoff_lm_score
+
+    docs = load_documents(spark, sf_dir)
+    scored = backoff_lm_score(docs, lam=SB_LAM)
+    return scored.select(
+        F.col("doc_id").cast("long"),
+        "n_trigrams",
+        F.round("xent", 4).alias("xent_r"),
+    )
+
+
+LM_JM_LAM = 0.1
+
+
+def _q_lm_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood ranking with Jelinek-Mercer smoothing
+    (tsidx/query.py lm_jm_topk) — the verbose-query LM alternative."""
+    eng = get_engine(spark, sf_dir)
+    return eng.lm_jm_topk(Q_BM25, Q_BM25_K, lam=LM_JM_LAM).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
+
+
 PPL_BUCKETS = 3
 DSIR_MOD = 23  # docs with doc_id % 23 == 0 form the DSIR target domain
 DSIR_FRAC = 0.25  # resampling keeps the top quarter by perturbed weight
@@ -3417,6 +3447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "quality_signals": _q_quality_signals,
+        # --- round-3 late additions (r4 front-load candidates) ---
+        "backoff_lm": _q_backoff_lm,
+        "lm_jm_topk": _q_lm_jm_topk,
     }
 
 
@@ -5945,6 +5978,69 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2""",
         "streaming_dedup": f"""
 SELECT DISTINCT {_H64.format(v='text')} AS tkey FROM documents""",
+        "backoff_lm": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+tg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+  WHERE i < len(t) - 1
+),
+bg AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+  WHERE i < len(t)
+),
+c123 AS (SELECT w1, w2, w3, count(*)::DOUBLE AS c123 FROM tg GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bg GROUP BY 1, 2),
+uni AS (SELECT w AS w1, count(*)::DOUBLE AS c1
+        FROM toks, unnest(t) AS s(w) GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM toks, unnest(t) AS s(w)),
+nll AS (
+  SELECT tg.doc_id,
+         -ln(CASE
+               WHEN coalesce(tri.c123, 0) > 0 THEN tri.c123 / bi12.c12
+               WHEN coalesce(bi23.c12, 0) > 0
+                 THEN {SB_LAM} * bi23.c12 / u2.c1
+               ELSE {SB_LAM * SB_LAM} * greatest(coalesce(u3.c1, 0), 1.0) / n.n
+             END) AS nll
+  FROM tg
+  LEFT JOIN c123 tri ON tg.w1 = tri.w1 AND tg.w2 = tri.w2 AND tg.w3 = tri.w3
+  LEFT JOIN c12 bi12 ON tg.w1 = bi12.w1 AND tg.w2 = bi12.w2
+  LEFT JOIN c12 bi23 ON tg.w2 = bi23.w1 AND tg.w3 = bi23.w2
+  LEFT JOIN uni u2 ON tg.w2 = u2.w1
+  LEFT JOIN uni u3 ON tg.w3 = u3.w1
+  CROSS JOIN n
+)
+SELECT d.doc_id,
+       coalesce(s.n_trigrams, 0)::BIGINT AS n_trigrams,
+       s.xent_r
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*)::BIGINT AS n_trigrams, round(avg(nll), 4) AS xent_r
+  FROM nll GROUP BY doc_id
+) s ON d.doc_id = s.doc_id""",
+        "lm_jm_topk": f"""
+WITH {_terms_cte()},
+stats AS (
+  SELECT sum(dl)::DOUBLE AS c_tokens FROM dl
+),
+cfreq AS (
+  SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + ({1.0 - LM_JM_LAM} * tf.tf::DOUBLE / dl.dl::DOUBLE)
+                  / ({LM_JM_LAM} * (cfreq.cf / stats.c_tokens))) AS c
+  FROM tf
+  JOIN cfreq ON tf.term = cfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ({_terms_in(Q_BM25)})
+)
+SELECT doc_id, round(sum(c), 4) AS score_r
+FROM contrib GROUP BY doc_id
+ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
     }
 
 

@@ -250,3 +250,73 @@ def test_plans_no_corpus_shuffle_on_decontam(corpus, bench):
     plan = ngram_overlap(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ----------------------------------------------------------- stupid backoff
+
+
+def _sb_ref(corpus_rows, lam=0.4):
+    """Independent pure-Python stupid-backoff replay."""
+    from collections import Counter
+
+    tri, bi, uni = Counter(), Counter(), Counter()
+    n_tok = 0
+    for _, text in corpus_rows:
+        t = text.split()
+        n_tok += len(t)
+        uni.update(t)
+        bi.update(zip(t, t[1:]))
+        tri.update(zip(t, t[1:], t[2:]))
+    out = {}
+    for doc_id, text in corpus_rows:
+        t = text.split()
+        nlls = []
+        for a, b, c in zip(t, t[1:], t[2:]):
+            if tri[(a, b, c)] > 0:
+                s = tri[(a, b, c)] / bi[(a, b)]
+            elif bi[(b, c)] > 0:
+                s = lam * bi[(b, c)] / uni[b]
+            else:
+                s = lam * lam * max(uni[c], 1) / n_tok
+            nlls.append(-math.log(s))
+        out[doc_id] = (len(nlls), sum(nlls) / len(nlls) if nlls else None)
+    return out
+
+
+def test_backoff_lm_matches_python_replay(spark, corpus):
+    from tsidx.lmquality import backoff_lm_score
+
+    ref = _sb_ref(CORPUS)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["xent"])
+        for r in backoff_lm_score(corpus).collect()
+    }
+    assert set(got) == set(ref)
+    for d in ref:
+        assert got[d][0] == ref[d][0]
+        if ref[d][1] is None:
+            assert got[d][1] is None
+        else:
+            assert got[d][1] == pytest.approx(ref[d][1], rel=1e-12)
+
+
+def test_backoff_lm_external_model_unseen_floor(spark, corpus):
+    """Scoring docs whose vocabulary the model has never seen exercises
+    every backoff level incl. the max(c3, 1)/N unigram floor."""
+    from tsidx.lmquality import backoff_lm_score, train_backoff_lm
+
+    model = train_backoff_lm(corpus)
+    new = spark.createDataFrame(
+        [(9, "totally unseen words here"), (10, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in backoff_lm_score(new, model=model).collect()
+    }
+    n_tok = sum(len(t.split()) for _, t in CORPUS)
+    # doc 9: both trigrams bottom out at the unseen floor lam^2 * 1/N
+    floor_nll = -math.log(0.4 * 0.4 * 1.0 / n_tok)
+    assert rows[9]["n_trigrams"] == 2
+    assert rows[9]["xent"] == pytest.approx(floor_nll, rel=1e-12)
+    # doc 10: the corpus contains "alpha beta gamma" twice -> c123=2, c12=2
+    assert rows[10]["xent"] == pytest.approx(-math.log(1.0), abs=1e-12)

@@ -140,3 +140,52 @@ def test_significant_terms_matches_reference(engine):
 def test_significant_terms_top_n_and_empty(engine):
     assert len(engine.significant_terms("query", min_fg_df=1, top_n=2).collect()) == 2
     assert engine.significant_terms("zzzunknown").count() == 0
+
+
+# ------------------------------------------------------- Jelinek-Mercer LM
+
+
+def _jm_reference(query: str, lam: float):
+    """Independent JM query-likelihood computation (Lucene form)."""
+    docs = _tok_docs()
+    c_tokens = sum(len(d) for d in docs)
+    cf = Counter(t for d in docs for t in d)
+    qterms = sorted(set(stem_tokens(query)))
+    scores = {}
+    for doc_id, d in enumerate(docs):
+        tf = Counter(d)
+        matched = [t for t in qterms if tf[t] > 0]
+        if not matched:
+            continue
+        s = 0.0
+        for t in matched:
+            s += math.log(
+                1.0 + ((1.0 - lam) * tf[t] / len(d)) / (lam * cf[t] / c_tokens)
+            )
+        scores[doc_id] = s
+    return scores
+
+
+def test_lm_jm_matches_reference(engine):
+    lam = 0.1
+    got = {
+        r["doc_id"]: r["score"]
+        for r in engine.lm_jm_scores("customer merge", lam=lam).collect()
+    }
+    want = _jm_reference("customer merge", lam)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_lm_jm_topk_deterministic(engine):
+    rows = engine.lm_jm_topk("customer query", 4, lam=0.3).collect()
+    assert len(rows) == 4
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    again = engine.lm_jm_topk("customer query", 4, lam=0.3).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_lm_jm_empty_query(engine):
+    assert engine.lm_jm_scores("").count() == 0

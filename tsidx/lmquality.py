@@ -46,6 +46,9 @@ __all__ = [
     "ppl_buckets",
     "dsir_log_weights",
     "dsir_resample",
+    "doc_trigrams",
+    "train_backoff_lm",
+    "backoff_lm_score",
 ]
 
 
@@ -209,6 +212,159 @@ def ppl_buckets(
     return (
         scored.crossJoin(F.broadcast(th_row))
         .select(id_col, "n_bigrams", "xent_r", bucket.alias("bucket"))
+    )
+
+
+def doc_trigrams(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id_col, w1, w2, w3)`` — one row per adjacent token triple,
+    in-doc multiplicity preserved. Docs with < 3 tokens emit no rows.
+    Same materialized-projection discipline as :func:`doc_bigrams` (the
+    token array is its own projection so the transform lambda never
+    re-splits per element)."""
+    with_t = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_t")
+    )
+    triples = F.expr(
+        "transform(sequence(1, greatest(size(_t) - 2, 1)),"
+        " i -> struct(element_at(_t, i) AS w1, element_at(_t, i + 1) AS w2,"
+        " element_at(_t, i + 2) AS w3))"
+    )
+    guarded = F.when(F.size("_t") >= 3, triples).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+    return with_t.select(
+        F.col(id_col), F.explode(guarded).alias("tg")
+    ).select(
+        id_col,
+        F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"),
+        F.col("tg.w3").alias("w3"),
+    )
+
+
+def train_backoff_lm(
+    corpus: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Count tables for a stupid-backoff trigram LM (Brants et al., EMNLP
+    2007 — "Large Language Models in Machine Translation", the web-scale
+    LM recipe: no discounting, a fixed backoff penalty, so training is
+    pure counting and parallelizes perfectly).
+
+    Returns ``(tri_counts, bi_counts, uni_counts, n_tokens)``:
+    ``tri_counts`` = (w1, w2, w3, c123); ``bi_counts`` = (w1, w2, c12);
+    ``uni_counts`` = (w1, c1); ``n_tokens`` = corpus token count (1-row
+    driver scalar).
+
+    Scale: three partial-aggregated groupBys over the token stream — the
+    exact shape Brants et al. ran at 2e12 tokens. The trigram table is
+    the big one (O(distinct trigrams)); it never joins to itself, only
+    to the scoring stream on the (w1, w2, w3) key, where AQE picks the
+    strategy. Bigram counts re-aggregate the trigram table only where
+    that is NOT count-correct (the last bigram of every doc has no
+    trigram continuation), so each table is counted from its own stream.
+    """
+    tri = doc_trigrams(corpus, id_col=id_col, text_col=text_col)
+    tri_counts = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    bi = doc_bigrams(corpus, id_col=id_col, text_col=text_col)
+    bi_counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    toks = corpus.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w1")
+    )
+    uni_counts = toks.groupBy("w1").agg(F.count("*").alias("c1"))
+    n_tokens = int(toks.count())
+    return tri_counts, bi_counts, uni_counts, n_tokens
+
+
+def backoff_lm_score(
+    docs: DataFrame,
+    *,
+    model: tuple[DataFrame, DataFrame, DataFrame, int] | None = None,
+    lam: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Per-doc ``(id_col, n_trigrams, xent, ppl)`` under a stupid-backoff
+    trigram LM::
+
+        S(w3 | w1 w2) = c123 / c12                    if c123 > 0
+                      = lam * c23 / c2                elif c23 > 0
+                      = lam^2 * max(c3, 1) / N        otherwise
+
+    ``xent`` = mean over the doc's trigrams of ``-ln S`` (nats); ``ppl``
+    = ``exp(xent)``. The ``max(c3, 1)`` floor only engages when scoring
+    against an external model whose vocabulary misses ``w3`` (self-
+    scoring always has ``c3 >= 1``); it keeps S > 0 without changing any
+    seen count. Docs with < 3 tokens get ``n_trigrams = 0`` and NULL
+    xent/ppl.
+
+    Plan shape: one corpus trigram stream, left-joined to the trigram /
+    bigram / unigram count tables on their own keys (five joins, each on
+    a model-table key — AQE broadcasts whichever side turns out small;
+    pass ``broadcast_model=True`` only for curated external models known
+    to fit). ``lam`` is Brants' 0.4.
+    """
+    if model is None:
+        model = train_backoff_lm(docs, id_col=id_col, text_col=text_col)
+    tri_counts, bi_counts, uni_counts, n_tokens = model
+    if broadcast_model:
+        tri_counts = F.broadcast(tri_counts)
+        bi_counts = F.broadcast(bi_counts)
+        uni_counts = F.broadcast(uni_counts)
+
+    tg = doc_trigrams(docs, id_col=id_col, text_col=text_col)
+    joined = (
+        tg.join(tri_counts, on=["w1", "w2", "w3"], how="left")
+        .join(bi_counts, on=["w1", "w2"], how="left")
+        .join(
+            bi_counts.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c12").alias("c23"),
+            ),
+            on=["w2", "w3"],
+            how="left",
+        )
+        .join(
+            uni_counts.select(F.col("w1").alias("w2"), F.col("c1").alias("c2")),
+            on="w2",
+            how="left",
+        )
+        .join(
+            uni_counts.select(F.col("w1").alias("w3"), F.col("c1").alias("c3")),
+            on="w3",
+            how="left",
+        )
+    )
+    c123 = F.coalesce(F.col("c123"), F.lit(0)).cast("double")
+    c12 = F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+    c23 = F.coalesce(F.col("c23"), F.lit(0)).cast("double")
+    c2 = F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+    c3 = F.coalesce(F.col("c3"), F.lit(0)).cast("double")
+    lam = float(lam)
+    s = (
+        F.when(c123 > 0, c123 / c12)
+        .when(c23 > 0, F.lit(lam) * c23 / c2)
+        .otherwise(
+            F.lit(lam * lam) * F.greatest(c3, F.lit(1.0)) / F.lit(float(n_tokens))
+        )
+    )
+    scored = joined.select(id_col, (-F.log(s)).alias("nll"))
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.avg("nll").alias("xent"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            F.col("xent"),
+            F.exp("xent").alias("ppl"),
+        )
     )
 
 

@@ -1152,6 +1152,71 @@ class QueryEngine:
             .limit(int(k))
         )
 
+    def lm_jm_scores(
+        self, query: str | list[str], lam: float = 0.1
+    ) -> DataFrame:
+        """(doc_id, score): query likelihood with Jelinek-Mercer (linear
+        interpolation) smoothing — the Lucene ``LMJelinekMercerSimilarity``
+        form, the standard choice for VERBOSE queries where Dirichlet's
+        dl-dependent penalty over-fires (Zhai & Lafferty 2001 recommend
+        JM with lambda ~0.7 for long queries, ~0.1 for title queries).
+        Per matched term::
+
+            ln(1 + ((1 - lambda) * tf / dl) / (lambda * cf / C))
+
+        Only matched terms contribute (the Lucene convention — scores
+        are comparable within a query, not across queries).
+
+        Physical shape: identical to :meth:`lm_dirichlet_scores` — one
+        pushed ``term IN`` posting scan + decode; ``cf`` from the block
+        metadata ``sum_tf`` aggregated per term and broadcast back (no
+        repartition of decoded rows); per-doc sums accumulate in
+        sorted-term order for engine-reproducible doubles.
+        """
+        terms = sorted(set(self.terms_of(query)))
+        spark = self.index.docs.sparkSession
+        if not terms:
+            return spark.createDataFrame([], "doc_id long, score double")
+        lam = float(lam)
+        c_tokens = float(self.index.meta["total_tokens"])
+        cf_df = (
+            self._blocks_for(terms)
+            .groupBy("term")
+            .agg(F.sum("sum_tf").cast("double").alias("_cf"))
+        )
+        rows = self._live(self.posting_rows(terms)).join(
+            F.broadcast(cf_df), "term"
+        )
+        tf = F.col("tf").cast("double")
+        dl = F.col("dl").cast("double")
+        contrib = F.log(
+            F.lit(1.0)
+            + (F.lit(1.0 - lam) * tf / dl)
+            / (F.lit(lam) * (F.col("_cf") / F.lit(c_tokens)))
+        )
+        return (
+            rows.withColumn("contrib", contrib)
+            .groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score")
+            )
+        )
+
+    def lm_jm_topk(
+        self, query: str | list[str], k: int, lam: float = 0.1
+    ) -> DataFrame:
+        """Deterministic top-k by (-score, doc_id) over
+        :meth:`lm_jm_scores`; executes as TakeOrdered."""
+        return (
+            self.lm_jm_scores(query, lam)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
     def significant_terms(
         self,
         query: str | list[str],
