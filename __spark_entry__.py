@@ -1123,6 +1123,108 @@ def _q_lm_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SDM_MU = 2000.0
+SDM_LAMS = (0.85, 0.1, 0.05)
+SDM_WINDOW = 8
+
+
+def _q_sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Dependence Model ranking (tsidx/sdm.py, Metzler & Croft
+    2005): Dirichlet unigram + ordered-adjacency + unordered-window
+    features over the positional artifact."""
+    from tsidx.sdm import sdm_topk
+
+    eng = get_engine(spark, sf_dir)
+    lt, lo, lu = SDM_LAMS
+    return sdm_topk(
+        eng,
+        get_positional(spark, sf_dir),
+        Q_BM25,
+        Q_BM25_K,
+        mu=SDM_MU,
+        lam_t=lt,
+        lam_o=lo,
+        lam_u=lu,
+        window=SDM_WINDOW,
+    ).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
+
+
+def _sdm_sql() -> str:
+    """DuckDB SDM twin: literal Metzler-Croft feature sums (all-pairs
+    position joins are fine at oracle scale; the engine's bucketed join
+    avoids exactly that cross product)."""
+    from tsidx.tokenize import stem_tokens
+
+    mu = SDM_MU
+    lt, lo, lu = SDM_LAMS
+    w = SDM_WINDOW
+    q = stem_tokens(Q_BM25)
+    pairs = list(dict.fromkeys(zip(q, q[1:])))
+    ctes, score_terms, joins = [], [], []
+    # per-doc pair-count CTEs + their collection-frequency CTEs
+    for i, (sa, sb) in enumerate(pairs):
+        ctes.append(
+            f"""o{i} AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS c FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND a.term = '{sa}' AND b.term = '{sb}'
+   AND b.p = a.p + 1 GROUP BY 1
+),
+ocf{i} AS (SELECT greatest(coalesce(sum(c), 0), 0.5) AS cf FROM o{i}),
+u{i} AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS c FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND a.term = '{sa}' AND b.term = '{sb}'
+   AND abs(a.p - b.p) > 0 AND abs(a.p - b.p) < {w}
+   {'AND a.p < b.p' if sa == sb else ''} GROUP BY 1
+),
+ucf{i} AS (SELECT greatest(coalesce(sum(c), 0), 0.5) AS cf FROM u{i})"""
+        )
+        joins.append(f"LEFT JOIN o{i} ON cand.doc_id = o{i}.doc_id")
+        joins.append(f"LEFT JOIN u{i} ON cand.doc_id = u{i}.doc_id")
+        joins.append(f"CROSS JOIN ocf{i} CROSS JOIN ucf{i}")
+        score_terms.append(
+            f"{lo} * ln((coalesce(o{i}.c, 0) + {mu} * ocf{i}.cf / c.n)"
+            f" / (cand.dl + {mu}))"
+        )
+        score_terms.append(
+            f"{lu} * ln((coalesce(u{i}.c, 0) + {mu} * ucf{i}.cf / c.n)"
+            f" / (cand.dl + {mu}))"
+        )
+    for i, t in enumerate(sorted(set(q))):
+        n_occ = q.count(t)
+        ctes.append(
+            f"""tcf{i} AS (
+  SELECT greatest(coalesce(sum(tf), 0), 0.5)::DOUBLE AS cf
+  FROM tf WHERE term = '{t}'
+),
+tc{i} AS (SELECT doc_id, tf::DOUBLE AS c FROM tf WHERE term = '{t}')"""
+        )
+        joins.append(f"LEFT JOIN tc{i} ON cand.doc_id = tc{i}.doc_id")
+        joins.append(f"CROSS JOIN tcf{i}")
+        score_terms.append(
+            f"{lt * n_occ} * ln((coalesce(tc{i}.c, 0) + {mu} * tcf{i}.cf / c.n)"
+            f" / (cand.dl + {mu}))"
+        )
+    uniq_in = ", ".join(f"'{t}'" for t in sorted(set(q)))
+    ctes_sql = ",\n".join(ctes)
+    joins_sql = "\n".join(joins)
+    score_sql = " + ".join(score_terms)
+    return f"""
+WITH {_terms_cte()},{_positions_cte()},
+c AS (SELECT sum(dl)::DOUBLE AS n FROM dl),
+{ctes_sql},
+cand AS (
+  SELECT DISTINCT tf.doc_id, dl.dl::DOUBLE AS dl FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id WHERE tf.term IN ({uniq_in})
+)
+SELECT cand.doc_id, round({score_sql}, 4) AS score_r
+FROM cand CROSS JOIN c
+{joins_sql}
+ORDER BY round({score_sql}, 12) DESC, cand.doc_id
+LIMIT {Q_BM25_K}"""
+
+
 PPL_BUCKETS = 3
 DSIR_MOD = 23  # docs with doc_id % 23 == 0 form the DSIR target domain
 DSIR_FRAC = 0.25  # resampling keeps the top quarter by perturbed weight
@@ -3450,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-3 late additions (r4 front-load candidates) ---
         "backoff_lm": _q_backoff_lm,
         "lm_jm_topk": _q_lm_jm_topk,
+        "sdm_topk": _q_sdm_topk,
     }
 
 
@@ -6041,6 +6144,7 @@ contrib AS (
 SELECT doc_id, round(sum(c), 4) AS score_r
 FROM contrib GROUP BY doc_id
 ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
+        "sdm_topk": _sdm_sql(),
     }
 
 
