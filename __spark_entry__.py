@@ -1123,6 +1123,24 @@ def _q_lm_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PJ_TAU = 0.9
+
+
+def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT prefix-filtered token-set similarity join (tsidx/dedup.py
+    prefix_jaccard_pairs, AllPairs/PPJoin family). The testdata's closed
+    31-word vocabulary is this operator's documented worst case (the
+    true output is quadratic when every doc shares the tiny vocab) —
+    the gate checks exactness, not the pruning win, which needs a Zipf
+    vocabulary (tests/test_dedup.py::test_prefix_jaccard_prefix_actually_prunes)."""
+    from tsidx.dedup import prefix_jaccard_pairs
+
+    docs = load_documents(spark, sf_dir)
+    return prefix_jaccard_pairs(docs, tau=PJ_TAU).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard_r")
+    )
+
+
 SDM_MU = 2000.0
 SDM_LAMS = (0.85, 0.1, 0.05)
 SDM_WINDOW = 8
@@ -3553,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backoff_lm": _q_backoff_lm,
         "lm_jm_topk": _q_lm_jm_topk,
         "sdm_topk": _q_sdm_topk,
+        "prefix_jaccard": _q_prefix_jaccard,
     }
 
 
@@ -6145,6 +6164,19 @@ SELECT doc_id, round(sum(c), 4) AS score_r
 FROM contrib GROUP BY doc_id
 ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
         "sdm_topk": _sdm_sql(),
+        "prefix_jaccard": f"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ts
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.ts, b.ts))::DOUBLE /
+             (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
+             4) AS jaccard_r
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
+      (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {PJ_TAU}""",
     }
 
 

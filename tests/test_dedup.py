@@ -283,3 +283,73 @@ def test_cross_dup_candidates_near_dups(spark, docs):
     assert not any(n == 101 for n, _ in pairs)
     # strictly cross: every left id is new-side, every right id ref-side
     assert all(n >= 100 and r < 100 for n, r in pairs)
+
+
+# ------------------------------------------------- prefix-filtered Jaccard
+
+
+def _brute_jaccard_pairs(doc_rows, tau):
+    """O(N^2) token-set Jaccard reference."""
+    sets = {d: set(t.split()) for d, t in doc_rows if t.split()}
+    ids = sorted(sets)
+    out = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            jac = inter / len(sets[a] | sets[b])
+            if jac >= tau:
+                out[(a, b)] = jac
+    return out
+
+
+def test_prefix_jaccard_pairs_planted(spark, docs):
+    from tsidx.dedup import prefix_jaccard_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(docs, tau=0.5).collect()
+    }
+    want = _brute_jaccard_pairs(DOCS, 0.5)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+@pytest.mark.parametrize("tau", [0.3, 0.5, 0.7, 0.9, 1.0])
+def test_prefix_jaccard_exact_vs_brute_force(spark, tau):
+    """Deterministic pseudo-random corpus with heavy vocab reuse: the
+    prefix-filtered join must return EXACTLY the brute-force pair set at
+    every threshold (the no-lost-candidates guarantee)."""
+    from tsidx.dedup import prefix_jaccard_pairs
+
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(60):
+        # deterministic LCG to pick 3-12 tokens with overlap across docs
+        s, n = (d * 2654435761) % 97, 3 + (d * 31) % 10
+        toks = [vocab[(s + i * (1 + d % 7)) % len(vocab)] for i in range(n)]
+        rows.append((d, " ".join(toks)))
+    rows.append((100, ""))  # empty doc: excluded, must not crash
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(df, tau=tau).collect()
+    }
+    want = _brute_jaccard_pairs(rows, tau)
+    assert got.keys() == want.keys(), (
+        f"tau={tau}: missing={set(want) - set(got)} extra={set(got) - set(want)}"
+    )
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_prefix_jaccard_prefix_actually_prunes(spark):
+    """The stopword shared by every doc must not form a candidate bucket:
+    with tau=0.8 and distinct rare tokens, candidate count stays 0 even
+    though all docs share 'the'."""
+    from tsidx.dedup import prefix_jaccard_pairs
+
+    rows = [(d, f"the unique{d}a unique{d}b unique{d}c unique{d}d") for d in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert prefix_jaccard_pairs(df, tau=0.8).count() == 0
