@@ -1141,6 +1141,82 @@ def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ltr_registry() -> dict[str, str]:
+    """Fixed LTR query batch shared by engine and oracle."""
+    return {"q1": Q_BM25, "q2": Q_AND, "q3": Q_RARE}
+
+
+def _q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LETOR-style per-(query, doc) lexical feature table (tsidx/ltr.py):
+    one shared posting scan for the whole query batch, every feature in
+    one aggregation pass."""
+    from tsidx.ltr import ltr_features
+
+    eng = get_engine(spark, sf_dir)
+    return ltr_features(eng, _ltr_registry(), mu=LM_MU).select(
+        "query_id",
+        "doc_id",
+        "n_query_terms",
+        "n_matched",
+        "dl",
+        "sum_tf",
+        "min_tf",
+        "max_tf",
+        # the +0.0 canonicalizes a rounded -0.0 (a tiny negative score
+        # would otherwise hash differently across engines)
+        (F.round("sum_idf", 6) + F.lit(0.0)).alias("sum_idf_r"),
+        (F.round("sum_tfidf", 6) + F.lit(0.0)).alias("sum_tfidf_r"),
+        (F.round("bm25", 4) + F.lit(0.0)).alias("bm25_r"),
+        (F.round("lmd", 4) + F.lit(0.0)).alias("lmd_r"),
+    )
+
+
+def _ltr_sql() -> str:
+    qt_values = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in _ltr_registry().items()
+        for t in _sql_query_terms(q)
+    )
+    return f"""
+WITH {_terms_cte()},
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl,
+         sum(dl)::DOUBLE AS c_tokens
+  FROM dl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+cfreq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+qt(query_id, term) AS (VALUES {qt_values}),
+nq AS (SELECT query_id, count(*)::INT AS nq FROM qt GROUP BY 1),
+m AS (
+  SELECT qt.query_id, tf.doc_id, tf.tf::DOUBLE AS tf, dl.dl::DOUBLE AS dl,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) AS idf,
+         cfreq.cf, stats.avgdl, stats.c_tokens
+  FROM qt
+  JOIN tf ON qt.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN cfreq ON tf.term = cfreq.term
+  CROSS JOIN stats
+)
+SELECT m.query_id, m.doc_id,
+       any_value(nq.nq) AS n_query_terms,
+       count(*)::INT AS n_matched,
+       any_value(m.dl)::INT AS dl,
+       sum(m.tf)::BIGINT AS sum_tf,
+       min(m.tf)::INT AS min_tf,
+       max(m.tf)::INT AS max_tf,
+       round(sum(m.idf), 6) + 0.0 AS sum_idf_r,
+       round(sum(m.tf * m.idf), 6) + 0.0 AS sum_tfidf_r,
+       round(sum(m.idf * (m.tf * {K1 + 1.0})
+                 / (m.tf + {K1} * ((1.0 - {B}) + ({B} * m.dl) / m.avgdl))),
+             4) + 0.0 AS bm25_r,
+       round(sum(ln(1.0 + m.tf / ({LM_MU} * (m.cf / m.c_tokens)))
+                 + ln({LM_MU} / ({LM_MU} + m.dl))), 4) + 0.0 AS lmd_r
+FROM m JOIN nq USING (query_id)
+GROUP BY 1, 2"""
+
+
 SDM_MU = 2000.0
 SDM_LAMS = (0.85, 0.1, 0.05)
 SDM_WINDOW = 8
@@ -3572,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jm_topk": _q_lm_jm_topk,
         "sdm_topk": _q_sdm_topk,
         "prefix_jaccard": _q_prefix_jaccard,
+        "ltr_features": _q_ltr_features,
     }
 
 
@@ -6177,6 +6254,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
       (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {PJ_TAU}""",
+        "ltr_features": _ltr_sql(),
     }
 
 
