@@ -1141,6 +1141,59 @@ def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLARITY_FB = 10
+
+
+def _q_clarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clarity query-performance prediction (tsidx/query.py
+    clarity_score): KL divergence between the feedback-set language
+    model and the collection model."""
+    eng = get_engine(spark, sf_dir)
+    return eng.clarity_score(Q_BM25, fb_docs=CLARITY_FB).select(
+        "n_fb_docs", "n_terms", F.round("clarity", 4).alias("clarity_r")
+    )
+
+
+def _clarity_sql() -> str:
+    return f"""
+WITH {_terms_cte()},
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * ((tf.tf * {K1 + 1.0}) /
+            (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl))) AS c
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ({_terms_in(Q_BM25)})
+),
+sc AS (
+  SELECT doc_id, round(sum(c), 4) AS score_r FROM contrib GROUP BY doc_id
+  ORDER BY round(sum(c), 4) DESC, doc_id LIMIT {CLARITY_FB}
+),
+z AS (SELECT sum(score_r) AS z FROM sc),
+pw AS (
+  SELECT tf.term,
+         sum((tf.tf::DOUBLE / dl.dl) * (sc.score_r / z.z)) AS p
+  FROM sc
+  JOIN tf ON tf.doc_id = sc.doc_id
+  JOIN dl ON dl.doc_id = sc.doc_id
+  CROSS JOIN z
+  GROUP BY tf.term
+),
+c AS (SELECT sum(dl)::DOUBLE AS n FROM dl),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term)
+SELECT (SELECT count(*) FROM sc)::INT AS n_fb_docs,
+       count(*)::BIGINT AS n_terms,
+       round(sum(pw.p * log2(pw.p * c.n / cf.cf)), 4) AS clarity_r
+FROM pw JOIN cf USING (term) CROSS JOIN c"""
+
+
 def _ltr_registry() -> dict[str, str]:
     """Fixed LTR query batch shared by engine and oracle."""
     return {"q1": Q_BM25, "q2": Q_AND, "q3": Q_RARE}
@@ -3649,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdm_topk": _q_sdm_topk,
         "prefix_jaccard": _q_prefix_jaccard,
         "ltr_features": _q_ltr_features,
+        "clarity": _q_clarity,
     }
 
 
@@ -6255,6 +6309,7 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
       (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {PJ_TAU}""",
         "ltr_features": _ltr_sql(),
+        "clarity": _clarity_sql(),
     }
 
 

@@ -189,3 +189,55 @@ def test_lm_jm_topk_deterministic(engine):
 
 def test_lm_jm_empty_query(engine):
     assert engine.lm_jm_scores("").count() == 0
+
+
+# -------------------------------------------------------------- clarity QPP
+
+
+def _clarity_reference(query: str, fb_docs: int):
+    """Independent Clarity computation (Cronen-Townsend 2002, BM25 fb
+    weights rounded@4 like the engine)."""
+    from tsidx.oracle import OracleIndex
+
+    oi = OracleIndex()
+    oi.add_corpus(TEXTS)
+    scores = [
+        (d, math.floor(s * 1e4 + 0.5) / 1e4)
+        for d, s in oi.bm25_topk(query, len(TEXTS))
+    ]
+    scores.sort(key=lambda x: (-x[1], x[0]))
+    fb = scores[:fb_docs]
+    z = sum(s for _, s in fb)
+    docs = _tok_docs()
+    pwq = {}
+    for d, s in fb:
+        toks = docs[d]
+        tf = Counter(toks)
+        for t, f in tf.items():
+            pwq[t] = pwq.get(t, 0.0) + (s / z) * (f / len(toks))
+    cf = Counter(t for dd in docs for t in dd)
+    c = sum(len(dd) for dd in docs)
+    clarity = sum(
+        p * math.log2(p * c / cf[t]) for t, p in sorted(pwq.items())
+    )
+    return len(fb), len(pwq), clarity
+
+
+def test_clarity_matches_reference(engine):
+    row = engine.clarity_score("customer merge", fb_docs=3).collect()[0]
+    n_fb, n_terms, want = _clarity_reference("customer merge", 3)
+    assert row["n_fb_docs"] == n_fb
+    assert row["n_terms"] == n_terms
+    assert row["clarity"] == pytest.approx(want, rel=1e-9)
+
+
+def test_clarity_rare_query_clearer_than_stopword(engine):
+    rare = engine.clarity_score("conflict", fb_docs=4).collect()[0]["clarity"]
+    common = engine.clarity_score("the", fb_docs=4).collect()[0]["clarity"]
+    assert rare > common
+
+
+def test_clarity_empty_and_nomatch(engine):
+    assert engine.clarity_score("").count() == 0
+    row = engine.clarity_score("zzzmissing").collect()[0]
+    assert row["n_fb_docs"] == 0 and row["clarity"] is None

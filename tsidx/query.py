@@ -524,6 +524,84 @@ class QueryEngine:
             .limit(int(k))
         )
 
+    def clarity_score(
+        self, query: str | list[str], fb_docs: int = 10
+    ) -> DataFrame:
+        """One row ``(n_fb_docs, n_terms, clarity)``: the Clarity query-
+        performance predictor (Cronen-Townsend, Zhou & Croft, SIGIR 2002)
+        — the KL divergence between the query language model induced from
+        the top results and the collection model::
+
+            P(w|Q)  = sum over fb docs D of  w_D * tf(w, D) / dl_D
+            clarity = sum over w of  P(w|Q) * log2(P(w|Q) / (cf_w / C))
+
+        with ``w_D`` the doc's BM25 score (rounded@4, the same feedback
+        selection discipline as :meth:`rm3_topk`) normalized over the
+        feedback set. High clarity = the result set speaks a distinctive
+        language (the query is unambiguous); low clarity predicts poor
+        retrieval — the standard signal for query triage/expansion
+        gating.
+
+        Plan shape: pass 1 is the standard pushed term-IN scan ending in
+        TakeOrdered(fb_docs); the query model is built DRIVER-side from
+        the fb docs' own texts (<= fb_docs pushed-filter rows, the
+        :meth:`rm3_topk` pattern — driver state O(fb_docs · doc_len));
+        collection frequencies for the fb vocabulary come from posting-
+        block METADATA (one pushed ``term IN`` agg over ``sum_tf``, no
+        decode). The KL sum runs driver-side in sorted-term order, so
+        the scalar is engine- and partitioning-reproducible.
+        """
+        import math
+
+        from tsidx.tokenize import term_freqs
+
+        spark = self.index.docs.sparkSession
+        schema = "n_fb_docs int, n_terms long, clarity double"
+        q_terms = sorted(set(self.terms_of(query)))
+        if not q_terms:
+            return spark.createDataFrame([], schema)
+        fb_rows = (
+            self.bm25_scores(query)
+            .select("doc_id", F.round("score", 4).alias("score_r"))
+            .orderBy(F.desc("score_r"), F.asc("doc_id"))
+            .limit(int(fb_docs))
+            .collect()
+        )
+        score_by = {r["doc_id"]: float(r["score_r"]) for r in fb_rows}
+        z = sum(score_by.values())
+        if not score_by or z <= 0:
+            return spark.createDataFrame([(0, 0, None)], schema)
+        texts = (
+            self.index.docs.filter(F.col("doc_id").isin(list(score_by)))
+            .select("doc_id", "text")
+            .collect()
+        )
+        pwq: dict[str, float] = {}
+        for row in sorted(texts, key=lambda r: r["doc_id"]):
+            tfs, dl = term_freqs(row["text"], self._stem_cache)
+            if not dl:
+                continue
+            w_d = score_by[row["doc_id"]] / z
+            for t, f in tfs.items():
+                pwq[t] = pwq.get(t, 0.0) + w_d * (f / dl)
+        if not pwq:
+            return spark.createDataFrame([(len(score_by), 0, None)], schema)
+        cfs = {
+            r["term"]: float(r["cf"])
+            for r in self._blocks_for(sorted(pwq))
+            .groupBy("term")
+            .agg(F.sum("sum_tf").alias("cf"))
+            .collect()
+        }  # bounded by the fb vocabulary (fb_docs * doc_len)
+        c_tokens = float(self.index.meta["total_tokens"])
+        clarity = 0.0
+        for t in sorted(pwq):
+            p = pwq[t]
+            clarity += p * math.log2(p * c_tokens / cfs[t])
+        return spark.createDataFrame(
+            [(len(score_by), len(pwq), clarity)], schema
+        )
+
     def bm25_topk_after(
         self, query: str | list[str], k: int, after: tuple[int, float]
     ) -> DataFrame:
