@@ -1141,6 +1141,91 @@ def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSG_SIZE, PSG_STRIDE = 8, 8
+
+
+def _q_passage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxP passage retrieval (tsidx/passage.py): BM25 over fixed token
+    windows, max-pooled to parent docs. The chunk index is its own build
+    (cached per sf_dir like the core index)."""
+    from tsidx.passage import build_passage_index, passage_topk
+    from tsidx.query import QueryEngine
+
+    key = ("passage", id(spark), os.path.normpath(sf_dir))
+    eng = _INDEX_CACHE.get(key)
+    if eng is None:
+        docs = load_documents(spark, sf_dir)
+        eng = QueryEngine(
+            build_passage_index(docs, PSG_SIZE, PSG_STRIDE, block_size=1024)
+        )
+        _INDEX_CACHE[key] = eng
+    return passage_topk(eng, Q_BM25, Q_BM25_K, round_scores=4).select(
+        "parent_id",
+        F.col("score").alias("score_r"),
+        "best_chunk",
+        "n_chunks_matched",
+    )
+
+
+def _passage_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+ch AS (
+  SELECT doc_id AS parent_id, CAST((i - 1) // {PSG_STRIDE} AS INT) AS chunk_id,
+         t[i:i+{PSG_SIZE - 1}] AS w
+  FROM toks, unnest(range(1, len(t) + 1, {PSG_STRIDE})) AS u(i)
+),
+ctrm AS (
+  SELECT parent_id, chunk_id, {_stem_case_sql()} AS term
+  FROM ch, unnest(w) AS s(tok)
+),
+ctf AS (
+  SELECT parent_id, chunk_id, term, count(*)::BIGINT AS tf
+  FROM ctrm GROUP BY 1, 2, 3
+),
+cdl AS (
+  SELECT parent_id, chunk_id, count(*)::BIGINT AS dl
+  FROM ctrm GROUP BY 1, 2
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n_chunks, avg(dl)::DOUBLE AS avgdl FROM cdl
+),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM ctf GROUP BY term
+),
+contrib AS (
+  SELECT ctf.parent_id, ctf.chunk_id,
+         ln((stats.n_chunks - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * ((ctf.tf * {K1 + 1.0}) /
+            (ctf.tf + {K1} * ((1.0 - {B}) + ({B} * cdl.dl) / stats.avgdl))) AS c
+  FROM ctf
+  JOIN dfreq ON ctf.term = dfreq.term
+  JOIN cdl ON ctf.parent_id = cdl.parent_id AND ctf.chunk_id = cdl.chunk_id
+  CROSS JOIN stats
+  WHERE ctf.term IN ({_terms_in(Q_BM25)})
+),
+cs AS (
+  SELECT parent_id, chunk_id, round(sum(c), 4) AS s
+  FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT parent_id, chunk_id, s,
+         row_number() OVER (
+             PARTITION BY parent_id ORDER BY s DESC, chunk_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY parent_id) AS nm,
+         max(s) OVER (PARTITION BY parent_id) AS score_r
+  FROM cs
+)
+SELECT parent_id, score_r, chunk_id AS best_chunk, nm::INT AS n_chunks_matched
+FROM ranked WHERE rn = 1
+ORDER BY score_r DESC, parent_id
+LIMIT {Q_BM25_K}"""
+
+
 CLARITY_FB = 10
 
 
@@ -3703,6 +3788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard": _q_prefix_jaccard,
         "ltr_features": _q_ltr_features,
         "clarity": _q_clarity,
+        "passage_topk": _q_passage_topk,
     }
 
 
@@ -6310,6 +6396,7 @@ WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
       (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {PJ_TAU}""",
         "ltr_features": _ltr_sql(),
         "clarity": _clarity_sql(),
+        "passage_topk": _passage_sql(),
     }
 
 
