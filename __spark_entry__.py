@@ -1141,6 +1141,78 @@ def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RAKE_TOP_M = 3
+
+
+def _q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE multi-word keyword extraction (tsidx/keywords.py): top
+    phrases per doc by degree/frequency word scores — corpus-free, no
+    index needed."""
+    from tsidx.keywords import rake_keywords
+
+    docs = load_documents(spark, sf_dir)
+    return rake_keywords(docs, top_m=RAKE_TOP_M).select(
+        "doc_id", "phrase", "score_r", "rank"
+    )
+
+
+def _rake_sql() -> str:
+    from tsidx.keywords import RAKE_STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+m AS (
+  SELECT doc_id,
+         list_transform(toks, x -> CASE WHEN lower(x) IN ({stops})
+                                        THEN chr(1) ELSE x END) AS mk
+  FROM t
+),
+ph AS (
+  SELECT doc_id, pid, phrase FROM (
+    SELECT doc_id,
+           unnest(generate_series(1, len(ps))) AS pid,
+           unnest(ps) AS phrase
+    FROM (SELECT doc_id,
+                 string_split_regex(array_to_string(mk, ' '),
+                                    '\\s*' || chr(1) || '\\s*') AS ps
+          FROM m)
+  ) WHERE phrase <> ''
+),
+words AS (
+  SELECT doc_id, pid, len(string_split(phrase, ' ')) AS plen,
+         unnest(string_split(phrase, ' ')) AS w
+  FROM ph
+),
+stats AS (
+  SELECT doc_id, w, count(*)::BIGINT AS freq, sum(plen)::BIGINT AS deg
+  FROM words GROUP BY 1, 2
+),
+ps AS (
+  SELECT words.doc_id, words.pid,
+         sum(stats.deg::DOUBLE / stats.freq) AS score
+  FROM words JOIN stats ON words.doc_id = stats.doc_id AND words.w = stats.w
+  GROUP BY 1, 2
+),
+dedup AS (
+  SELECT ph.doc_id, ph.phrase, min(ps.score) AS score
+  FROM ps JOIN ph ON ps.doc_id = ph.doc_id AND ps.pid = ph.pid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, phrase, round(score, 6) AS score_r,
+         row_number() OVER (
+             PARTITION BY doc_id ORDER BY round(score, 6) DESC, phrase
+         ) AS rank
+  FROM dedup
+)
+SELECT doc_id, phrase, score_r, rank::INT AS rank
+FROM ranked WHERE rank <= {RAKE_TOP_M}"""
+
+
 PSG_SIZE, PSG_STRIDE = 8, 8
 
 
@@ -3789,6 +3861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": _q_ltr_features,
         "clarity": _q_clarity,
         "passage_topk": _q_passage_topk,
+        "rake_keywords": _q_rake_keywords,
     }
 
 
@@ -6397,6 +6470,7 @@ WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
         "ltr_features": _ltr_sql(),
         "clarity": _clarity_sql(),
         "passage_topk": _passage_sql(),
+        "rake_keywords": _rake_sql(),
     }
 
 
