@@ -1141,6 +1141,18 @@ def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PL2_C = 1.0
+
+
+def _q_pl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR PL2 ranking (tsidx/query.py pl2_topk) — Terrier's default
+    divergence-from-randomness model."""
+    eng = get_engine(spark, sf_dir)
+    return eng.pl2_topk(Q_BM25, Q_BM25_K, c=PL2_C).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
+
+
 RAKE_TOP_M = 3
 
 
@@ -3862,6 +3874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clarity": _q_clarity,
         "passage_topk": _q_passage_topk,
         "rake_keywords": _q_rake_keywords,
+        "pl2_topk": _q_pl2_topk,
     }
 
 
@@ -6471,6 +6484,35 @@ WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
         "clarity": _clarity_sql(),
         "passage_topk": _passage_sql(),
         "rake_keywords": _rake_sql(),
+        "pl2_topk": f"""
+WITH {_terms_cte()},
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+cfreq AS (
+  SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id,
+         (1.0 / (tfn + 1.0)) *
+         ( tfn * (ln(tfn / lam) / ln(2))
+         + (lam - tfn) * log2(exp(1))
+         + 0.5 * (ln(2 * pi() * tfn) / ln(2)) ) AS cx
+  FROM (
+    SELECT tf.doc_id, tf.term,
+           tf.tf::DOUBLE * (ln(1.0 + {PL2_C} * stats.avgdl / dl.dl) / ln(2))
+             AS tfn,
+           cfreq.cf / stats.n_docs AS lam
+    FROM tf
+    JOIN cfreq ON tf.term = cfreq.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    WHERE tf.term IN ({_terms_in(Q_BM25)})
+  ) tf
+)
+SELECT doc_id, round(sum(cx), 4) AS score_r
+FROM contrib GROUP BY doc_id
+ORDER BY round(sum(cx), 12) DESC, doc_id LIMIT {Q_BM25_K}""",
     }
 
 

@@ -241,3 +241,53 @@ def test_clarity_empty_and_nomatch(engine):
     assert engine.clarity_score("").count() == 0
     row = engine.clarity_score("zzzmissing").collect()[0]
     assert row["n_fb_docs"] == 0 and row["clarity"] is None
+
+
+# ------------------------------------------------------------------ DFR PL2
+
+
+def _pl2_reference(query: str, c: float):
+    """Independent PL2 computation (Amati & van Rijsbergen 2002)."""
+    docs = _tok_docs()
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    cf = Counter(t for d in docs for t in d)
+    qterms = sorted(set(stem_tokens(query)))
+    scores = {}
+    for doc_id, d in enumerate(docs):
+        tf = Counter(d)
+        matched = [t for t in qterms if tf[t]]
+        if not matched:
+            continue
+        s = 0.0
+        for t in matched:
+            tfn = tf[t] * math.log2(1.0 + c * avgdl / len(d))
+            lam = cf[t] / n
+            s += (1.0 / (tfn + 1.0)) * (
+                tfn * math.log2(tfn / lam)
+                + (lam - tfn) * math.log2(math.e)
+                + 0.5 * math.log2(2.0 * math.pi * tfn)
+            )
+        scores[doc_id] = s
+    return scores
+
+
+def test_pl2_matches_reference(engine):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in engine.pl2_scores("customer merge", c=1.0).collect()
+    }
+    want = _pl2_reference("customer merge", 1.0)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+
+def test_pl2_topk_deterministic(engine):
+    rows = engine.pl2_topk("customer query", 4).collect()
+    assert len(rows) == 4
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert [tuple(r) for r in rows] == [
+        tuple(r) for r in engine.pl2_topk("customer query", 4).collect()
+    ]

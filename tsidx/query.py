@@ -1295,6 +1295,74 @@ class QueryEngine:
             .limit(int(k))
         )
 
+    def pl2_scores(self, query: str | list[str], c: float = 1.0) -> DataFrame:
+        """(doc_id, score): Divergence-From-Randomness PL2 ranking
+        (Amati & van Rijsbergen, TOIS 2002) — Terrier's default model;
+        the standard third family next to BM25 and the LMs (Poisson
+        randomness, Laplace after-effect, normalization 2)::
+
+            tfn   = tf * log2(1 + c * avgdl / dl)
+            lam   = cf / N              (Poisson rate of the term)
+            score = sum over matched terms of (1 / (tfn + 1)) *
+                    ( tfn * log2(tfn / lam)
+                    + (lam - tfn) * log2(e)
+                    + 0.5 * log2(2 * pi * tfn) )
+
+        Physical shape: identical to :meth:`lm_dirichlet_scores` — one
+        pushed ``term IN`` posting scan + decode, ``cf`` from block
+        METADATA (``sum_tf`` per term, no repartition of decoded rows),
+        per-doc sums in sorted-term order.
+        """
+        import math
+
+        terms = sorted(set(self.terms_of(query)))
+        spark = self.index.docs.sparkSession
+        if not terms:
+            return spark.createDataFrame([], "doc_id long, score double")
+        c = float(c)
+        n_docs = float(self.index.meta["n_docs"])
+        avgdl = float(self.index.meta["avgdl"])
+        cf_df = (
+            self._blocks_for(terms)
+            .groupBy("term")
+            .agg(F.sum("sum_tf").cast("double").alias("_cf"))
+        )
+        rows = self._live(self.posting_rows(terms)).join(
+            F.broadcast(cf_df), "term"
+        )
+        ln2 = math.log(2.0)
+        tf = F.col("tf").cast("double")
+        dl = F.col("dl").cast("double")
+        tfn = tf * (F.log(F.lit(1.0) + F.lit(c * avgdl) / dl) / F.lit(ln2))
+        lam = F.col("_cf") / F.lit(n_docs)
+        contrib = (F.lit(1.0) / (tfn + F.lit(1.0))) * (
+            tfn * (F.log(tfn / lam) / F.lit(ln2))
+            + (lam - tfn) * F.lit(math.log2(math.e))
+            + F.lit(0.5) * (F.log(F.lit(2.0 * math.pi) * tfn) / F.lit(ln2))
+        )
+        return (
+            rows.withColumn("contrib", contrib)
+            .groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score")
+            )
+        )
+
+    def pl2_topk(
+        self, query: str | list[str], k: int, c: float = 1.0
+    ) -> DataFrame:
+        """Deterministic top-k by (-score, doc_id) over
+        :meth:`pl2_scores`; executes as TakeOrdered."""
+        return (
+            self.pl2_scores(query, c)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
     def significant_terms(
         self,
         query: str | list[str],
