@@ -1141,6 +1141,86 @@ def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CH_M = 200  # champion-list depth
+CH_RECALL_BOUND = 0.6  # measured 0.72 at sf0.01 (uniform-text worst case)
+
+
+def _get_champions(spark: SparkSession, sf_dir: str):
+    from tsidx.champion import champion_lists
+
+    key = ("champions", id(spark), os.path.normpath(sf_dir))
+    ch = _INDEX_CACHE.get(key)
+    if ch is None:
+        ch = champion_lists(get_engine(spark, sf_dir), CH_M).localCheckpoint()
+        _INDEX_CACHE[key] = ch
+    return ch
+
+
+def _q_champion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-1 champion-list probe (tsidx/champion.py): BM25 over each
+    query term's top-m postings only. The twin recomputes the same tier,
+    so the entry checks the operator exactly; recall vs the full index
+    is the separate champion_recall gate."""
+    from tsidx.champion import champion_topk
+
+    eng = get_engine(spark, sf_dir)
+    return champion_topk(
+        eng, _get_champions(spark, sf_dir), Q_BM25, Q_BM25_K
+    ).select(
+        F.col("doc_id").cast("long"), F.round("score", 4).alias("score_r")
+    )
+
+
+def _q_champion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantitative gate for the tier-1 probe: overlap@k vs the exact
+    BM25 top-k (the lsh_ann_recall pattern — the uniform-text corpus is
+    the champion list's documented worst case; Zipf corpora do better)."""
+    exact = {r["doc_id"] for r in _q_bm25_topk(spark, sf_dir).collect()}
+    probe = {r["doc_id"] for r in _q_champion_topk(spark, sf_dir).collect()}
+    recall = len(exact & probe) / len(exact) if exact else 1.0
+    return spark.createDataFrame(
+        [(Q_BM25_K, bool(recall >= CH_RECALL_BOUND))],
+        "k long, recall_ok boolean",
+    )
+
+
+def _champion_sql() -> str:
+    return f"""
+WITH {_terms_cte()},
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+wtfs AS (
+  SELECT tf.doc_id, tf.term, tf.tf::DOUBLE AS tf, dl.dl::DOUBLE AS dl,
+         round((tf.tf * {K1 + 1.0}) /
+               (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl)),
+               6) AS wr
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  WHERE tf.term IN ({_terms_in(Q_BM25)})
+),
+champs AS (
+  SELECT * FROM (
+    SELECT wtfs.*, row_number() OVER (
+               PARTITION BY term ORDER BY wr DESC, doc_id
+           ) AS rn
+    FROM wtfs
+  ) WHERE rn <= {CH_M}
+),
+contrib AS (
+  SELECT c.doc_id,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * ((c.tf * {K1 + 1.0}) /
+            (c.tf + {K1} * ((1.0 - {B}) + ({B} * c.dl) / stats.avgdl))) AS cx
+  FROM champs c
+  JOIN dfreq ON c.term = dfreq.term
+  CROSS JOIN stats
+)
+SELECT doc_id, round(sum(cx), 4) AS score_r
+FROM contrib GROUP BY doc_id
+ORDER BY round(sum(cx), 12) DESC, doc_id LIMIT {Q_BM25_K}"""
+
+
 PL2_C = 1.0
 
 
@@ -3875,6 +3955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_topk": _q_passage_topk,
         "rake_keywords": _q_rake_keywords,
         "pl2_topk": _q_pl2_topk,
+        "champion_topk": _q_champion_topk,
+        "champion_recall": _q_champion_recall,
     }
 
 
@@ -6513,6 +6595,9 @@ contrib AS (
 SELECT doc_id, round(sum(cx), 4) AS score_r
 FROM contrib GROUP BY doc_id
 ORDER BY round(sum(cx), 12) DESC, doc_id LIMIT {Q_BM25_K}""",
+        "champion_topk": _champion_sql(),
+        "champion_recall": f"""
+SELECT {Q_BM25_K}::BIGINT AS k, true AS recall_ok""",
     }
 
 
