@@ -1141,6 +1141,75 @@ def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RBO_P = 0.9
+
+
+def _q_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the BM25 and LM-Dirichlet rankings of
+    the same query (tsidx/evalrank.py rank_agreement) — the top-weighted
+    rank-similarity metric for ranker A/B comparison. Both rankings are
+    re-ranked on rounded@4 scores so the lists are engine-identical."""
+    from tsidx.evalrank import rank_agreement
+
+    eng = get_engine(spark, sf_dir)
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+
+    def ranked(df):
+        return df.select(
+            "doc_id", F.round("score", 4).alias("score_r")
+        ).withColumn("rank", F.row_number().over(w))
+
+    a = ranked(eng.bm25_topk(Q_BM25, Q_BM25_K))
+    b = ranked(eng.lm_dirichlet_topk(Q_BM25, Q_BM25_K, mu=LM_MU))
+    return rank_agreement(a, b, Q_BM25_K, p=RBO_P)
+
+
+def _rank_agreement_sql() -> str:
+    return f"""
+WITH {_terms_cte()},
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl,
+         sum(dl)::DOUBLE AS c_tokens FROM dl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+cfreq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.doc_id, round(sum(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * ((tf.tf * {K1 + 1.0}) /
+              (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl)))
+         ), 4) AS s
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  WHERE tf.term IN ({_terms_in(Q_BM25)}) GROUP BY tf.doc_id
+),
+lm AS (
+  SELECT tf.doc_id, round(sum(
+           ln(1.0 + tf.tf::DOUBLE / ({LM_MU} * (cfreq.cf / stats.c_tokens)))
+           + ln({LM_MU} / ({LM_MU} + dl.dl::DOUBLE))
+         ), 4) AS s
+  FROM tf JOIN cfreq ON tf.term = cfreq.term
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  WHERE tf.term IN ({_terms_in(Q_BM25)}) GROUP BY tf.doc_id
+),
+a AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+      FROM bm ORDER BY s DESC, doc_id LIMIT {Q_BM25_K}),
+b AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+      FROM lm ORDER BY s DESC, doc_id LIMIT {Q_BM25_K}),
+common AS (
+  SELECT greatest(a.rn, b.rn) AS m FROM a JOIN b USING (doc_id)
+),
+ov AS (
+  SELECT d, (SELECT count(*) FROM common WHERE m <= d)::DOUBLE AS o
+  FROM (SELECT unnest(range(1, {Q_BM25_K} + 1)) AS d)
+)
+SELECT {Q_BM25_K}::BIGINT AS k,
+       (SELECT count(*) FROM common)::BIGINT AS n_common,
+       round({1.0 - RBO_P} * sum(power({RBO_P}, d - 1) * o / d), 6)
+         AS rbo_min_r
+FROM ov"""
+
+
 CH_M = 200  # champion-list depth
 CH_RECALL_BOUND = 0.6  # measured 0.72 at sf0.01 (uniform-text worst case)
 
@@ -3957,6 +4026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl2_topk": _q_pl2_topk,
         "champion_topk": _q_champion_topk,
         "champion_recall": _q_champion_recall,
+        "rank_agreement": _q_rank_agreement,
     }
 
 
@@ -6598,6 +6668,7 @@ ORDER BY round(sum(cx), 12) DESC, doc_id LIMIT {Q_BM25_K}""",
         "champion_topk": _champion_sql(),
         "champion_recall": f"""
 SELECT {Q_BM25_K}::BIGINT AS k, true AS recall_ok""",
+        "rank_agreement": _rank_agreement_sql(),
     }
 
 

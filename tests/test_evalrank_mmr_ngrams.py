@@ -128,3 +128,41 @@ def test_ngram_counts_vs_python(spark):
     # min_cf bounds the output
     capped = {r["gram"] for r in ngram_counts(docs, n=2, min_cf=2).collect()}
     assert capped == {g for g in cf if cf[g] >= 2}
+
+
+# ------------------------------------------------------- rank-biased overlap
+
+
+def test_rbo_min_reference_values():
+    from tsidx.evalrank import rbo_min
+
+    # identical lists: RBO_min = (1-p) * sum p^(d-1) (overlap/d = 1)
+    p = 0.9
+    want = (1 - p) * sum(p ** (d - 1) for d in range(1, 4))
+    assert rbo_min([1, 2, 3], [1, 2, 3], p) == pytest.approx(want)
+    # disjoint lists: 0
+    assert rbo_min([1, 2], [3, 4], p) == 0.0
+    # hand-computed: a=[1,2,3], b=[2,1,3] -> overlaps d=1:0, d=2:2, d=3:3
+    want = (1 - p) * (0 + p * (2 / 2) + p * p * (3 / 3))
+    assert rbo_min([1, 2, 3], [2, 1, 3], p) == pytest.approx(want)
+    # swap symmetry
+    assert rbo_min([5, 6, 7], [7, 6, 5], p) == pytest.approx(
+        rbo_min([7, 6, 5], [5, 6, 7], p)
+    )
+
+
+def test_rank_agreement_frame(spark):
+    from tsidx.evalrank import rank_agreement, rbo_min
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (10, 2), (40, 3)], "doc_id long, rank int"
+    )
+    row = rank_agreement(a, b, 3, p=0.9).collect()[0]
+    assert row["k"] == 3
+    assert row["n_common"] == 2
+    assert row["rbo_min_r"] == pytest.approx(
+        round(rbo_min([10, 20, 30], [20, 10, 40], 0.9), 6)
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ranking_metrics"]
+__all__ = ["ranking_metrics", "rbo_min", "rank_agreement"]
 
 
 def ranking_metrics(
@@ -88,4 +88,75 @@ def ranking_metrics(
             ).alias("ndcg_r"),
             F.round("mrr", 4).alias("mrr_r"),
         )
+    )
+
+
+def rbo_min(
+    a: list[int], b: list[int], p: float = 0.9
+) -> float:
+    """Rank-Biased Overlap, lower bound (Webber, Moffat & Zobel, TOIS
+    2010 eq. 11 truncated at the seen depth): for prefix lists *a*, *b*
+
+        RBO_min = (1 - p) * sum over d = 1..k of p^(d-1) * |a_:d ∩ b_:d| / d
+
+    Top-weighted (disagreement deep in the lists matters geometrically
+    less — the property Kendall's tau lacks for rankings) and defined on
+    non-conjoint lists. Driver-side over two k-row lists — the bounded
+    setting it exists for."""
+    k = min(len(a), len(b))
+    seen_a: set = set()
+    seen_b: set = set()
+    overlap = 0
+    s = 0.0
+    for d in range(1, k + 1):
+        x, y = a[d - 1], b[d - 1]
+        if x == y:
+            overlap += 1
+        else:
+            if x in seen_b:
+                overlap += 1
+            if y in seen_a:
+                overlap += 1
+            seen_a.add(x)
+            seen_b.add(y)
+        s += (p ** (d - 1)) * overlap / d
+    return (1.0 - p) * s
+
+
+def rank_agreement(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int,
+    p: float = 0.9,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """One row ``(k, n_common, rbo_min_r)`` comparing two ranked lists
+    (1-based *rank_col*, best first) — e.g. BM25 vs an LM ranker, or
+    pre- vs post-deploy rankings in an A/B regression gate.
+
+    Plan: both inputs are k-row lists by construction, collected
+    driver-side (2k rows) and folded in rank order — the same bounded
+    discipline as the recall gates. ``n_common`` = |top-k ∩ top-k|.
+    """
+    k = int(k)
+    rows_a = (
+        ranked_a.filter(F.col(rank_col) <= k)
+        .orderBy(rank_col)
+        .select(id_col)
+        .collect()
+    )
+    rows_b = (
+        ranked_b.filter(F.col(rank_col) <= k)
+        .orderBy(rank_col)
+        .select(id_col)
+        .collect()
+    )
+    a = [r[id_col] for r in rows_a]
+    b = [r[id_col] for r in rows_b]
+    score = rbo_min(a, b, p)
+    spark = ranked_a.sparkSession
+    return spark.createDataFrame(
+        [(k, len(set(a) & set(b)), round(score, 6))],
+        "k long, n_common long, rbo_min_r double",
     )
