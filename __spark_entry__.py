@@ -1141,6 +1141,85 @@ def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TR_WINDOW, TR_D, TR_ITERS, TR_TOP_M = 3, 0.85, 10, 3
+
+
+def _q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (tsidx/keywords.py): per-doc PageRank over the
+    word co-occurrence graph — iterative, yet fully oracle-checked via a
+    10-iteration unrolled SQL twin."""
+    from tsidx.keywords import textrank_keywords
+
+    docs = load_documents(spark, sf_dir)
+    return textrank_keywords(
+        docs,
+        top_m=TR_TOP_M,
+        window=TR_WINDOW,
+        damping=TR_D,
+        iterations=TR_ITERS,
+    ).select("doc_id", "word", "score_r", "rank")
+
+
+def _textrank_sql() -> str:
+    from tsidx.keywords import RAKE_STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    d = TR_D
+    iters = []
+    for i in range(TR_ITERS):
+        iters.append(
+            f"""r{i + 1} AS (
+  SELECT n.doc_id, n.w,
+         {1.0 - d} + {d} * coalesce(sum((e.wt / dg.deg) * p.r), 0.0) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.doc_id = n.doc_id AND e.v = n.w
+  LEFT JOIN deg dg ON dg.doc_id = e.doc_id AND dg.u = e.u
+  LEFT JOIN r{i} p ON p.doc_id = e.doc_id AND p.w = e.u
+  GROUP BY 1, 2
+)"""
+        )
+    iter_sql = ",\n".join(iters)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> lower(x) NOT IN ({stops})) AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+pt AS (
+  SELECT doc_id, unnest(toks) AS w,
+         unnest(generate_series(1, len(toks))) AS i
+  FROM t WHERE len(toks) > 0
+),
+e0 AS (
+  SELECT a.doc_id, a.w AS u, b.w AS v, count(*)::DOUBLE AS wt
+  FROM pt a JOIN pt b
+    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i - a.i < {TR_WINDOW}
+   AND a.w <> b.w
+  GROUP BY 1, 2, 3
+),
+edges AS (
+  SELECT doc_id, u, v, sum(wt) AS wt FROM (
+    SELECT doc_id, u, v, wt FROM e0
+    UNION ALL
+    SELECT doc_id, v AS u, u AS v, wt FROM e0
+  ) GROUP BY 1, 2, 3
+),
+nodes AS (SELECT DISTINCT doc_id, w FROM pt),
+deg AS (SELECT doc_id, u, sum(wt) AS deg FROM edges GROUP BY 1, 2),
+r0 AS (SELECT doc_id, w, 1.0 AS r FROM nodes),
+{iter_sql},
+final AS (
+  SELECT doc_id, w AS word, round(r, 6) AS score_r,
+         row_number() OVER (
+             PARTITION BY doc_id ORDER BY round(r, 6) DESC, w
+         ) AS rank
+  FROM r{TR_ITERS}
+)
+SELECT doc_id, word, score_r, rank::INT AS rank
+FROM final WHERE rank <= {TR_TOP_M}"""
+
+
 RBO_P = 0.9
 
 
@@ -4027,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "champion_topk": _q_champion_topk,
         "champion_recall": _q_champion_recall,
         "rank_agreement": _q_rank_agreement,
+        "textrank_keywords": _q_textrank,
     }
 
 
@@ -6669,6 +6749,7 @@ ORDER BY round(sum(cx), 12) DESC, doc_id LIMIT {Q_BM25_K}""",
         "champion_recall": f"""
 SELECT {Q_BM25_K}::BIGINT AS k, true AS recall_ok""",
         "rank_agreement": _rank_agreement_sql(),
+        "textrank_keywords": _textrank_sql(),
     }
 
 

@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["RAKE_STOPWORDS", "rake_phrases", "rake_keywords"]
+__all__ = [
+    "RAKE_STOPWORDS",
+    "rake_phrases",
+    "rake_keywords",
+    "textrank_keywords",
+]
 
 RAKE_STOPWORDS: tuple[str, ...] = (
     "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
@@ -128,4 +133,95 @@ def rake_keywords(
             F.round("score", round_digits).alias("score_r"),
             "rank",
         )
+    )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    top_m: int = 5,
+    *,
+    window: int = 3,
+    damping: float = 0.85,
+    iterations: int = 10,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """``(id_col, word, score_r, rank)`` — TextRank single-word keywords
+    (Mihalcea & Tarau, EMNLP 2004): PageRank over each doc's word
+    co-occurrence graph.
+
+    Graph: nodes = the doc's distinct non-stopword tokens; an undirected
+    edge (u, v) gains weight 1 for every position pair ``i < j`` with
+    ``j - i < window`` in the stopword-FILTERED token sequence. Scores
+    run a FIXED *iterations* power iterations of
+
+        r(v) = (1 - d) + d * sum over neighbors u of
+                           (wt_uv / deg_u) * r(u)
+
+    (no convergence test — a fixed count keeps the result a pure
+    function of the text, replayable by the unrolled-SQL oracle twin).
+    Isolated nodes settle at ``1 - d``.
+
+    Per-doc graphs are doc-local, so this is the documented Arrow
+    boundary: one ``mapInPandas`` pass, numpy per batch, zero shuffles —
+    the top-m selection happens inside the pass too (per-doc state is
+    O(distinct tokens)). No cross-doc information anywhere.
+    """
+    import pandas as pd  # noqa: F401  (schema hint for readers)
+
+    stop = frozenset(stopwords)
+    window = int(window)
+    damping = float(damping)
+    iterations = int(iterations)
+    top_m_i = int(top_m)
+    rd = int(round_digits)
+
+    def _run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_w, out_s, out_r = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [
+                    t for t in str(text).split() if t.lower() not in stop
+                ]
+                if not toks:
+                    continue
+                words = sorted(set(toks))
+                idx = {w: i for i, w in enumerate(words)}
+                n = len(words)
+                wt = np.zeros((n, n))
+                for i in range(len(toks)):
+                    for j in range(i + 1, min(i + window, len(toks))):
+                        a, b = idx[toks[i]], idx[toks[j]]
+                        if a != b:
+                            wt[a, b] += 1.0
+                            wt[b, a] += 1.0
+                deg = wt.sum(axis=1)
+                safe = np.where(deg > 0, deg, 1.0)
+                r = np.ones(n)
+                m_t = (wt / safe[:, None]).T  # M[u,v] = wt_uv / deg_u
+                for _ in range(iterations):
+                    r = (1.0 - damping) + damping * (m_t @ r)
+                r = np.floor(r * 10**rd + 0.5) / 10**rd
+                order = sorted(range(n), key=lambda i: (-r[i], words[i]))
+                for rank, i in enumerate(order[:top_m_i], start=1):
+                    out_id.append(doc_id)
+                    out_w.append(words[i])
+                    out_s.append(float(r[i]))
+                    out_r.append(rank)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_id, dtype="int64"),
+                    "word": pd.Series(out_w, dtype="object"),
+                    "score_r": pd.Series(out_s, dtype="float64"),
+                    "rank": pd.Series(out_r, dtype="int32"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _run, schema=f"{id_col} long, word string, score_r double, rank int"
     )
