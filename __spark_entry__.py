@@ -1141,6 +1141,22 @@ def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_PHI = 0.02
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy-hitter tokens (tsidx/sketches.py): Misra-Gries
+    candidate sweep + exact recount — no full-vocabulary groupBy."""
+    from tsidx.sketches import heavy_hitters
+
+    toks = (
+        load_documents(spark, sf_dir)
+        .filter(F.trim("text") != "")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    )
+    return heavy_hitters(toks, "tok", HH_PHI).select("value", "cnt")
+
+
 TR_WINDOW, TR_D, TR_ITERS, TR_TOP_M = 3, 0.85, 10, 3
 
 
@@ -4107,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "champion_recall": _q_champion_recall,
         "rank_agreement": _q_rank_agreement,
         "textrank_keywords": _q_textrank,
+        "heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -6750,6 +6767,15 @@ ORDER BY round(sum(cx), 12) DESC, doc_id LIMIT {Q_BM25_K}""",
 SELECT {Q_BM25_K}::BIGINT AS k, true AS recall_ok""",
         "rank_agreement": _rank_agreement_sql(),
         "textrank_keywords": _textrank_sql(),
+        "heavy_hitters": f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS v
+  FROM documents WHERE trim(text) <> ''
+),
+n AS (SELECT count(*)::BIGINT AS n FROM toks),
+c AS (SELECT v, count(*)::BIGINT AS cnt FROM toks GROUP BY v)
+SELECT c.v AS value, c.cnt
+FROM c CROSS JOIN n WHERE c.cnt >= ceil({HH_PHI} * n.n)""",
     }
 
 

@@ -272,6 +272,30 @@ def main():
 
     p50("kwic", lambda: kwic(positional, idx.docs, "merge window").count())
 
+    # SDM ranking: unigram posting scan + two bucketed position-pair
+    # features per adjacent query-term pair (Metzler-Croft weights)
+    from tsidx.sdm import sdm_topk
+
+    p50(
+        "sdm_topk",
+        lambda: sdm_topk(eng, positional, "customer query merge", 25).collect(),
+    )
+
+    # champion lists: tier build = one full-index decode + per-term top-m
+    # (rank window, map-side limited); probe touches <= m|q| postings
+    from tsidx.champion import champion_lists, champion_topk
+
+    t0 = time.time()
+    champions = champion_lists(eng, 200).persist()
+    champions.count()
+    timings["champion_build"] = time.time() - t0
+    p50(
+        "champion_topk",
+        lambda: champion_topk(
+            eng, champions, "customer query merge", 25
+        ).collect(),
+    )
+
     t0 = time.time()
     stats = idx.statistics()
     timings["index_stats"] = time.time() - t0
@@ -453,6 +477,22 @@ def main():
     t0 = time.time()
     bigram_lm_score(docs_flat).agg(F.sum("xent")).collect()
     timings["lm_quality"] = time.time() - t0
+
+    # stupid-backoff trigram LM: three count aggs to train + a five-join
+    # scoring pass over the trigram stream (closed vocab bounds the model)
+    from tsidx.lmquality import backoff_lm_score
+
+    t0 = time.time()
+    backoff_lm_score(docs_flat).agg(F.sum("xent")).collect()
+    timings["backoff_lm"] = time.time() - t0
+
+    # RAKE keywords at transcript scale: sentinel-split segmentation is
+    # map-only; stats/score/rank shuffles all key on doc_id
+    from tsidx.keywords import rake_keywords
+
+    t0 = time.time()
+    rake_keywords(docs_flat, top_m=3).count()
+    timings["rake_keywords"] = time.time() - t0
 
     # perplexity partitioning + DSIR weighting at full transcript scale:
     # both reuse the bigram-LM scoring pass (one model join each; the DSIR

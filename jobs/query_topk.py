@@ -37,7 +37,8 @@ def main() -> None:
         choices=[
             "topk", "match", "match_all", "phrase", "gapped", "bool",
             "batch", "mlt", "proximity", "after", "decayed", "minshould",
-            "explain", "lm", "sigterms", "percolate",
+            "explain", "lm", "jm", "pl2", "sdm", "clarity", "sigterms",
+            "percolate",
         ],
     )
     ap.add_argument("--parallelism", type=int, default=None)
@@ -138,6 +139,20 @@ def main() -> None:
             rows = eng.bm25_topk_after(query, args.k, cur).collect()
         elif args.mode == "lm":
             rows = eng.lm_dirichlet_topk(query, args.k, mu=args.mu).collect()
+        elif args.mode == "jm":
+            rows = eng.lm_jm_topk(query, args.k).collect()
+        elif args.mode == "pl2":
+            rows = eng.pl2_topk(query, args.k).collect()
+        elif args.mode == "sdm":
+            from tsidx.positions import read_positional
+            from tsidx.sdm import sdm_topk
+
+            positional = read_positional(
+                spark, os.path.join(args.index, "positional")
+            )
+            rows = sdm_topk(eng, positional, query, args.k, mu=args.mu).collect()
+        elif args.mode == "clarity":
+            rows = eng.clarity_score(query, fb_docs=args.k).collect()
         elif args.mode == "sigterms":
             rows = eng.significant_terms(query, top_n=args.k).collect()
         elif args.mode == "percolate":
