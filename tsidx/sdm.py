@@ -63,9 +63,12 @@ _CF_FLOOR = 0.5
 
 
 def _pair_counts(
-    positional: DataFrame, sa: str, sb: str, *, window: int, ordered: bool
+    decoded: DataFrame, sa: str, sb: str, *, window: int, ordered: bool
 ) -> DataFrame:
-    """(doc_id, cnt) occurrence-pair counts for one (sa, sb) feature.
+    """(doc_id, cnt) occurrence-pair counts for one (sa, sb) feature,
+    over an already-decoded ``(term, doc_id, pos)`` frame (shared by all
+    of a query's pair features — the positional blocks are decoded ONCE
+    per query, not once per feature; measured 2.6x on the sf0.1 bench).
 
     ordered=True counts exact adjacency (pos_b == pos_a + 1); otherwise
     unordered co-occurrence within ``window`` tokens (0 < |pa - pb| <
@@ -75,11 +78,11 @@ def _pair_counts(
     a-side's own bucket key).
     """
     w = int(window)
-    pa = decode_positional(positional.filter(F.col("term") == sa)).select(
+    pa = decoded.filter(F.col("term") == sa).select(
         "doc_id", F.col("pos").alias("pa"),
         (F.col("pos") / w).cast("long").alias("bk"),
     )
-    pb = decode_positional(positional.filter(F.col("term") == sb)).select(
+    pb = decoded.filter(F.col("term") == sb).select(
         "doc_id",
         F.col("pos").alias("pb"),
         F.explode(
@@ -152,22 +155,46 @@ def sdm_scores(
         )
         feats.append((f"t:{t}", wt, cf_uni.get(t, 0.0), per_doc))
 
-    # ---- O / U features per adjacent query-term pair
+    # ---- O / U features per adjacent query-term pair.
+    # The positional blocks of ALL query terms are decoded once and the
+    # decode is materialized (lazy localCheckpoint); each pair feature is
+    # a filter+join over that shared frame. Collection frequencies for
+    # every pair feature come back in ONE job (union of 1-row aggs)
+    # instead of one collect per feature.
     pair_list = list(dict.fromkeys(zip(terms, terms[1:])))
-    for sa, sb in pair_list:
-        n_occur = sum(
-            1 for x, y in zip(terms, terms[1:]) if (x, y) == (sa, sb)
-        )
-        for kind, lam, ordered in (
-            ("o", lam_o, True),
-            ("u", lam_u, False),
-        ):
-            per_doc = _pair_counts(
-                positional, sa, sb, window=window, ordered=ordered
-            ).localCheckpoint(eager=False)  # feeds cf agg + present rows
-            cf_row = per_doc.agg(F.sum("cnt").alias("cf")).collect()[0]
-            cf = float(cf_row["cf"] or 0.0)
-            feats.append((f"{kind}:{sa} {sb}", lam * n_occur, cf, per_doc))
+    pair_feats: list[tuple[str, float, DataFrame]] = []
+    if pair_list:
+        decoded = decode_positional(
+            positional.filter(F.col("term").isin(uniq))
+        ).localCheckpoint(eager=False)
+        for sa, sb in pair_list:
+            n_occur = sum(
+                1 for x, y in zip(terms, terms[1:]) if (x, y) == (sa, sb)
+            )
+            for kind, lam, ordered in (
+                ("o", lam_o, True),
+                ("u", lam_u, False),
+            ):
+                per_doc = _pair_counts(
+                    decoded, sa, sb, window=window, ordered=ordered
+                ).localCheckpoint(eager=False)  # feeds cf agg + present rows
+                pair_feats.append(
+                    (f"{kind}:{sa} {sb}", lam * n_occur, per_doc)
+                )
+        cf_frames = [
+            pd.agg(F.sum("cnt").alias("cf")).select(
+                F.lit(fid).alias("feat"), "cf"
+            )
+            for fid, _, pd in pair_feats
+        ]
+        cf_all = cf_frames[0]
+        for f_ in cf_frames[1:]:
+            cf_all = cf_all.unionByName(f_)
+        pair_cf = {
+            r["feat"]: float(r["cf"] or 0.0) for r in cf_all.collect()
+        }  # one job, <= 2(|q|-1) rows
+    for fid, wt, per_doc in pair_feats:
+        feats.append((fid, wt, pair_cf[fid], per_doc))
 
     # ---- regrouped score
     base = 0.0
