@@ -1141,6 +1141,67 @@ def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    tsidx/streaming.py conv_rollup_stream): per-conversation running
+    rollups replayed as two mid-conversation-split micro-batches; the
+    final emission per conv_id must equal the batch aggregation, which
+    is what the DuckDB twin computes."""
+    import tempfile
+
+    from tsidx.streaming import conv_rollup_stream
+
+    key = ("convroll", id(spark), os.path.normpath(sf_dir))
+    rows = _STREAM_CACHE.get(key)
+    if rows is None:
+        in_dir = tempfile.mkdtemp(prefix="tsidx_convroll_")
+        transcripts = documents_as_transcripts(spark, sf_dir)
+        n = transcripts.count()
+        cut = n // 2 + _TURNS_PER_CONV // 2  # split lands mid-conversation
+        with_id = transcripts.withColumn(
+            "_n",
+            F.conv(F.substring(F.col("conv_id"), 2, 6), 10, 10).cast("long")
+            * _TURNS_PER_CONV
+            + F.col("turn_idx"),
+        )
+        with_id.filter(F.col("_n") < cut).drop("_n").coalesce(1).write.parquet(
+            os.path.join(in_dir, "f1")
+        )
+        with_id.filter(F.col("_n") >= cut).drop("_n").coalesce(1).write.parquet(
+            os.path.join(in_dir, "f2")
+        )
+        stream = (
+            spark.readStream.schema(transcripts.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+        )
+        qname = f"convroll_{abs(hash(key)) % 10**8}"
+        q = (
+            conv_rollup_stream(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.sql(f"SELECT * FROM {qname}")
+        # running totals only grow: the max per conv IS the last emission
+        rows = (
+            rows.groupBy("conv_id")
+            .agg(
+                F.max("n_turns").alias("n_turns"),
+                F.max("n_tokens").alias("n_tokens"),
+            )
+            .collect()
+        )
+        _STREAM_CACHE[key] = rows
+    return spark.createDataFrame(
+        rows, "conv_id string, n_turns long, n_tokens long"
+    )
+
+
 HH_PHI = 0.02
 
 
@@ -4124,6 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_agreement": _q_rank_agreement,
         "textrank_keywords": _q_textrank,
         "heavy_hitters": _q_heavy_hitters,
+        "streaming_conv_rollup": _q_streaming_conv_rollup,
     }
 
 
@@ -6776,6 +6838,13 @@ n AS (SELECT count(*)::BIGINT AS n FROM toks),
 c AS (SELECT v, count(*)::BIGINT AS cnt FROM toks GROUP BY v)
 SELECT c.v AS value, c.cnt
 FROM c CROSS JOIN n WHERE c.cnt >= ceil({HH_PHI} * n.n)""",
+        "streaming_conv_rollup": f"""
+SELECT 'c' || lpad((doc_id // {_TURNS_PER_CONV})::VARCHAR, 6, '0') AS conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END)::BIGINT AS n_tokens
+FROM documents GROUP BY 1""",
     }
 
 

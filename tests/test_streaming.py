@@ -325,3 +325,66 @@ def test_read_stream_index_at_snapshot(spark, sonnets_transcripts, tmp_path):
         snap_post.meta["n_docs"]
         == whole.meta["n_docs"] + thirds[0].count()  # one doc per turn
     )
+
+
+def test_conv_rollup_stream_cross_batch_state(spark, halves, tmp_path):
+    """applyInPandasWithState rollups: conversations split ACROSS
+    micro-batches must accumulate state; the last emission per conv_id
+    equals the batch aggregation over the whole stream."""
+    from tsidx.streaming import conv_rollup_stream
+
+    first, _ = halves
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # same conv ids in both files: state must carry across batches
+    # (+2 so the split lands MID-conversation, not on a conv boundary)
+    half = len(first) // 2 + 2
+    spark.createDataFrame(rows_for(first[:half], "a"), SCHEMA).coalesce(
+        1
+    ).write.parquet(str(in_dir / "f1"))
+    spark.createDataFrame(
+        [
+            (f"a-{(half + i) // 4:03d}", (half + i) % 4, "user", t, "", BASE)
+            for i, t in enumerate(first[half:])
+        ],
+        SCHEMA,
+    ).coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    q = (
+        conv_rollup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("rollups")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM rollups").collect()
+    # last emission per conv (memory sink appends update rows in order;
+    # running totals only grow, so max() is the final state)
+    last = {}
+    for r in emitted:
+        cur = last.get(r["conv_id"])
+        if cur is None or r["n_turns"] >= cur[0]:
+            last[r["conv_id"]] = (r["n_turns"], r["n_tokens"])
+
+    from collections import Counter, defaultdict
+
+    want_turns = Counter()
+    want_tokens = defaultdict(int)
+    for i, t in enumerate(first):
+        conv = f"a-{i // 4:03d}"
+        want_turns[conv] += 1
+        want_tokens[conv] += len(t.split())
+    assert {c: v[0] for c, v in last.items()} == dict(want_turns)
+    assert {c: v[1] for c, v in last.items()} == dict(want_tokens)
+    # conversations straddling the file boundary really saw two batches
+    boundary_conv = f"a-{half // 4:03d}"
+    n_emissions = sum(1 for r in emitted if r["conv_id"] == boundary_conv)
+    assert n_emissions >= 2

@@ -53,6 +53,7 @@ __all__ = [
     "read_stream_index_at",
     "compact_stream_index",
     "dedup_stream",
+    "conv_rollup_stream",
 ]
 
 
@@ -458,4 +459,61 @@ def read_stream_index_at(spark, path: str, through_batch: int) -> InvertedIndex:
         meta=meta,
         manifest=spark.createDataFrame(uniform),
         pinned=set(),
+    )
+
+
+def conv_rollup_stream(
+    stream: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    per-conversation running rollups ``(conv_id, n_turns, n_tokens)``
+    maintained across micro-batches.
+
+    ``dropDuplicates`` and ``session_window`` cover the built-in
+    stateful shapes; this is the escape hatch for state transitions the
+    built-ins can't express — here a running (turn count, whitespace
+    token count) accumulator per conversation, ~16 B of state per key,
+    emitted REFRESHED in every micro-batch that touches the
+    conversation (output mode ``update``). After any prefix of the
+    stream, the last emission per conversation equals the batch
+    aggregation over the rows seen so far — the replay-equivalence
+    property the streaming tests and the oracle gate check.
+
+    Works on a batch frame too (Spark runs the same state machine once),
+    which is what the correctness gate replays.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n_turns = 0
+        n_tokens = 0
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_tokens += int(
+                pdf[text_col].fillna("").str.split().str.len().sum()
+            )
+        if state.exists:
+            (pt, pk) = state.get
+            n_turns += int(pt)
+            n_tokens += int(pk)
+        state.update((n_turns, n_tokens))
+        yield pd.DataFrame(
+            {
+                conv_col: pd.Series([key[0]], dtype="object"),
+                "n_turns": pd.Series([n_turns], dtype="int64"),
+                "n_tokens": pd.Series([n_tokens], dtype="int64"),
+            }
+        )
+
+    return stream.groupBy(conv_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{conv_col} string, n_turns long, n_tokens long",
+        stateStructType="n_turns long, n_tokens long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
