@@ -1202,6 +1202,58 @@ def _q_streaming_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-as-pseudo-term BM25 ranking (tsidx/positions.py
+    phrase_bm25_topk): tf = exact consecutive occurrence count, idf from
+    the phrase's own df."""
+    from tsidx.positions import phrase_bm25_topk
+
+    eng = get_engine(spark, sf_dir)
+    return phrase_bm25_topk(
+        eng, get_positional(spark, sf_dir), Q_PHRASE, Q_BM25_K
+    ).select(
+        F.col("doc_id").cast("long"),
+        "tf",
+        F.round("score", 4).alias("score_r"),
+    )
+
+
+def _phrase_bm25_sql() -> str:
+    from tsidx.tokenize import stem_tokens
+
+    stems = stem_tokens(Q_PHRASE)
+    offs = ", ".join(f"('{t}', {i})" for i, t in enumerate(stems))
+    return f"""
+WITH {_terms_cte()},{_positions_cte()},
+offs(term, off) AS (VALUES {offs}),
+hits AS (
+  SELECT pos.doc_id, pos.p - offs.off AS base, offs.off
+  FROM pos JOIN offs ON pos.term = offs.term
+),
+occ AS (
+  SELECT doc_id, base FROM hits
+  GROUP BY doc_id, base HAVING count(DISTINCT off) = {len(stems)}
+),
+ptf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM occ GROUP BY doc_id),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+pdf AS (SELECT count(*)::BIGINT AS df FROM ptf)
+SELECT ptf.doc_id, ptf.tf,
+       round(ln((stats.n_docs - pdf.df + 0.5) / (pdf.df + 0.5) + 1.0)
+             * ((ptf.tf * {K1 + 1.0}) /
+                (ptf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl))),
+             4) AS score_r
+FROM ptf
+JOIN dl ON ptf.doc_id = dl.doc_id
+CROSS JOIN stats CROSS JOIN pdf
+ORDER BY round(ln((stats.n_docs - pdf.df + 0.5) / (pdf.df + 0.5) + 1.0)
+             * ((ptf.tf * {K1 + 1.0}) /
+                (ptf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl))),
+             12) DESC, ptf.doc_id
+LIMIT {Q_BM25_K}"""
+
+
 HH_PHI = 0.02
 
 
@@ -4186,6 +4238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": _q_textrank,
         "heavy_hitters": _q_heavy_hitters,
         "streaming_conv_rollup": _q_streaming_conv_rollup,
+        "phrase_bm25": _q_phrase_bm25,
     }
 
 
@@ -6845,6 +6898,7 @@ SELECT 'c' || lpad((doc_id // {_TURNS_PER_CONV})::VARCHAR, 6, '0') AS conv_id,
                 ELSE len(regexp_split_to_array(trim(text), '\\s+'))
            END)::BIGINT AS n_tokens
 FROM documents GROUP BY 1""",
+        "phrase_bm25": _phrase_bm25_sql(),
     }
 
 

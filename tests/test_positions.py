@@ -561,3 +561,76 @@ def test_kwic_empty_query(spark, positional):
 
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
     assert kwic(positional, docs, "").collect() == []
+
+
+# ------------------------------------------------------------- phrase BM25
+
+
+def test_phrase_bm25_topk_matches_python(spark, positional):
+    """Phrase-as-pseudo-term BM25 vs a literal Python computation over
+    the same occurrence counts / document lengths."""
+    import datetime
+    import math
+
+    from tsidx.build import build_index
+    from tsidx.oracle import bm25_idf
+    from tsidx.positions import phrase_bm25_topk
+    from tsidx.query import QueryEngine
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (f"c{i // 4}", i % 4, "user", t, "", base + datetime.timedelta(minutes=i))
+        for i, t in enumerate(t for _, t in CORPUS)
+    ]
+    eng = QueryEngine(
+        build_index(spark.createDataFrame(rows, schema), block_size=4)
+    )
+
+    phrase = "quick brown"
+    occ = _py_phrase_occurrences(CORPUS, phrase)
+    docs_toks = [_stems(t) for _, t in CORPUS]
+    n = len([1 for d in docs_toks])  # all docs (incl. empty) are indexed
+    dls = [len(d) for d in docs_toks]
+    avgdl = sum(dls) / n
+    idf = bm25_idf(n, len(occ))
+    k1, b = eng.index.meta["k1"], eng.index.meta["b"]
+    want = {}
+    for d, tf in occ.items():
+        dl = dls[d]
+        want[d] = idf * (tf * (k1 + 1)) / (
+            tf + k1 * ((1 - b) + b * dl / avgdl)
+        )
+    got = {
+        r["doc_id"]: (r["tf"], r["score"])
+        for r in phrase_bm25_topk(eng, positional, phrase, 10).collect()
+    }
+    assert {d: v[0] for d, v in got.items()} == occ
+    for d, s in want.items():
+        assert got[d][1] == pytest.approx(s, rel=1e-12)
+    # more occurrences with comparable dl must not rank lower
+    assert got[9][0] == 2  # doc 9 contains the phrase twice
+
+
+def test_phrase_bm25_topk_no_match(spark, positional):
+    from tsidx.build import build_index
+    from tsidx.positions import phrase_bm25_topk
+    from tsidx.query import QueryEngine
+    import datetime
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (f"c{i // 4}", i % 4, "user", t, "", base)
+        for i, (_, t) in enumerate(CORPUS)
+    ]
+    eng = QueryEngine(
+        build_index(spark.createDataFrame(rows, schema), block_size=4)
+    )
+    assert phrase_bm25_topk(eng, positional, "dog fox quick", 5).count() == 0

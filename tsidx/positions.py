@@ -42,6 +42,7 @@ __all__ = [
     "phrase_counts",
     "gapped_phrase_counts",
     "phrase_prefix_counts",
+    "phrase_bm25_topk",
     "write_positional",
     "read_positional",
     "best_window",
@@ -272,6 +273,60 @@ def phrase_counts(
     offset the stem occupies.
     """
     return _aligned_counts(positional, _phrase_offsets(phrase))
+
+
+def phrase_bm25_topk(
+    engine,
+    positional: DataFrame,
+    phrase: str | list[str],
+    k: int,
+) -> DataFrame:
+    """(doc_id, tf, score): top-*k* docs scoring the PHRASE as a single
+    indexing unit — BM25 with ``tf`` = exact occurrence count of the
+    consecutive stemmed phrase and ``idf`` from the phrase's own
+    document frequency (the "phrase as pseudo-term" ranking Lucene
+    exposes as a scored PhraseQuery; a bare ``phrase_counts`` filter
+    ranks nothing, and per-term BM25 over-counts docs where the words
+    never appear together).
+
+    Plan: the standard phrase alignment (pushed ``term IN`` position
+    scan -> offset join -> one (doc_id, base) shuffle) gives
+    ``(doc_id, tf)``; ``dl`` rides a candidate-bounded join against the
+    phrase's FIRST term's posting rows (candidates all contain it);
+    ``df`` is one 1-row count of the candidate set and ``avgdl``/``N``
+    come from index meta, so idf is a driver literal. Deterministic
+    TakeOrdered on (-score, doc_id).
+    """
+    from tsidx.oracle import bm25_idf
+
+    spark = positional.sparkSession
+    counts = phrase_counts(positional, phrase)
+    counts = counts.localCheckpoint(eager=False)  # feeds df count + scoring
+    df_p = counts.count()
+    schema = "doc_id long, tf long, score double"
+    if df_p == 0:
+        return spark.createDataFrame([], schema)
+    first_term = _phrase_offsets(phrase)[0][0]
+    dl_rows = engine.posting_rows([first_term]).select("doc_id", "dl")
+    n = int(engine.index.meta["n_docs"])
+    k1 = float(engine.index.meta["k1"])
+    b = float(engine.index.meta["b"])
+    avgdl = float(engine.index.meta["avgdl"])
+    idf = bm25_idf(n, df_p)
+    tf = F.col("n_occ").cast("double")
+    dl = F.col("dl").cast("double")
+    score = F.lit(idf) * (
+        (tf * F.lit(k1 + 1.0))
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl) / F.lit(avgdl)))
+    )
+    return (
+        counts.join(dl_rows, "doc_id")
+        .select(
+            "doc_id", F.col("n_occ").cast("long").alias("tf"), score.alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )
 
 
 def _aligned_counts(
