@@ -1254,6 +1254,27 @@ ORDER BY round(ln((stats.n_docs - pdf.df + 0.5) / (pdf.df + 0.5) + 1.0)
 LIMIT {Q_BM25_K}"""
 
 
+CONT_TAU = 1.0  # pure subset detection on the closed-vocab worst case
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment join (tsidx/dedup.py containment_pairs):
+    ordered (small, big) pairs whose token set is fully contained —
+    uncapped (exact) on the closed-vocab corpus, which is this
+    operator's documented worst case like prefix_jaccard."""
+    import warnings
+
+    from tsidx.dedup import containment_pairs
+
+    docs = load_documents(spark, sf_dir)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = containment_pairs(docs, tau=CONT_TAU)
+    return out.select(
+        "doc_small", "doc_big", F.round("containment", 4).alias("containment_r")
+    )
+
+
 HH_PHI = 0.02
 
 
@@ -4239,6 +4260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "streaming_conv_rollup": _q_streaming_conv_rollup,
         "phrase_bm25": _q_phrase_bm25,
+        "containment_pairs": _q_containment,
     }
 
 
@@ -6899,6 +6921,17 @@ SELECT 'c' || lpad((doc_id // {_TURNS_PER_CONV})::VARCHAR, 6, '0') AS conv_id,
            END)::BIGINT AS n_tokens
 FROM documents GROUP BY 1""",
         "phrase_bm25": _phrase_bm25_sql(),
+        "containment_pairs": f"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ts
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+       round(len(list_intersect(a.ts, b.ts))::DOUBLE / len(a.ts), 4)
+         AS containment_r
+FROM s a JOIN s b ON a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.ts, b.ts))::DOUBLE / len(a.ts) >= {CONT_TAU}""",
     }
 
 

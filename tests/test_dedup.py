@@ -353,3 +353,92 @@ def test_prefix_jaccard_prefix_actually_prunes(spark):
     rows = [(d, f"the unique{d}a unique{d}b unique{d}c unique{d}d") for d in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert prefix_jaccard_pairs(df, tau=0.8).count() == 0
+
+
+# --------------------------------------------------------- containment join
+
+
+def _brute_containment(doc_rows, tau, max_key_df=None):
+    from collections import Counter
+
+    sets = {d: set(t.split()) for d, t in doc_rows if t.split()}
+    if max_key_df is not None:
+        df = Counter(tok for s in sets.values() for tok in s)
+        sets = {
+            d: {t for t in s if df[t] <= max_key_df} for d, s in sets.items()
+        }
+        sets = {d: s for d, s in sets.items() if s}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            if c >= tau:
+                out[(a, b)] = c
+    return out
+
+
+@pytest.mark.parametrize("tau", [0.5, 0.8, 1.0])
+def test_containment_exact_uncapped(spark, tau):
+    """Quote/subset corpus: the excerpt is contained in the article."""
+    import warnings
+
+    from tsidx.dedup import containment_pairs
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),  # article
+        (1, "beta gamma delta"),                               # excerpt of 0
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 0
+        (3, "unrelated words entirely different"),
+        (4, "beta gamma xi"),                                  # partial overlap
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = {
+            (r["doc_small"], r["doc_big"]): r["containment"]
+            for r in containment_pairs(df, tau=tau).collect()
+        }
+    want = _brute_containment(rows, tau)
+    assert got.keys() == want.keys(), tau
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_containment_capped_matches_capped_brute_force(spark):
+    from tsidx.dedup import containment_pairs
+
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    for d in range(50):
+        s, n = (d * 48271) % 97, 3 + (d * 13) % 8
+        toks = [vocab[(s + i * (1 + d % 5)) % len(vocab)] for i in range(n)]
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_small"], r["doc_big"]): r["containment"]
+        for r in containment_pairs(df, tau=0.7, max_key_df=20).collect()
+    }
+    want = _brute_containment(rows, 0.7, max_key_df=20)
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_containment_asymmetry(spark):
+    """The excerpt contains-in the article but not vice versa."""
+    import warnings
+
+    from tsidx.dedup import containment_pairs
+
+    rows = [(0, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"), (1, "a2 a3 a4")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pairs = {
+            (r["doc_small"], r["doc_big"])
+            for r in containment_pairs(df, tau=0.9).collect()
+        }
+    assert (1, 0) in pairs and (0, 1) not in pairs

@@ -28,6 +28,7 @@ __all__ = [
     "shingle_sets",
     "ngram_jaccard_pairs",
     "prefix_jaccard_pairs",
+    "containment_pairs",
     "minhash_signatures",
     "minhash_params",
     "lsh_candidate_pairs",
@@ -448,6 +449,109 @@ def prefix_jaccard_pairs(
         .filter(F.col("jaccard") >= tau)
     )
     return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    tau: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_key_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ``(doc_small, doc_big,
+    containment)`` for ordered pairs with token-set containment
+    ``|small ∩ big| / |small| >= tau`` — the quote/excerpt/subset
+    detector Jaccard misses (a tweet quoted inside an article has tiny
+    Jaccard but containment ~1.0; Broder 1997 distinguishes exactly
+    these two resemblance measures).
+
+    Candidate generation: the SMALL side exposes only its rare-first
+    PREFIX of length ``|d| - ceil(tau * |d|) + 1`` (any B covering tau
+    of A must hit A's prefix under the shared (df, token) order — same
+    argument as :func:`prefix_jaccard_pairs`); the BIG side must expose
+    every token, so its hot tokens are the blow-up risk. *max_key_df*
+    drops tokens in more than that many docs from the TOKEN SPACE
+    itself (the :func:`ngram_jaccard_pairs` discipline): sizes,
+    intersections, and the guarantee all live in the capped space —
+    EXACT within it, and hot function words carry no containment signal
+    anyway. Uncapped = exact on raw token sets (warns; candidate volume
+    is then df-quadratic on hot tokens). Verify = exact array-intersect
+    over candidate-bounded joins.
+
+    Self-pairs and symmetric duplicates both qualify by definition
+    (containment of an exact dup is 1.0 in both directions); output is
+    ordered (small, big) with ``doc_small != doc_big``.
+    """
+    tau = float(tau)
+    if not (0.0 < tau <= 1.0):
+        raise ValueError("tau must be in (0, 1]")
+    if max_key_df is None:
+        import warnings
+
+        warnings.warn(
+            "containment_pairs without max_key_df: every doc exposes all"
+            " tokens on the big side, so a hot token shared by f docs"
+            " emits O(f^2) candidates — set max_key_df for any"
+            " corpus-scale run",
+            stacklevel=2,
+        )
+    toks = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+            ).alias("tok"),
+        )
+    )
+    df_tab = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    if max_key_df is not None:
+        df_tab = df_tab.filter(F.col("df") <= int(max_key_df))
+    ranked = toks.join(df_tab, "tok")  # df-capped token stream
+    sets = (
+        ranked.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ts"))
+        .select(
+            "doc_id",
+            F.transform("ts", lambda s: s["tok"]).alias("toks"),
+            F.size("ts").alias("sz"),
+        )
+    )
+    sets = sets.localCheckpoint(eager=False)  # prefix + big side + verify
+    plen = F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")).cast("int") + 1
+    small = sets.select(
+        F.col("doc_id").alias("doc_small"),
+        F.explode(F.slice("toks", F.lit(1), plen)).alias("tok"),
+    )
+    big = sets.select(F.col("doc_id").alias("doc_big"), F.explode("toks").alias("tok"))
+    cand = (
+        small.join(big, "tok")
+        .filter(F.col("doc_small") != F.col("doc_big"))
+        .select("doc_small", "doc_big")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_small"),
+                F.col("toks").alias("ta"),
+            ),
+            "doc_small",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_big"), F.col("toks").alias("tb")
+            ),
+            "doc_big",
+        )
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("ta", "tb")).cast("double")
+            / F.size("ta"),
+        )
+        .filter(F.col("containment") >= tau)
+    )
+    return verified.select("doc_small", "doc_big", "containment")
 
 
 def minhash_signatures(
