@@ -1254,6 +1254,63 @@ ORDER BY round(ln((stats.n_docs - pdf.df + 0.5) / (pdf.df + 0.5) + 1.0)
 LIMIT {Q_BM25_K}"""
 
 
+SEG_QUERY = "part filter order"
+SEG_TH = 9.0  # both corpus pairs sit safely off this bar (8.51 / 10.83)
+
+
+def _q_segment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation-driven query segmentation (tsidx/cooccur.py
+    segment_query): adjacent query tokens merge when their corpus G²
+    clears the threshold; reads the prebuilt collocation artifact."""
+    from tsidx.cooccur import collocations_llr, segment_query
+
+    docs = load_documents(spark, sf_dir)
+    colloc = collocations_llr(docs, min_pair=LLR_MIN_PAIR)
+    return segment_query(colloc, SEG_QUERY, threshold=SEG_TH)
+
+
+def _segment_sql() -> str:
+    toks = SEG_QUERY.split()
+    qp = ", ".join(
+        f"({i}, '{a}', '{b}')"
+        for i, (a, b) in enumerate(zip(toks, toks[1:]))
+    )
+    tk = ", ".join(f"({i}, '{t}')" for i, t in enumerate(toks))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+bg AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+  WHERE i < len(t)
+),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS k11 FROM bg GROUP BY w1, w2),
+rws AS (SELECT w1, sum(k11)::BIGINT AS r1 FROM c12 GROUP BY w1),
+cls AS (SELECT w2, sum(k11)::BIGINT AS c1 FROM c12 GROUP BY w2),
+nn AS (SELECT sum(k11)::BIGINT AS n FROM c12),
+ll AS (
+  SELECT c12.w1, c12.w2,
+         round(2.0 * (
+    {_llr_term_sql('k11', 'r1', 'c1')}
+  + {_llr_term_sql('(r1 - k11)', 'r1', '(n - c1)')}
+  + {_llr_term_sql('(c1 - k11)', '(n - r1)', 'c1')}
+  + {_llr_term_sql('(n - r1 - c1 + k11)', '(n - r1)', '(n - c1)')}
+         ), 4) AS llr
+  FROM c12 JOIN rws USING (w1) JOIN cls USING (w2) CROSS JOIN nn
+  WHERE k11 >= {LLR_MIN_PAIR}
+),
+qp(i, w1, w2) AS (VALUES {qp}),
+tk(i, tok) AS (VALUES {tk}),
+brk AS (
+  SELECT qp.i, CASE WHEN coalesce(ll.llr, 0) >= {SEG_TH} THEN 0 ELSE 1 END AS b
+  FROM qp LEFT JOIN ll ON qp.w1 = ll.w1 AND qp.w2 = ll.w2
+)
+SELECT coalesce((SELECT sum(b) FROM brk WHERE brk.i < tk.i), 0)::INT AS seg_idx,
+       string_agg(tok, ' ' ORDER BY i) AS segment
+FROM tk GROUP BY 1"""
+
+
 CONT_TAU = 1.0  # pure subset detection on the closed-vocab worst case
 
 
@@ -4261,6 +4318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_conv_rollup": _q_streaming_conv_rollup,
         "phrase_bm25": _q_phrase_bm25,
         "containment_pairs": _q_containment,
+        "segment_query": _q_segment_query,
     }
 
 
@@ -6932,6 +6990,7 @@ SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
          AS containment_r
 FROM s a JOIN s b ON a.doc_id <> b.doc_id
 WHERE len(list_intersect(a.ts, b.ts))::DOUBLE / len(a.ts) >= {CONT_TAU}""",
+        "segment_query": _segment_sql(),
     }
 
 

@@ -67,3 +67,40 @@ def test_pmi_uncapped_warns(built):
     eng = QueryEngine(built)
     with pytest.warns(UserWarning, match="max_df"):
         cooccurrence_pmi(eng, min_df=150)
+
+
+# --------------------------------------------------------- query segmentation
+
+
+def test_segment_query_merges_and_splits(spark):
+    from tsidx.cooccur import collocations_llr, segment_query
+
+    # 'new york' is a strong collocation; 'york pizza' never co-occurs
+    rows = [(i, "new york city guide") for i in range(20)]
+    rows += [(100 + i, "pizza delivery fast") for i in range(20)]
+    rows += [(200 + i, "random words here now") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    colloc = collocations_llr(docs, min_pair=2)
+    segs = {
+        r["seg_idx"]: r["segment"]
+        for r in segment_query(colloc, "new york pizza delivery").collect()
+    }
+    assert segs == {0: "new york", 1: "pizza delivery"}
+
+
+def test_segment_query_all_split_and_edge_cases(spark):
+    from tsidx.cooccur import collocations_llr, segment_query
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "c d")], "doc_id long, text string"
+    )
+    colloc = collocations_llr(docs, min_pair=1)
+    # unknown pairs split token-per-token
+    segs = [
+        r["segment"]
+        for r in segment_query(colloc, "x y z").orderBy("seg_idx").collect()
+    ]
+    assert segs == ["x", "y", "z"]
+    assert segment_query(colloc, "").count() == 0
+    one = segment_query(colloc, "solo").collect()
+    assert [(r["seg_idx"], r["segment"]) for r in one] == [(0, "solo")]

@@ -29,7 +29,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cooccurrence_pmi", "collocations_llr"]
+__all__ = ["cooccurrence_pmi", "collocations_llr", "segment_query", "LLR_SIG_P001"]
 
 
 def cooccurrence_pmi(
@@ -187,4 +187,53 @@ def collocations_llr(
             F.col("k11").cast("long").alias("pair_count"),
             F.expr(g2).alias("llr_r"),
         )
+    )
+
+
+#: chi-square critical value at p = 0.001 (1 dof) — the conventional
+#: significance bar for G^2 collocation tests
+LLR_SIG_P001 = 10.83
+
+
+def segment_query(
+    collocations: DataFrame, query: str, *, threshold: float = LLR_SIG_P001
+) -> DataFrame:
+    """``(seg_idx, segment)`` — query segmentation by collocation
+    strength: adjacent query tokens merge into one segment when their
+    corpus G² (from a prebuilt :func:`collocations_llr` table) clears
+    *threshold* (default 10.83, the chi² p=0.001 bar) — the classic
+    query-segmentation signal (Bergsma & Wang 2007 use exactly
+    corpus-association thresholds). "new york pizza" segments as
+    ["new york", "pizza"] when c(new, york) is significant and
+    c(york, pizza) is not.
+
+    Plan: the collocation table is the per-corpus artifact (built once,
+    vocabulary²-bounded); segmentation filters it to the query's
+    ``|q| - 1`` adjacent pairs (pushed compound predicate), collects
+    those rows, and merges driver-side — O(|q|) state. Pairs absent
+    from the table (below its min_pair floor) split by definition.
+    Raw-token convention matches :func:`collocations_llr`.
+    """
+    spark = collocations.sparkSession
+    toks = query.split()
+    schema = "seg_idx int, segment string"
+    if not toks:
+        return spark.createDataFrame([], schema)
+    pairs = list(zip(toks, toks[1:]))
+    llr: dict[tuple[str, str], float] = {}
+    if pairs:
+        cond = None
+        for a, b in set(pairs):
+            c = (F.col("w1") == a) & (F.col("w2") == b)
+            cond = c if cond is None else (cond | c)
+        rows = collocations.filter(cond).collect()  # <= |q|-1 rows
+        llr = {(r["w1"], r["w2"]): float(r["llr_r"]) for r in rows}
+    segments: list[list[str]] = [[toks[0]]]
+    for i, pair in enumerate(pairs):
+        if llr.get(pair, 0.0) >= float(threshold):
+            segments[-1].append(toks[i + 1])
+        else:
+            segments.append([toks[i + 1]])
+    return spark.createDataFrame(
+        [(i, " ".join(s)) for i, s in enumerate(segments)], schema
     )
