@@ -1254,6 +1254,18 @@ ORDER BY round(ln((stats.n_docs - pdf.df + 0.5) / (pdf.df + 0.5) + 1.0)
 LIMIT {Q_BM25_K}"""
 
 
+def _q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk-level dedup (tsidx/chunk.py
+    cdc_dup_chunks): shared passages surface as duplicate CDC chunk
+    hashes across documents."""
+    from tsidx.chunk import cdc_dup_chunks
+
+    docs = load_documents(spark, sf_dir)
+    return cdc_dup_chunks(docs, k=CDC_K, mod=CDC_MOD).select(
+        "chash", "n_docs", "n_occ"
+    )
+
+
 SEG_QUERY = "part filter order"
 SEG_TH = 9.0  # both corpus pairs sit safely off this bar (8.51 / 10.83)
 
@@ -2402,6 +2414,34 @@ def _q_vsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CDC_K, CDC_MOD = 3, 8  # gram length / boundary modulus (≈ chunk length)
+
+
+def _cdc_chunks_sql() -> str:
+    """Shared DuckDB twin of tsidx.chunk.cdc_chunks (used by the
+    cdc_chunks entry and the cdc_dedup rollup)."""
+    return f"""
+WITH ta AS (SELECT doc_id, {_toks_sql()} AS t FROM documents),
+cut AS (
+  SELECT doc_id,
+         unnest(list_filter(range({CDC_K}, len(t) + 1),
+           i -> (('0x' || substr(md5(array_to_string(
+                    t[i - {CDC_K} + 1 : i], ' ')), 1, 15))::BIGINT
+                 % {CDC_MOD}) = 0)) AS c
+  FROM ta
+),
+tp AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) AS p
+  FROM ta
+),
+tc AS (
+  SELECT tp.doc_id, tp.p, tp.tok, count(cut.c) AS chunk_id
+  FROM tp LEFT JOIN cut ON cut.doc_id = tp.doc_id AND cut.c < tp.p
+  GROUP BY tp.doc_id, tp.p, tp.tok
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id, count(*)::BIGINT AS n_tokens,
+       string_agg(tok, ' ' ORDER BY p) AS chunk
+FROM tc GROUP BY doc_id, chunk_id"""
 
 
 def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4319,6 +4359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_bm25": _q_phrase_bm25,
         "containment_pairs": _q_containment,
         "segment_query": _q_segment_query,
+        "cdc_dedup": _q_cdc_dedup,
     }
 
 
@@ -5361,29 +5402,7 @@ SELECT h.doc_id, h.p::INT AS pos,
        coalesce(array_to_string(t[h.p + 2 : h.p + 1 + {KWIC_AFTER}], ' '), '')
          AS "right"
 FROM khits h JOIN ta USING (doc_id)""",
-        "cdc_chunks": f"""
-WITH ta AS (SELECT doc_id, {_toks_sql()} AS t FROM documents),
-cut AS (
-  SELECT doc_id,
-         unnest(list_filter(range({CDC_K}, len(t) + 1),
-           i -> (('0x' || substr(md5(array_to_string(
-                    t[i - {CDC_K} + 1 : i], ' ')), 1, 15))::BIGINT
-                 % {CDC_MOD}) = 0)) AS c
-  FROM ta
-),
-tp AS (
-  SELECT doc_id, unnest(t) AS tok,
-         unnest(generate_series(1, len(t))) AS p
-  FROM ta
-),
-tc AS (
-  SELECT tp.doc_id, tp.p, tp.tok, count(cut.c) AS chunk_id
-  FROM tp LEFT JOIN cut ON cut.doc_id = tp.doc_id AND cut.c < tp.p
-  GROUP BY tp.doc_id, tp.p, tp.tok
-)
-SELECT doc_id, chunk_id::BIGINT AS chunk_id, count(*)::BIGINT AS n_tokens,
-       string_agg(tok, ' ' ORDER BY p) AS chunk
-FROM tc GROUP BY doc_id, chunk_id""",
+        "cdc_chunks": _cdc_chunks_sql(),
         "entropy_signals": f"""
 WITH sy AS (
   SELECT doc_id, text, string_split(text, '') AS cs, {_toks_sql()} AS tt
@@ -6991,6 +7010,12 @@ SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
 FROM s a JOIN s b ON a.doc_id <> b.doc_id
 WHERE len(list_intersect(a.ts, b.ts))::DOUBLE / len(a.ts) >= {CONT_TAU}""",
         "segment_query": _segment_sql(),
+        "cdc_dedup": f"""
+SELECT ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS chash,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occ
+FROM ({_cdc_chunks_sql()})
+GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
     }
 
 

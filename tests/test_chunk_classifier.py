@@ -459,3 +459,31 @@ def test_cdc_chunks_is_map_only(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     plan = cdc_chunks(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cdc_dup_chunks_detects_shared_passage(spark):
+    """The same passage embedded in two different documents must yield
+    shared chunk hashes; a doc with unrelated text must share none."""
+    from tsidx.chunk import cdc_chunks, cdc_dup_chunks
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (0, "intro words here " + shared + "closing remarks"),
+        (1, "totally different opening " + shared),
+        (2, "unrelated content with no overlap at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dups = cdc_dup_chunks(docs, k=3, mod=4).collect()
+    assert len(dups) > 0
+    assert all(r["n_docs"] == 2 for r in dups)  # only docs 0 and 1 share
+    # cross-check against the chunk strings themselves
+    ch = cdc_chunks(docs, k=3, mod=4).collect()
+    by_chunk = {}
+    for r in ch:
+        by_chunk.setdefault(r["chunk"], set()).add(r["doc_id"])
+    want_shared = sum(1 for s in by_chunk.values() if len(s) >= 2)
+    assert len(dups) == want_shared
+    shared_docs = set().union(
+        *(s for s in by_chunk.values() if len(s) >= 2)
+    )
+    assert shared_docs == {0, 1}

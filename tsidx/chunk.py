@@ -45,6 +45,7 @@ __all__ = [
     "split_lines",
     "boilerplate_lines",
     "strip_boilerplate_lines",
+    "cdc_dup_chunks",
 ]
 
 
@@ -292,4 +293,42 @@ def strip_boilerplate_lines(
                 F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))
             ).cast("int").alias("n_removed"),
         )
+    )
+
+
+def cdc_dup_chunks(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    mod: int = 16,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(chash, n_docs, n_occ)`` — content-defined CHUNK-level dedup:
+    chunks (by 60-bit md5 hash) appearing in at least *min_docs*
+    distinct docs. The storage-dedup / crawl-drift detector: because
+    :func:`cdc_chunks` boundaries are functions of local content, the
+    SAME passage chunked inside two different documents yields the same
+    chunks, so shared passages surface as duplicate chunk hashes even
+    when the surrounding documents differ — fixed windows
+    (:func:`chunk_docs`) would misalign after the first divergence.
+
+    Plan: the map-only CDC pass, then the chunk text is hashed
+    MAP-SIDE to the engine-reproducible 60-bit md5 key (the
+    ``group_split`` convention) so only 8-byte keys shuffle to ONE
+    (chash) aggregation; raw chunk text never crosses the exchange.
+    """
+    ch = cdc_chunks(docs, k=k, mod=mod, id_col=id_col, text_col=text_col)
+    chash = F.expr(
+        "cast(conv(substring(md5(chunk), 1, 15), 16, 10) as bigint)"
+    )
+    return (
+        ch.select(F.col(id_col).alias("doc_id"), chash.alias("chash"))
+        .groupBy("chash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= int(min_docs))
     )
