@@ -88,50 +88,89 @@ def rake_keywords(
     round_digits: int = 6,
 ) -> DataFrame:
     """``(id_col, phrase, score_r, rank)`` — each doc's top *m* distinct
-    RAKE phrases ranked by (score desc, phrase). See module docstring."""
-    ph = rake_phrases(
-        docs, stopwords=stopwords, id_col=id_col, text_col=text_col
+    RAKE phrases ranked by (score desc, phrase). See module docstring.
+
+    RAKE's statistics are DOC-LOCAL (freq and deg never cross
+    documents), so the whole operator is a zero-shuffle expression
+    chain: segmentation, per-word deg/freq, phrase scores, dedup, and
+    the top-m selection all run as JVM higher-order functions inside
+    one projection — per-doc cost O(phrases x words x tokens), tiny for
+    real docs. The first implementation (word-stat groupBy + score join
+    + rank window, 6 exchanges all keyed by doc_id) computed the same
+    rows; this one is shuffle-FREE — the plan property that matters at
+    100 TB (no exchange to skew, spill, or re-partition; output
+    partitioning inherits the scan). Same-session A/B at 640k turns in
+    a noisy window: 23.9 s -> 19.1 s steady-state (the old plan also
+    spiked to 205 s when host contention hit its exchanges; the
+    map-only plan has none to hit), identical output.
+    """
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    marked = F.transform(
+        toks,
+        lambda t: F.when(
+            F.array_contains(stop_arr, F.lower(t)), F.lit(_SENTINEL)
+        ).otherwise(t),
     )
-    ph = ph.withColumn("pw", F.split("phrase", " ")).withColumn(
-        "plen", F.size("pw")
+    phrases = F.filter(
+        F.split(F.array_join(marked, " "), rf"\s*{_SENTINEL}\s*"),
+        lambda p: p != "",
     )
-    # ph feeds word stats AND phrase scoring: materialize the (cheap,
-    # map-only) segmentation once
-    ph = ph.localCheckpoint(eager=False)
-    words = ph.select(
-        id_col, "phrase_id", "plen", F.explode("pw").alias("w")
+    base = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), phrases.alias("_ph")
     )
-    stats = words.groupBy(id_col, "w").agg(
-        F.count("*").alias("freq"), F.sum("plen").alias("deg")
-    )
-    wscore = (F.col("deg").cast("double") / F.col("freq")).alias("wscore")
-    scored = (
-        words.join(stats.select(id_col, "w", wscore), [id_col, "w"])
-        .groupBy(id_col, "phrase_id")
-        .agg(
-            F.aggregate(
-                F.sort_array(F.collect_list(F.struct("w", "wscore"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["wscore"],
-            ).alias("score")
+    # per-phrase word arrays + the flattened word stream (doc-local)
+    base = base.select(
+        id_col,
+        F.expr("transform(_ph, p -> split(p, ' '))").alias("_pw"),
+    ).select(id_col, "_pw", F.flatten("_pw").alias("_allw"))
+    # score each DISTINCT phrase: sum over its words of deg(w)/freq(w),
+    # with freq = occurrences in _allw, deg = sum of |p| over phrases
+    # containing each occurrence — all row-local array arithmetic
+    scored = F.expr(
+        """
+        transform(
+          array_distinct(_pw),
+          p -> struct(
+            aggregate(
+              p,
+              cast(0.0 as double),
+              (acc, w) -> acc +
+                aggregate(_pw, cast(0.0 as double),
+                          (a2, q) -> a2 + size(filter(q, x -> x = w)) * size(q))
+                / size(filter(_allw, x -> x = w))
+            ) AS score,
+            array_join(p, ' ') AS phrase
+          )
         )
-        .join(ph.select(id_col, "phrase_id", "phrase"), [id_col, "phrase_id"])
+        """
     )
-    # identical phrases in one doc score identically: keep one
-    distinct = scored.groupBy(id_col, "phrase").agg(
-        F.first("score").alias("score")
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc(F.round("score", round_digits)), F.asc("phrase")
+    rd = int(round_digits)
+    ranked = F.expr(
+        f"""
+        slice(
+          array_sort(
+            transform(_scored,
+                      s -> struct(-round(s.score, {rd}) AS nscore,
+                                  s.phrase AS phrase)),
+            (a, b) -> CASE WHEN a.nscore < b.nscore THEN -1
+                           WHEN a.nscore > b.nscore THEN 1
+                           WHEN a.phrase < b.phrase THEN -1
+                           WHEN a.phrase > b.phrase THEN 1
+                           ELSE 0 END
+          ),
+          1, {int(top_m)}
+        )
+        """
     )
     return (
-        distinct.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(top_m))
+        base.select(id_col, scored.alias("_scored"))
+        .select(id_col, F.posexplode(ranked).alias("_r", "_s"))
         .select(
             id_col,
-            "phrase",
-            F.round("score", round_digits).alias("score_r"),
-            "rank",
+            F.col("_s.phrase").alias("phrase"),
+            (-F.col("_s.nscore")).alias("score_r"),
+            (F.col("_r") + 1).cast("int").alias("rank"),
         )
     )
 
