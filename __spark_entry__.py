@@ -1254,6 +1254,27 @@ ORDER BY round(ln((stats.n_docs - pdf.df + 0.5) / (pdf.df + 0.5) + 1.0)
 LIMIT {Q_BM25_K}"""
 
 
+def _q_winnow_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus plagiarism pairs (tsidx/winnow.py winnow_cross_pairs):
+    odd-id docs as the new batch vs even-id docs as the reference
+    archive — directional fingerprint-bucket join, never new x new."""
+    from tsidx.winnow import winnow_cross_pairs, winnow_fingerprints
+
+    docs = load_documents(spark, sf_dir)
+    new_fps = winnow_fingerprints(
+        docs.filter(F.col("doc_id") % 2 == 1), k=WINNOW_K, w=WINNOW_W
+    )
+    ref_fps = winnow_fingerprints(
+        docs.filter(F.col("doc_id") % 2 == 0), k=WINNOW_K, w=WINNOW_W
+    )
+    return winnow_cross_pairs(
+        new_fps,
+        ref_fps,
+        min_shared=WINNOW_MIN_SHARED,
+        max_key_df=WINNOW_MAX_KEY_DF,
+    ).select("new_id", "ref_id", "n_shared")
+
+
 def _q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunk-level dedup (tsidx/chunk.py
     cdc_dup_chunks): shared passages surface as duplicate CDC chunk
@@ -4360,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment,
         "segment_query": _q_segment_query,
         "cdc_dedup": _q_cdc_dedup,
+        "winnow_cross": _q_winnow_cross,
     }
 
 
@@ -7016,6 +7038,18 @@ SELECT ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS chash,
        count(*)::BIGINT AS n_occ
 FROM ({_cdc_chunks_sql()})
 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
+        "winnow_cross": f"""
+WITH {_WINNOW_FPS_CTE_SQL},
+ninc AS (SELECT DISTINCT fp, doc_id FROM fps WHERE doc_id % 2 = 1),
+rinc AS (SELECT DISTINCT fp, doc_id FROM fps WHERE doc_id % 2 = 0),
+rkeep AS (
+  SELECT fp FROM rinc GROUP BY fp
+  HAVING count(*) <= {WINNOW_MAX_KEY_DF}
+)
+SELECT n.doc_id AS new_id, r.doc_id AS ref_id, count(*)::BIGINT AS n_shared
+FROM ninc n
+JOIN (SELECT rinc.* FROM rinc JOIN rkeep USING (fp)) r USING (fp)
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}""",
     }
 
 

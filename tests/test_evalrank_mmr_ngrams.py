@@ -166,3 +166,61 @@ def test_rank_agreement_frame(spark):
     assert row["rbo_min_r"] == pytest.approx(
         round(rbo_min([10, 20, 30], [20, 10, 40], 0.9), 6)
     )
+
+
+# ------------------------------------------------- cross-corpus winnowing
+
+
+def test_winnow_cross_pairs_directional(spark):
+    from tsidx.winnow import winnow_cross_pairs, winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    new = spark.createDataFrame(
+        [(1, "new intro " + shared), (3, "wholly original content here today")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(0, shared + "archive tail"), (2, "other archived material entirely")],
+        "doc_id long, text string",
+    )
+    nf = winnow_fingerprints(new, k=4, w=5)
+    rf = winnow_fingerprints(ref, k=4, w=5)
+    got = {
+        (r["new_id"], r["ref_id"]): r["n_shared"]
+        for r in winnow_cross_pairs(
+            nf, rf, min_shared=2, max_key_df=50
+        ).collect()
+    }
+    assert set(got) == {(1, 0)}  # only the plagiarized pair; never new x new
+    assert got[(1, 0)] >= 2
+
+
+def test_winnow_cross_matches_brute_force(spark):
+    """Cross pairs == shared-distinct-fingerprint counts computed from
+    the raw fingerprint frames."""
+    from collections import defaultdict
+
+    from tsidx.winnow import winnow_cross_pairs, winnow_fingerprints
+
+    rows = [(d, " ".join(f"w{(d * 7 + i * (1 + d % 3)) % 23}" for i in range(30)))
+            for d in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    nf = winnow_fingerprints(docs.filter("doc_id % 2 = 1"), k=4, w=5)
+    rf = winnow_fingerprints(docs.filter("doc_id % 2 = 0"), k=4, w=5)
+    nfp = defaultdict(set)
+    for r in nf.collect():
+        nfp[r["doc_id"]].add(r["fp"])
+    rfp = defaultdict(set)
+    for r in rf.collect():
+        rfp[r["doc_id"]].add(r["fp"])
+    want = {}
+    for a, sa in nfp.items():
+        for b, sb in rfp.items():
+            n = len(sa & sb)
+            if n >= 2:
+                want[(a, b)] = n
+    got = {
+        (r["new_id"], r["ref_id"]): r["n_shared"]
+        for r in winnow_cross_pairs(nf, rf, min_shared=2, max_key_df=100).collect()
+    }
+    assert got == want

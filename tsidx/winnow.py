@@ -43,7 +43,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winnow_fingerprints", "winnow_pairs"]
+__all__ = ["winnow_fingerprints", "winnow_pairs", "winnow_cross_pairs"]
 
 #: Fold seed: md5 hex is [0-9a-f]{32}, so any string starting past 'f'
 #: compares greater than every real hash.
@@ -139,6 +139,50 @@ def winnow_pairs(
     ).select("pr.id_a", "pr.id_b")
     return (
         pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+
+
+def winnow_cross_pairs(
+    new_fps: DataFrame,
+    ref_fps: DataFrame,
+    *,
+    min_shared: int = 2,
+    max_key_df: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(new_id, ref_id, n_shared)`` — cross-corpus plagiarism / reuse
+    detection: new docs sharing at least *min_shared* distinct winnowing
+    fingerprint values with a REFERENCE corpus (the MOSS deployment
+    shape: submissions vs the archive; a crawl batch vs the curated
+    training set). Directional by construction — new x new and
+    ref x ref pairs are never generated, so per-bucket cost is
+    ``|new ∩ bucket| * |ref ∩ bucket|``, not ``|bucket|²`` (the same
+    asymmetry as ``tsidx.dedup.cross_dup_candidates``).
+
+    *max_key_df* caps the REFERENCE side's bucket width (boilerplate
+    fingerprints; the quadratic safety valve). Both inputs are
+    :func:`winnow_fingerprints` outputs — build the reference side once
+    and persist it; incremental batches then join against it.
+    """
+    if max_key_df is None:
+        warnings.warn(
+            "winnow_cross_pairs without max_key_df: boilerplate "
+            "fingerprints make the bucket join quadratic; set a cap at "
+            "scale",
+            stacklevel=2,
+        )
+    new_inc = new_fps.select("fp", F.col(id_col).alias("new_id")).distinct()
+    ref_inc = ref_fps.select("fp", F.col(id_col).alias("ref_id")).distinct()
+    if max_key_df is not None:
+        ref_df = ref_inc.groupBy("fp").agg(F.count("*").alias("_df"))
+        ref_inc = ref_inc.join(
+            ref_df.filter(F.col("_df") <= int(max_key_df)).select("fp"), "fp"
+        )
+    return (
+        new_inc.join(ref_inc, "fp")
+        .groupBy("new_id", "ref_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
     )
