@@ -4193,12 +4193,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r3: the newest additions below plus 40 of the 68 unchecked after
     # r1+r2) behind three stable canaries. Positions 51+ hold the
     # remaining unchecked keys — the earlier round-3 additions
-    # (symspell/contains/pq/cross_dedup) plus the late-round-3 operators
-    # (winnow_fps/winnow_pairs/collocations_llr/maxscore_topk/kwic/
-    # cdc_chunks/entropy_signals/term_burstiness/vsm_topk/
-    # hybrid_topk_mnz/bm25_plus_topk), which together are the r4
-    # front-load — then the already-verified backlog. All entries pass
-    # the full local gate (tools/check_oracle.py) every round.
+    # (symspell/contains/pq/cross_dedup), the mid-round-3 operators
+    # (winnow/collocations/maxscore/kwic/cdc/entropy/burstiness/vsm/
+    # comb-fusion/bm25+), and the late-round-3 block at the dict tail
+    # (backoff_lm .. winnow_cross: trigram LM, JM/PL2/SDM/phrase BM25
+    # rankers, prefix-Jaccard/containment joins, LTR, clarity, MaxP
+    # passages, RAKE/TextRank, champion lists, RBO, heavy hitters,
+    # stateful streaming rollups, query segmentation, CDC dedup,
+    # cross-corpus winnowing) — which together are the r4 front-load —
+    # then the already-verified backlog. All entries pass the full local
+    # gate (tools/check_oracle.py) every round.
     return {
         "index_stats": _q_index_stats,
         "bm25_topk": _q_bm25_topk,
