@@ -1254,6 +1254,25 @@ ORDER BY round(ln((stats.n_docs - pdf.df + 0.5) / (pdf.df + 0.5) + 1.0)
 LIMIT {Q_BM25_K}"""
 
 
+MKNN_K = 10
+
+
+def _q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs (tsidx/ann.py mutual_knn_pairs)
+    over the exact cosine top-k of EVERY vector — the exact twin; swap
+    ivf_topk/lsh/pq shortlists in at corpus scale."""
+    from tsidx.ann import cosine_topk, mutual_knn_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    topk = cosine_topk(emb, queries, k=MKNN_K)
+    return mutual_knn_pairs(topk).select(
+        "id_a", "id_b", F.round("sim", 4).alias("sim_r")
+    )
+
+
 def _q_winnow_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus plagiarism pairs (tsidx/winnow.py winnow_cross_pairs):
     odd-id docs as the new batch vs even-id docs as the reference
@@ -4386,6 +4405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_query": _q_segment_query,
         "cdc_dedup": _q_cdc_dedup,
         "winnow_cross": _q_winnow_cross,
+        "mutual_knn": _q_mutual_knn,
     }
 
 
@@ -7054,6 +7074,28 @@ SELECT n.doc_id AS new_id, r.doc_id AS ref_id, count(*)::BIGINT AS n_shared
 FROM ninc n
 JOIN (SELECT rinc.* FROM rinc JOIN rkeep USING (fp)) r USING (fp)
 GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}""",
+        "mutual_knn": f"""
+WITH sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+           AS sim
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT query_id, vec_id, sim FROM (
+    SELECT query_id, vec_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM sims
+  ) WHERE rn <= {MKNN_K}
+)
+SELECT t1.query_id AS id_a, t1.vec_id AS id_b, round(t1.sim, 4) AS sim_r
+FROM topk t1
+JOIN topk t2 ON t1.query_id = t2.vec_id AND t1.vec_id = t2.query_id
+WHERE t1.query_id < t1.vec_id""",
     }
 
 

@@ -421,3 +421,68 @@ def test_mean_pool_composes_with_cosine_topk(spark):
         assert [g for _, g in sims] == [g for _, g in mine]
         for (ws, _), (gs, _) in zip(sims, mine):
             assert gs == pytest.approx(ws, rel=1e-6)
+
+
+# ------------------------------------------------------------- mutual kNN
+
+
+def test_mutual_knn_pairs_reciprocity(spark):
+    from tsidx.ann import mutual_knn_pairs
+
+    # hand-built topk table: 1<->2 mutual, 1->3 one-directional,
+    # 4<->5 mutual
+    rows = [
+        (1, 2, 0.9), (1, 3, 0.8),
+        (2, 1, 0.9), (2, 5, 0.1),
+        (3, 4, 0.7),
+        (4, 5, 0.95), (5, 4, 0.95),
+    ]
+    topk = spark.createDataFrame(
+        rows, "query_id long, vec_id long, sim double"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in mutual_knn_pairs(topk).collect()
+    }
+    assert set(got) == {(1, 2), (4, 5)}
+    assert got[(1, 2)] == pytest.approx(0.9)
+
+
+def test_mutual_knn_matches_brute_force(spark, emb):
+    """Over real vectors: mutual pairs == python reciprocal top-k."""
+    import numpy as np
+
+    from tsidx.ann import cosine_topk, mutual_knn_pairs
+
+    rows = emb.filter("vec_id < 60").collect()
+    emb_frame = emb.filter("vec_id < 60")
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=float)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    k = 3
+    top = {}
+    for i, vid in enumerate(ids):
+        order = sorted(
+            ((float(sims[i, j]), -ids[j]) for j in range(len(ids)) if j != i),
+            reverse=True,
+        )[:k]
+        top[vid] = {-nid for _, nid in order}
+    want = {
+        (a, b)
+        for a in top
+        for b in top[a]
+        if a < b and a in top.get(b, set())
+    }
+    from pyspark.sql import functions as F
+
+    queries = emb_frame.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_knn_pairs(
+            cosine_topk(emb_frame, queries, k=k)
+        ).collect()
+    }
+    assert got == want

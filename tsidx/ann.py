@@ -41,6 +41,7 @@ __all__ = [
     "mmr_rerank",
     "semdedup_pairs",
     "semdedup_keep",
+    "mutual_knn_pairs",
 ]
 
 
@@ -1158,3 +1159,41 @@ def pq_read(spark, path: str) -> tuple[DataFrame, list[list[list[float]]]]:
         codebooks = json.load(f)["codebooks"]
     codes = spark.read.parquet(os.path.join(path, "codes"))
     return codes, codebooks
+
+
+def mutual_knn_pairs(
+    topk: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """``(id_a < id_b, sim)`` — RECIPROCAL nearest-neighbor pairs: a and
+    b are mutual iff each appears in the other's top-k list. The
+    standard high-precision filter over raw kNN edges (a hub vector
+    sits in thousands of top-k lists without reciprocating; mutual-kNN
+    edges are the dedup/cluster seeds k-NN graphs are pruned to —
+    e.g. the reciprocal-rank kNN graphs in agglomerative dedup).
+
+    Input is ANY ``(query_id, vec_id, sim)`` top-k table — exact
+    :func:`cosine_topk` at oracle scale; :func:`ivf_topk` /
+    :func:`lsh_bucketed_topk` / :func:`pq_topk_rerank` at corpus scale
+    (the operator composes, it does not choose). ONE self-equi-join of
+    the N·k-row topk table on the flipped key pair, then the a < b
+    ordering keeps each mutual pair once; ``sim`` is the a->b direction
+    (cosine is symmetric up to float order — the b->a value may differ
+    in the last ulp, so exactly one direction is reported).
+    """
+    t1 = topk.select(
+        F.col(query_id_col).alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.col(sim_col).alias("sim"),
+    )
+    t2 = topk.select(
+        F.col(query_id_col).alias("id_b"), F.col(id_col).alias("id_a")
+    )
+    return (
+        t1.join(t2, ["id_a", "id_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim")
+    )
