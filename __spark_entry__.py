@@ -1254,6 +1254,27 @@ ORDER BY round(ln((stats.n_docs - pdf.df + 0.5) / (pdf.df + 0.5) + 1.0)
 LIMIT {Q_BM25_K}"""
 
 
+CMS_D, CMS_W = 4, 64  # narrow width so collisions actually occur at sf0.01
+CMS_PROBES = ["customer", "merge", "query", "table", "window", "zzz_absent"]
+
+
+def _q_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates (tsidx/sketches.py): the
+    deterministic md5 cell hash makes the whole sketch replayable, so
+    the twin checks VALUES, not bounds."""
+    from tsidx.sketches import cms_counts, cms_estimates
+
+    toks = (
+        load_documents(spark, sf_dir)
+        .filter(F.trim("text") != "")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    )
+    sketch = cms_counts(toks, "tok", depth=CMS_D, width=CMS_W)
+    return cms_estimates(
+        sketch, CMS_PROBES, depth=CMS_D, width=CMS_W
+    ).select("value", "est")
+
+
 MKNN_K = 10
 
 
@@ -4406,6 +4427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": _q_cdc_dedup,
         "winnow_cross": _q_winnow_cross,
         "mutual_knn": _q_mutual_knn,
+        "cms_estimates": _q_cms_estimates,
     }
 
 
@@ -7096,6 +7118,29 @@ SELECT t1.query_id AS id_a, t1.vec_id AS id_b, round(t1.sim, 4) AS sim_r
 FROM topk t1
 JOIN topk t2 ON t1.query_id = t2.vec_id AND t1.vec_id = t2.query_id
 WHERE t1.query_id < t1.vec_id""",
+        "cms_estimates": f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS v
+  FROM documents WHERE trim(text) <> ''
+),
+cells AS (
+  SELECT d,
+         ('0x' || substr(md5(d::VARCHAR || ':' || v), 1, 15))::BIGINT
+           % {CMS_W} AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM toks, unnest(range(0, {CMS_D})) AS u(d)
+  GROUP BY 1, 2
+),
+probes(v) AS (VALUES {", ".join(f"('{p}')" for p in CMS_PROBES)}),
+pd AS (
+  SELECT p.v, u.d,
+         ('0x' || substr(md5(u.d::VARCHAR || ':' || p.v), 1, 15))::BIGINT
+           % {CMS_W} AS bucket
+  FROM probes p, unnest(range(0, {CMS_D})) AS u(d)
+)
+SELECT pd.v AS value, min(coalesce(cells.cnt, 0))::BIGINT AS est
+FROM pd LEFT JOIN cells ON cells.d = pd.d AND cells.bucket = pd.bucket
+GROUP BY pd.v""",
     }
 
 

@@ -59,3 +59,58 @@ def test_heavy_hitters_phi_one(spark):
     df = spark.createDataFrame([(1, "z"), (2, "z")], "id long, v string")
     got = {r["value"]: r["cnt"] for r in heavy_hitters(df, "v", 1.0).collect()}
     assert got == {"z": 2}
+
+
+# ------------------------------------------------------------ Count-Min
+
+
+def test_cms_never_undercounts_and_is_tight_when_wide(spark):
+    from tsidx.sketches import cms_counts, cms_estimates
+
+    rows = [(i, v) for i, v in enumerate(
+        ["a"] * 50 + ["b"] * 20 + [f"t{i}" for i in range(30)]
+    )]
+    df = spark.createDataFrame(rows, "id long, v string")
+    true = {"a": 50, "b": 20, "t0": 1, "absent": 0}
+    # narrow sketch: one-sided guarantee only
+    sk = cms_counts(df, "v", depth=3, width=8)
+    est = {
+        r["value"]: r["est"]
+        for r in cms_estimates(sk, list(true), depth=3, width=8).collect()
+    }
+    for v, t in true.items():
+        assert est[v] >= t, v
+    # wide sketch: collisions vanish, estimates exact
+    skw = cms_counts(df, "v", depth=4, width=4096)
+    estw = {
+        r["value"]: r["est"]
+        for r in cms_estimates(skw, list(true), depth=4, width=4096).collect()
+    }
+    assert estw == true
+
+
+def test_cms_sketches_merge_cellwise(spark):
+    """CMS(a ∪ b) == cell-wise sum of CMS(a) and CMS(b) — the mergeable
+    property that makes incremental batches fold in."""
+    from pyspark.sql import functions as F
+
+    from tsidx.sketches import cms_counts
+
+    a = spark.createDataFrame(
+        [(i, f"x{i % 7}") for i in range(40)], "id long, v string"
+    )
+    b = spark.createDataFrame(
+        [(i, f"x{i % 5}") for i in range(30)], "id long, v string"
+    )
+    whole = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_counts(a.unionByName(b), "v", depth=3, width=16).collect()
+    }
+    merged = (
+        cms_counts(a, "v", depth=3, width=16)
+        .unionByName(cms_counts(b, "v", depth=3, width=16))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole

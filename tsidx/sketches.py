@@ -32,7 +32,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mg_candidates", "heavy_hitters"]
+__all__ = ["mg_candidates", "heavy_hitters", "cms_counts", "cms_estimates"]
 
 
 def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
@@ -98,3 +98,69 @@ def heavy_hitters(df: DataFrame, col: str, phi: float) -> DataFrame:
     return counted.filter(F.col("cnt") >= threshold).select(
         F.col(col).alias("value"), "cnt"
     )
+
+
+def cms_counts(
+    df: DataFrame, col: str, *, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """``(d, bucket, cnt)`` — a Count-Min sketch (Cormode & Muthukrishnan,
+    J. Algorithms 2005) of the column's value frequencies: *depth*
+    independent hash rows of *width* counters each. The mergeable
+    frequency summary: sketches of two corpora ADD cell-wise, so
+    incremental batches fold in without re-scanning history.
+
+    The row-d hash is the engine-reproducible md5 convention shared with
+    ``group_split``/``cdc_chunks`` (``conv(substr(md5(d || ':' || v),
+    1, 15), 16, 10) % width``) — deterministic, so the sketch (and every
+    estimate from it) replays exactly on any engine, which is what makes
+    the DuckDB twin a VALUE check rather than a bounds check.
+
+    Plan: one corpus scan exploding each value into its *depth* cells
+    (map-only expression), then ONE partial-aggregated groupBy over the
+    ``depth x width``-bounded cell space. At 10^12 rows the shuffle is
+    still <= depth·width rows per partition.
+    """
+    depth, width = int(depth), int(width)
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    cells = F.expr(
+        f"transform(sequence(0, {depth - 1}), d -> struct(d AS d,"
+        f" cast(conv(substring(md5(concat(cast(d AS string), ':', _v)),"
+        f" 1, 15), 16, 10) as bigint) % {width} AS bucket))"
+    )
+    return (
+        df.select(F.col(col).cast("string").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimates(
+    sketch: DataFrame, probes: list[str], *, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """``(value, est)`` — Count-Min frequency estimates for the *probes*
+    from a :func:`cms_counts` sketch: ``min`` over the depth rows of the
+    probed cell. Estimates NEVER undercount (each cell is a sum that
+    includes the value's own hits — the CMS one-sided guarantee, pinned
+    in pytest) and overcount by at most the collisions in the lightest
+    row. Driver-side: the sketch is depth·width rows (collected once,
+    bounded); probes are a caller-bounded list."""
+    import hashlib
+
+    depth, width = int(depth), int(width)
+    spark = sketch.sparkSession
+    cells = {
+        (r["d"], r["bucket"]): int(r["cnt"]) for r in sketch.collect()
+    }  # <= depth * width rows
+
+    def bucket(d: int, v: str) -> int:
+        h = hashlib.md5(f"{d}:{v}".encode()).hexdigest()[:15]
+        return int(h, 16) % width
+
+    rows = []
+    for v in probes:
+        est = min(cells.get((d, bucket(d, v)), 0) for d in range(depth))
+        rows.append((v, est))
+    return spark.createDataFrame(rows, "value string, est long")
