@@ -4228,25 +4228,93 @@ def _q_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate records only
-    # the FIRST 50 entries each round (confirmed r1/r2), so each round
-    # front-loads keys that have never earned a driver-verified row
-    # (r3: the newest additions below plus 40 of the 68 unchecked after
-    # r1+r2) behind three stable canaries. Positions 51+ hold the
-    # remaining unchecked keys — the earlier round-3 additions
-    # (symspell/contains/pq/cross_dedup), the mid-round-3 operators
-    # (winnow/collocations/maxscore/kwic/cdc/entropy/burstiness/vsm/
-    # comb-fusion/bm25+), and the late-round-3 block at the dict tail
-    # (backoff_lm .. winnow_cross: trigram LM, JM/PL2/SDM/phrase BM25
-    # rankers, prefix-Jaccard/containment joins, LTR, clarity, MaxP
-    # passages, RAKE/TextRank, champion lists, RBO, heavy hitters,
-    # stateful streaming rollups, query segmentation, CDC dedup,
-    # cross-corpus winnowing) — which together are the r4 front-load —
-    # then the already-verified backlog. All entries pass the full local
-    # gate (tools/check_oracle.py) every round.
+    # the FIRST 50 entries each round (confirmed r1/r2/r3). Round-4
+    # rotation: three stable canaries, then the 47 highest-priority keys
+    # (VERDICT r3 task #1 list) out of the 72 that had no driver
+    # CORRECTNESS row after r1+r2+r3, then the remaining 25 never-checked
+    # keys (the r5 front-load), then the already-driver-verified backlog.
+    # All 183 entries pass the full local gate (tools/check_oracle.py)
+    # every round regardless of position.
     return {
+        # -- canaries (stable across rounds) --
         "index_stats": _q_index_stats,
         "bm25_topk": _q_bm25_topk,
         "wand_topk": _q_wand_topk,
+        # -- r4 gate window: 47 keys with no driver CORRECTNESS row in r1-r3 --
+        "maxscore_topk": _q_maxscore_topk,
+        "sdm_topk": _q_sdm_topk,
+        "phrase_bm25": _q_phrase_bm25,
+        "passage_topk": _q_passage_topk,
+        "champion_topk": _q_champion_topk,
+        "champion_recall": _q_champion_recall,
+        "pl2_topk": _q_pl2_topk,
+        "lm_jm_topk": _q_lm_jm_topk,
+        "backoff_lm": _q_backoff_lm,
+        "bm25_plus_topk": _q_bm25_plus_topk,
+        "prefix_jaccard": _q_prefix_jaccard,
+        "containment_pairs": _q_containment,
+        "winnow_fps": _q_winnow_fps,
+        "winnow_pairs": _q_winnow_pairs,
+        "winnow_cross": _q_winnow_cross,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dedup": _q_cdc_dedup,
+        "heavy_hitters": _q_heavy_hitters,
+        "cms_estimates": _q_cms_estimates,
+        "textrank_keywords": _q_textrank,
+        "rake_keywords": _q_rake_keywords,
+        "ltr_features": _q_ltr_features,
+        "clarity": _q_clarity,
+        "rank_agreement": _q_rank_agreement,
+        "segment_query": _q_segment_query,
+        "semdedup_exact": _q_semdedup_exact,
+        "semdedup_pairs": _q_semdedup_pairs,
+        "semdedup_recall": _q_semdedup_recall,
+        "pq_ann_topk": _q_pq_ann_topk,
+        "pq_ann_recall": _q_pq_ann_recall,
+        "lm_quality": _q_lm_quality,
+        "tfidf_rows": _q_tfidf_rows,
+        "match_context": _q_match_context,
+        "kwic": _q_kwic,
+        "pruned_term_df": _q_pruned_term_df,
+        "pruned_match": _q_pruned_match,
+        "impact_pruned_rows": _q_impact_pruned_rows,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_resample": _q_dsir_resample,
+        "mixture_rates": _q_mixture_rates,
+        "mixture_sample": _q_mixture_sample,
+        "group_split": _q_group_split,
+        "ppl_buckets": _q_ppl_buckets,
+        "mutual_knn": _q_mutual_knn,
+        "streaming_conv_rollup": _q_streaming_conv_rollup,
+        "collocations_llr": _q_collocations_llr,
+        "cross_dedup": _q_cross_dedup,
+        # -- remaining never-driver-checked backlog (queued for r5) --
+        "facet_counts": _q_facet_counts,
+        "simhash_pairs": _q_simhash_pairs,
+        "suggest_terms": _q_suggest_terms,
+        "fuzzy_match": _q_fuzzy_match,
+        "suffix_match": _q_suffix_match,
+        "regex_match": _q_regex_match,
+        "doc_sim_topk": _q_doc_sim_topk,
+        "symspell_suggest": _q_symspell_suggest,
+        "contains_match": _q_contains_match,
+        "entropy_signals": _q_entropy_signals,
+        "term_burstiness": _q_term_burstiness,
+        "vsm_topk": _q_vsm_topk,
+        "hybrid_topk_mnz": _q_hybrid_topk_mnz,
+        "length_batches": _q_length_batches,
+        "doc_keywords": _q_doc_keywords,
+        "conv_stats": _q_conv_stats,
+        "pack_shards": _q_pack_shards,
+        "complete_prefix": _q_complete_prefix,
+        "training_pairs": _q_training_pairs,
+        "df_histogram": _q_df_histogram,
+        "lsh_dedup_recall": _q_lsh_dedup_recall,
+        "decontam_overlap": _q_decontam_overlap,
+        "decontaminate": _q_decontaminate,
+        "repeated_spans": _q_repeated_spans,
+        "strip_spans": _q_strip_spans,
+        # -- driver-verified in r1/r2/r3 --
         "chunk_docs": _q_chunk_docs,
         "line_boilerplate": _q_line_boilerplate,
         "strip_boilerplate": _q_strip_boilerplate,
@@ -4294,56 +4362,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_deleted": _q_bm25_topk_deleted,
         "bm25_topk_grouped": _q_bm25_topk_grouped,
         "hybrid_topk": _q_hybrid_topk,
-        "facet_counts": _q_facet_counts,
-        "simhash_pairs": _q_simhash_pairs,
-        "suggest_terms": _q_suggest_terms,
-        "fuzzy_match": _q_fuzzy_match,
-        "suffix_match": _q_suffix_match,
-        "regex_match": _q_regex_match,
-        "pruned_term_df": _q_pruned_term_df,
-        "pruned_match": _q_pruned_match,
-        "tfidf_rows": _q_tfidf_rows,
-        "doc_sim_topk": _q_doc_sim_topk,
-        "symspell_suggest": _q_symspell_suggest,
-        "contains_match": _q_contains_match,
-        "pq_ann_topk": _q_pq_ann_topk,
-        "pq_ann_recall": _q_pq_ann_recall,
-        "cross_dedup": _q_cross_dedup,
-        "winnow_fps": _q_winnow_fps,
-        "winnow_pairs": _q_winnow_pairs,
-        "collocations_llr": _q_collocations_llr,
-        "maxscore_topk": _q_maxscore_topk,
-        "kwic": _q_kwic,
-        "cdc_chunks": _q_cdc_chunks,
-        "entropy_signals": _q_entropy_signals,
-        "term_burstiness": _q_term_burstiness,
-        "vsm_topk": _q_vsm_topk,
-        "hybrid_topk_mnz": _q_hybrid_topk_mnz,
-        "bm25_plus_topk": _q_bm25_plus_topk,
-        "length_batches": _q_length_batches,
-        "impact_pruned_rows": _q_impact_pruned_rows,
-        "doc_keywords": _q_doc_keywords,
-        "conv_stats": _q_conv_stats,
-        "match_context": _q_match_context,
-        "pack_shards": _q_pack_shards,
-        "complete_prefix": _q_complete_prefix,
-        "training_pairs": _q_training_pairs,
-        "df_histogram": _q_df_histogram,
-        "lsh_dedup_recall": _q_lsh_dedup_recall,
-        "decontam_overlap": _q_decontam_overlap,
-        "decontaminate": _q_decontaminate,
-        "lm_quality": _q_lm_quality,
-        "repeated_spans": _q_repeated_spans,
-        "strip_spans": _q_strip_spans,
-        "semdedup_exact": _q_semdedup_exact,
-        "semdedup_pairs": _q_semdedup_pairs,
-        "semdedup_recall": _q_semdedup_recall,
-        "ppl_buckets": _q_ppl_buckets,
-        "dsir_weights": _q_dsir_weights,
-        "dsir_resample": _q_dsir_resample,
-        "mixture_rates": _q_mixture_rates,
-        "mixture_sample": _q_mixture_sample,
-        "group_split": _q_group_split,
         "term_df": _q_term_df,
         "match_or": _q_match_or,
         "match_latest": _q_match_latest,
@@ -4405,29 +4423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "quality_signals": _q_quality_signals,
-        # --- round-3 late additions (r4 front-load candidates) ---
-        "backoff_lm": _q_backoff_lm,
-        "lm_jm_topk": _q_lm_jm_topk,
-        "sdm_topk": _q_sdm_topk,
-        "prefix_jaccard": _q_prefix_jaccard,
-        "ltr_features": _q_ltr_features,
-        "clarity": _q_clarity,
-        "passage_topk": _q_passage_topk,
-        "rake_keywords": _q_rake_keywords,
-        "pl2_topk": _q_pl2_topk,
-        "champion_topk": _q_champion_topk,
-        "champion_recall": _q_champion_recall,
-        "rank_agreement": _q_rank_agreement,
-        "textrank_keywords": _q_textrank,
-        "heavy_hitters": _q_heavy_hitters,
-        "streaming_conv_rollup": _q_streaming_conv_rollup,
-        "phrase_bm25": _q_phrase_bm25,
-        "containment_pairs": _q_containment,
-        "segment_query": _q_segment_query,
-        "cdc_dedup": _q_cdc_dedup,
-        "winnow_cross": _q_winnow_cross,
-        "mutual_knn": _q_mutual_knn,
-        "cms_estimates": _q_cms_estimates,
     }
 
 
