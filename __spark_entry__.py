@@ -1533,28 +1533,44 @@ stats AS (
 dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
 cfreq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
 bm AS (
-  SELECT tf.doc_id, round(sum(
+  SELECT tf.doc_id,
+         round(sum(
            ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
            * ((tf.tf * {K1 + 1.0}) /
               (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl)))
-         ), 4) AS s
+         ), 4) AS s,
+         round(sum(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * ((tf.tf * {K1 + 1.0}) /
+              (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / stats.avgdl)))
+         ), 12) AS se
   FROM tf JOIN dfreq ON tf.term = dfreq.term
           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
   WHERE tf.term IN ({_terms_in(Q_BM25)}) GROUP BY tf.doc_id
 ),
 lm AS (
-  SELECT tf.doc_id, round(sum(
+  SELECT tf.doc_id,
+         round(sum(
            ln(1.0 + tf.tf::DOUBLE / ({LM_MU} * (cfreq.cf / stats.c_tokens)))
            + ln({LM_MU} / ({LM_MU} + dl.dl::DOUBLE))
-         ), 4) AS s
+         ), 4) AS s,
+         round(sum(
+           ln(1.0 + tf.tf::DOUBLE / ({LM_MU} * (cfreq.cf / stats.c_tokens)))
+           + ln({LM_MU} / ({LM_MU} + dl.dl::DOUBLE))
+         ), 12) AS se
   FROM tf JOIN cfreq ON tf.term = cfreq.term
           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
   WHERE tf.term IN ({_terms_in(Q_BM25)}) GROUP BY tf.doc_id
 ),
+-- the top-k CUT follows the engine's exact-score ordering (round 12,
+-- same convention as the pl2/champion/phrase_bm25/sdm twins); the RANK
+-- within the cut list uses the rounded@4 score like the engine's ranked()
 a AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
-      FROM bm ORDER BY s DESC, doc_id LIMIT {Q_BM25_K}),
+      FROM (SELECT doc_id, s FROM bm
+            ORDER BY se DESC, doc_id LIMIT {Q_BM25_K})),
 b AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
-      FROM lm ORDER BY s DESC, doc_id LIMIT {Q_BM25_K}),
+      FROM (SELECT doc_id, s FROM lm
+            ORDER BY se DESC, doc_id LIMIT {Q_BM25_K})),
 common AS (
   SELECT greatest(a.rn, b.rn) AS m FROM a JOIN b USING (doc_id)
 ),
@@ -1975,20 +1991,29 @@ def _q_sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sdm_sql() -> str:
+def _sdm_sql(q_text: str = Q_BM25, k: int | None = None) -> str:
     """DuckDB SDM twin: literal Metzler-Croft feature sums (all-pairs
     position joins are fine at oracle scale; the engine's bucketed join
-    avoids exactly that cross product)."""
+    avoids exactly that cross product). Parameterized on the query so
+    tests can exercise shapes the gate query lacks (e.g. a repeated
+    adjacent bigram, whose O/U terms carry an occurrence-count weight)."""
     from tsidx.tokenize import stem_tokens
 
+    if k is None:
+        k = Q_BM25_K
     mu = SDM_MU
     lt, lo, lu = SDM_LAMS
     w = SDM_WINDOW
-    q = stem_tokens(Q_BM25)
-    pairs = list(dict.fromkeys(zip(q, q[1:])))
+    q = stem_tokens(q_text)
+    pair_seq = list(zip(q, q[1:]))
+    pairs = list(dict.fromkeys(pair_seq))
     ctes, score_terms, joins = [], [], []
-    # per-doc pair-count CTEs + their collection-frequency CTEs
+    # per-doc pair-count CTEs + their collection-frequency CTEs; each
+    # distinct pair's O/U term is weighted by its occurrence count in the
+    # query (engine sdm_scores weights by lam * n_occur), matching the
+    # unigram branch below.
     for i, (sa, sb) in enumerate(pairs):
+        pair_occ = pair_seq.count((sa, sb))
         ctes.append(
             f"""o{i} AS (
   SELECT a.doc_id, count(*)::DOUBLE AS c FROM pos a JOIN pos b
@@ -2008,11 +2033,11 @@ ucf{i} AS (SELECT greatest(coalesce(sum(c), 0), 0.5) AS cf FROM u{i})"""
         joins.append(f"LEFT JOIN u{i} ON cand.doc_id = u{i}.doc_id")
         joins.append(f"CROSS JOIN ocf{i} CROSS JOIN ucf{i}")
         score_terms.append(
-            f"{lo} * ln((coalesce(o{i}.c, 0) + {mu} * ocf{i}.cf / c.n)"
+            f"{lo * pair_occ} * ln((coalesce(o{i}.c, 0) + {mu} * ocf{i}.cf / c.n)"
             f" / (cand.dl + {mu}))"
         )
         score_terms.append(
-            f"{lu} * ln((coalesce(u{i}.c, 0) + {mu} * ucf{i}.cf / c.n)"
+            f"{lu * pair_occ} * ln((coalesce(u{i}.c, 0) + {mu} * ucf{i}.cf / c.n)"
             f" / (cand.dl + {mu}))"
         )
     for i, t in enumerate(sorted(set(q))):
@@ -2046,7 +2071,7 @@ SELECT cand.doc_id, round({score_sql}, 4) AS score_r
 FROM cand CROSS JOIN c
 {joins_sql}
 ORDER BY round({score_sql}, 12) DESC, cand.doc_id
-LIMIT {Q_BM25_K}"""
+LIMIT {k}"""
 
 
 PPL_BUCKETS = 3
@@ -6991,7 +7016,7 @@ contrib AS (
 )
 SELECT doc_id, round(sum(c), 4) AS score_r
 FROM contrib GROUP BY doc_id
-ORDER BY score_r DESC, doc_id LIMIT {Q_BM25_K}""",
+ORDER BY round(sum(c), 12) DESC, doc_id LIMIT {Q_BM25_K}""",
         "sdm_topk": _sdm_sql(),
         "prefix_jaccard": f"""
 WITH s AS (

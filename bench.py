@@ -118,6 +118,20 @@ def main():
 
     timings: dict[str, float] = {}
 
+    # shuffle partitions sized for the REPLICAS-expanded corpus volume
+    # rather than the core count: AQE coalesces an oversized count down
+    # but never splits an undersized one up (tsidx/tuning.py; the sf1.0
+    # backoff_lm 17.8x-on-10x-data scaling came from pinning to 32)
+    from tsidx.tuning import TOKEN_EXPANSION, tune_shuffle
+
+    n_shuffle = tune_shuffle(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        cpus=cpus,
+        replicas=REPLICAS,
+        expansion=TOKEN_EXPANSION,
+    )
+
     transcripts = expand_transcripts(spark, sf_dir, REPLICAS)
     transcripts = transcripts.persist()
     n_turns = transcripts.count()
@@ -571,6 +585,7 @@ def main():
                 "n_postings": int(stats["num_postings"]),
                 "bpe_merges_landed": bpe_merges_landed,
                 "cpus": cpus,
+                "shuffle_partitions": n_shuffle,
                 "host_canary_pre": canary_pre,
                 "host_canary_post": host_canary(cpus),
             }

@@ -66,6 +66,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     best: dict[str, float] = {}
 
+    # size shuffle partitions for the replicated volume (AQE coalesces
+    # down, never up — tsidx/tuning.py; fixes the sf1.0 backoff_lm 17.8x)
+    from tsidx.tuning import TOKEN_EXPANSION, tune_shuffle
+
+    n_shuffle = tune_shuffle(
+        spark, args.input, cpus=args.cpus, replicas=max(args.replicas, 1),
+        expansion=TOKEN_EXPANSION,
+    )
     transcripts = expand_transcripts(spark, args.input, args.replicas)
     transcripts = transcripts.persist()
     n_turns = transcripts.count()
@@ -135,6 +143,7 @@ def main() -> None:
         "turns": n_turns,
         "replicas": args.replicas,
         "cpus": args.cpus,
+        "shuffle_partitions": n_shuffle,
         "build_turns_per_sec": round(build_tps, 1),
         "n_postings": int(idx.statistics()["num_postings"]),
         "queries": {k: round(v, 3) for k, v in timings.items()},

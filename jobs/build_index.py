@@ -123,6 +123,12 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = make_spark(args.parallelism, "tsidx-build")
+    # shuffle partitions sized for the replicated input volume, not the
+    # core count — AQE coalesces down but never splits up (tsidx/tuning.py)
+    from tsidx.tuning import TOKEN_EXPANSION, tune_shuffle
+
+    tune_shuffle(spark, args.input, replicas=max(args.replicas, 1),
+                 expansion=TOKEN_EXPANSION)
     transcripts = load_transcripts(
         spark, args.input, args.replicas, args.turns_per_conv
     ).persist()

@@ -634,3 +634,51 @@ def test_phrase_bm25_topk_no_match(spark, positional):
         build_index(spark.createDataFrame(rows, schema), block_size=4)
     )
     assert phrase_bm25_topk(eng, positional, "dog fox quick", 5).count() == 0
+
+
+def test_phrase_bm25_topk_excludes_deleted(spark, positional):
+    """Tombstoned docs contribute neither candidates nor phrase df —
+    after delete_docs the deleted doc disappears from the top-k AND the
+    survivors' idf reflects the reduced document frequency (same live
+    semantics as sdm_scores / champion_topk)."""
+    import datetime
+
+    from tsidx.build import build_index
+    from tsidx.deletes import delete_docs
+    from tsidx.oracle import bm25_idf
+    from tsidx.positions import phrase_bm25_topk
+    from tsidx.query import QueryEngine
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (f"c{i // 4}", i % 4, "user", t, "", base)
+        for i, (_, t) in enumerate(t for t in CORPUS)
+    ]
+    idx = build_index(spark.createDataFrame(rows, schema), block_size=4)
+
+    phrase = "quick brown"
+    occ = _py_phrase_occurrences(CORPUS, phrase)
+    victim = sorted(occ)[0]
+    live = QueryEngine(delete_docs(idx, [victim]))
+    got = {
+        r["doc_id"]: r["score"]
+        for r in phrase_bm25_topk(live, positional, phrase, 10).collect()
+    }
+    assert victim not in got
+    assert set(got) == set(occ) - {victim}
+    # idf must be recomputed from the LIVE phrase df, not the raw one
+    n = live.index.meta["n_docs"]
+    assert bm25_idf(n, len(occ) - 1) > bm25_idf(n, len(occ))
+    docs_toks = [_stems(t) for _, t in CORPUS]
+    dls = [len(d) for d in docs_toks]
+    avgdl = sum(dls) / len(docs_toks)
+    k1, b = live.index.meta["k1"], live.index.meta["b"]
+    idf = bm25_idf(n, len(occ) - 1)
+    for d, s in got.items():
+        tf, dl = occ[d], dls[d]
+        want = idf * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * dl / avgdl))
+        assert s == pytest.approx(want, rel=1e-12)

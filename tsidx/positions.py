@@ -300,7 +300,10 @@ def phrase_bm25_topk(
     from tsidx.oracle import bm25_idf
 
     spark = positional.sparkSession
-    counts = phrase_counts(positional, phrase)
+    # tombstone filter BEFORE the df count: deleted docs must contribute
+    # neither candidates nor phrase document-frequency (matches sdm_scores /
+    # ltr_features / champion_topk semantics after delete_docs)
+    counts = engine._live(phrase_counts(positional, phrase))
     counts = counts.localCheckpoint(eager=False)  # feeds df count + scoring
     df_p = counts.count()
     schema = "doc_id long, tf long, score double"
