@@ -1421,6 +1421,27 @@ def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "tok", HH_PHI).select("value", "cnt")
 
 
+def _q_heavy_hitters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-JVM phi-heavy-hitters (tsidx/sketches.py heavy_hitters_fast):
+    deterministic occurrence-hash 1/mod sample -> bounded candidates ->
+    exact recount. Same answer as the MG path (twin = the same exact
+    SQL); the sample never enters Python, so the sweep runs at JVM scan
+    speed instead of the Arrow-export-floored ~0.5M tokens/s."""
+    from tsidx.sketches import heavy_hitters_fast
+
+    toks = (
+        load_documents(spark, sf_dir)
+        .filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+        )
+    )
+    return heavy_hitters_fast(
+        toks, "tok", HH_PHI, ["doc_id", "pos"], mod=4
+    ).select("value", "cnt")
+
+
 TR_WINDOW, TR_D, TR_ITERS, TR_TOP_M = 3, 0.85, 10, 3
 
 
@@ -3650,6 +3671,94 @@ def _q_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_text(docs)
 
 
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified mixed-media profiling (tsidx/multimodal.py::media_meta,
+    round-3 verdict task #8): ONE pass over a corpus whose payloads
+    interleave REAL PNG image headers, WAV audio headers, and MP4 video
+    headers (synthesized deterministically from doc_id formulas, plus a
+    garbage class) sniffs each container from its magic bytes and fills
+    the whole meta struct — kind included — behind one schema. The
+    oracle recomputes every field from the formulas, so a sniffer that
+    mis-dispatched a family (or a parser that mis-read a header)
+    hash-mismatches. The deep-decode plug point (swap
+    default_fake_decode for a PIL/pyav decoder) is documented on
+    media_meta's docstring; no codec is faked here."""
+    from tsidx.multimodal import attach_media_metadata, media_meta
+
+    def _payloads(batches):
+        def box(typ, payload):
+            return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+        for pdf in batches:
+            outs = []
+            for media_id in pdf["media_id"]:
+                d = int(media_id)
+                k = d % 4
+                if k == 0:  # PNG (same formulas as media_dims k=0)
+                    w, h = 16 + d % 317, 16 + d % 211
+                    p = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big")
+                         + b"IHDR" + w.to_bytes(4, "big")
+                         + h.to_bytes(4, "big") + b"\x08\x06\x00\x00\x00")
+                elif k == 1:  # WAV (same formulas as media_audio k=0)
+                    rate = 8000 + (d % 5) * 8000
+                    ch = 1 + d % 2
+                    secs = 1 + d % 4
+                    byte_rate = rate * ch * 2
+                    data = byte_rate * secs
+                    p = (b"RIFF" + (36 + data).to_bytes(4, "little")
+                         + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
+                         + (1).to_bytes(2, "little")
+                         + ch.to_bytes(2, "little")
+                         + rate.to_bytes(4, "little")
+                         + byte_rate.to_bytes(4, "little")
+                         + (ch * 2).to_bytes(2, "little")
+                         + (16).to_bytes(2, "little")
+                         + b"data" + data.to_bytes(4, "little"))
+                elif k == 2:  # MP4 v0 (same formulas as media_video k=0)
+                    secs = 1 + d % 5
+                    dim = 1 + d % 3
+                    mvhd = (
+                        bytes([0, 0, 0, 0]) + b"\x00" * 8
+                        + (90000).to_bytes(4, "big")
+                        + (90000 * secs).to_bytes(4, "big") + b"\x00" * 80
+                    )
+                    tkhd0 = (bytes([0, 0, 0, 0]) + b"\x00" * 72
+                             + (0).to_bytes(4, "big") + (0).to_bytes(4, "big"))
+                    tkhdv = (bytes([0, 0, 0, 0]) + b"\x00" * 72
+                             + ((320 * dim) << 16).to_bytes(4, "big")
+                             + ((180 * dim) << 16).to_bytes(4, "big"))
+                    moov = box(
+                        b"moov",
+                        box(b"mvhd", mvhd)
+                        + box(b"trak", box(b"tkhd", tkhd0))
+                        + box(b"trak", box(b"tkhd", tkhdv)),
+                    )
+                    p = box(b"ftyp", b"isom\x00\x00\x02\x00isom") + moov
+                else:
+                    p = b"opaque attachment " + str(d).encode()
+                outs.append(p)
+            pdf = pdf.copy()
+            pdf["payload"] = outs
+            yield pdf
+
+    raw = (
+        load_documents(spark, sf_dir)
+        .select(F.col("doc_id").alias("media_id"),
+                F.lit(b"").alias("payload"))
+        .mapInPandas(_payloads, schema="media_id long, payload binary")
+    )
+    media = media_meta(attach_media_metadata(raw, kind=None))
+    return media.select(
+        F.col("media_id").cast("long"),
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+    )
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sample planning, oracle-checked: deterministic synthetic
     durations (500 + (doc_id % 7)·700 ms) drive the metadata-only sampling
@@ -4314,6 +4423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_llr": _q_collocations_llr,
         "cross_dedup": _q_cross_dedup,
         # -- remaining never-driver-checked backlog (queued for r5) --
+        "heavy_hitters_fast": _q_heavy_hitters_fast,
+        "media_meta": _q_media_meta,
         "facet_counts": _q_facet_counts,
         "simhash_pairs": _q_simhash_pairs,
         "suggest_terms": _q_suggest_terms,
@@ -5357,6 +5468,25 @@ SELECT doc_id AS media_id,
              WHEN 0 THEN (1 + doc_id % 5) * 1000
              WHEN 1 THEN (2 + doc_id % 7) * 1000
              WHEN 2 THEN (1 + doc_id % 6) * 1000 END)::INTEGER AS duration_ms
+FROM documents""",
+        "media_meta": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       WHEN 2 THEN 'video' END AS kind,
+       CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                       WHEN 2 THEN 'video/mp4' END AS mime,
+       (CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 317
+                        WHEN 2 THEN 320 * (1 + doc_id % 3) END)::INTEGER
+         AS width,
+       (CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 211
+                        WHEN 2 THEN 180 * (1 + doc_id % 3) END)::INTEGER
+         AS height,
+       (CASE doc_id % 4 WHEN 1 THEN (1 + doc_id % 4) * 1000
+                        WHEN 2 THEN (1 + doc_id % 5) * 1000 END)::INTEGER
+         AS duration_ms,
+       (CASE doc_id % 4
+             WHEN 1 THEN 8000 + (doc_id % 5) * 8000 END)::INTEGER
+         AS sample_rate
 FROM documents""",
         "lsh_dedup_recall": """
 SELECT true AS recall_ok""",
@@ -7070,6 +7200,18 @@ SELECT {Q_BM25_K}::BIGINT AS k, true AS recall_ok""",
         "rank_agreement": _rank_agreement_sql(),
         "textrank_keywords": _textrank_sql(),
         "heavy_hitters": f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS v
+  FROM documents WHERE trim(text) <> ''
+),
+n AS (SELECT count(*)::BIGINT AS n FROM toks),
+c AS (SELECT v, count(*)::BIGINT AS cnt FROM toks GROUP BY v)
+SELECT c.v AS value, c.cnt
+FROM c CROSS JOIN n WHERE c.cnt >= ceil({HH_PHI} * n.n)""",
+        # identical exact semantics: the fast path's sampled candidate
+        # pass cannot add false positives and recalls all hitters on
+        # this corpus (hash-deterministic; verified at sf0.01 + sf0.1)
+        "heavy_hitters_fast": f"""
 WITH toks AS (
   SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS v
   FROM documents WHERE trim(text) <> ''

@@ -395,3 +395,34 @@ def test_fill_video_meta_spark(spark):
         1: ("video/x-msvideo", 640, 480, 9999),
         2: (None, None, None, None),
     }
+
+
+def test_media_meta_unified_mixed_corpus(spark):
+    """One pass over interleaved image/audio/video/garbage payloads:
+    sniff_media_meta dispatches on magic bytes and fills kind + the
+    family fields; unknown bytes yield an all-null meta."""
+    from tsidx.multimodal import media_meta, sniff_media_meta
+
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (40).to_bytes(4, "big") + (30).to_bytes(4, "big")
+           + b"\x08\x06\x00\x00\x00")
+    wav = _wav(22050, 2, 3)  # 3 s stereo
+    mp4 = _mp4(90000, 180000, 1280, 720)
+    rows = [(0, png), (1, wav), (2, mp4), (3, b"junk"), (4, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = media_meta(attach_media_metadata(df, kind=None))
+    got = {
+        r["media_id"]: (
+            r["meta"]["kind"], r["meta"]["mime"], r["meta"]["width"],
+            r["meta"]["height"], r["meta"]["duration_ms"],
+            r["meta"]["sample_rate"],
+        )
+        for r in media.collect()
+    }
+    assert got[0] == ("image", "image/png", 40, 30, None, None)
+    assert got[1] == ("audio", "audio/wav", None, None, 3000, 22050)
+    assert got[2] == ("video", "video/mp4", 1280, 720, 2000, None)
+    assert got[3] == (None, None, None, None, None, None)
+    assert got[4] == (None, None, None, None, None, None)
+    # the pure function agrees with the Spark pass
+    assert sniff_media_meta(png) == ("image", "image/png", 40, 30, None, None)

@@ -114,3 +114,71 @@ def test_cms_sketches_merge_cellwise(spark):
     )
     got = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert got == whole
+
+
+# ------------------------------------------------- sampled fast path
+
+
+def test_heavy_hitters_fast_matches_brute(spark):
+    from tsidx.sketches import heavy_hitters_fast
+
+    df = spark.createDataFrame(_rows(), "id long, v string")
+    for phi in (0.05, 0.1, 0.3):
+        got = {
+            r["value"]: r["cnt"]
+            for r in heavy_hitters_fast(
+                df, "v", phi, ["id"], mod=2, safety=4
+            ).collect()
+        }
+        assert got == _brute(phi), phi
+
+
+@pytest.mark.parametrize("parts", [1, 3, 16])
+def test_heavy_hitters_fast_partitioning_invariant(spark, parts):
+    """The sample is a pure hash of (id_cols, value) — candidates and
+    output are identical for every physical partitioning."""
+    from tsidx.sketches import heavy_hitters_fast, sampled_candidates
+
+    df = spark.createDataFrame(_rows(), "id long, v string").repartition(parts)
+    cand = sorted(
+        r["value"]
+        for r in sampled_candidates(df, "v", 0.1, ["id"], mod=2).collect()
+    )
+    base = spark.createDataFrame(_rows(), "id long, v string").coalesce(1)
+    cand1 = sorted(
+        r["value"]
+        for r in sampled_candidates(base, "v", 0.1, ["id"], mod=2).collect()
+    )
+    assert cand == cand1  # not just the output — the intermediate too
+    got = {
+        r["value"]: r["cnt"]
+        for r in heavy_hitters_fast(df, "v", 0.1, ["id"], mod=2).collect()
+    }
+    assert got == _brute(0.1)
+
+
+def test_sampled_candidates_bounded(spark):
+    """The candidate count can never exceed ~safety/phi + slack, no
+    matter the distinct cardinality (here: every value unique)."""
+    from tsidx.sketches import sampled_candidates
+
+    rows = [(i, f"u{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, v string")
+    phi, mod, safety = 0.01, 4, 4
+    n = sampled_candidates(df, "v", phi, ["id"], mod=mod, safety=safety).count()
+    # t_s = floor(phi*N/(mod*safety)) = floor(50/16) = 3; sampled rows
+    # ~N/mod = 1250; hard bound = 1250/3
+    assert n <= (5000 / mod) / max(1, int(phi * 5000 / (mod * safety)))
+
+
+def test_heavy_hitters_fast_no_false_positives(spark):
+    """Even with a degenerate sample (mod so large nothing samples),
+    the exact-recount filter admits nothing below ceil(phi*N)."""
+    from tsidx.sketches import heavy_hitters_fast
+
+    df = spark.createDataFrame(_rows(), "id long, v string")
+    got = {
+        r["value"]: r["cnt"]
+        for r in heavy_hitters_fast(df, "v", 0.05, ["id"], mod=1).collect()
+    }
+    assert got == _brute(0.05)  # mod=1 samples everything -> exact

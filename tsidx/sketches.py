@@ -32,7 +32,14 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mg_candidates", "heavy_hitters", "cms_counts", "cms_estimates"]
+__all__ = [
+    "mg_candidates",
+    "heavy_hitters",
+    "sampled_candidates",
+    "heavy_hitters_fast",
+    "cms_counts",
+    "cms_estimates",
+]
 
 
 def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
@@ -93,6 +100,110 @@ def heavy_hitters(df: DataFrame, col: str, phi: float) -> DataFrame:
     cand = mg_candidates(vals, col, k).localCheckpoint(eager=False)
     counted = (
         vals.join(cand.withColumnRenamed("value", col), col)
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_rows = vals.count()
+    threshold = math.ceil(phi * n_rows)
+    return counted.filter(F.col("cnt") >= threshold).select(
+        F.col(col).alias("value"), "cnt"
+    )
+
+
+def sampled_candidates(
+    df: DataFrame,
+    col: str,
+    phi: float,
+    id_cols: list[str],
+    *,
+    mod: int = 8,
+    safety: int = 4,
+) -> DataFrame:
+    """One column ``(value)``: heavy-hitter candidates from a
+    DETERMINISTIC 1/mod occurrence sample — the all-JVM alternative to
+    the :func:`mg_candidates` Python sweep (round-3 verdict task #5: the
+    mapInPandas hop's Arrow transfer of the full token stream floors the
+    MG path at ~0.5M tokens/s regardless of sweep vectorization).
+
+    An occurrence is sampled iff ``xxhash64(*id_cols, col) % mod == 0``.
+    *id_cols* must identify the occurrence (e.g. ``(doc_id, pos)`` for a
+    token stream): hashing the occurrence identity — never the value
+    alone — samples each value's occurrences independently, and hashing
+    instead of ``rand()`` makes the sample a pure function of the data,
+    so the candidate set is identical for every partitioning, executor
+    count, and retry (no RDD-seed partitioning dependence).
+
+    A value survives if its sampled count reaches ``max(1, floor(phi *
+    N / (mod * safety)))`` — ``safety``x under the 1/mod-scaled
+    expectation. Guarantees:
+
+    - **Bounded**: sampled rows sum to ~N/mod, so at most ``~safety /
+      phi`` values can clear the threshold — a hard candidate bound
+      independent of the distinct-value cardinality (phi=0.001,
+      safety=4 -> <= ~4000 candidates from any corpus).
+    - **Recall** (probabilistic-by-construction, like the LSH entries):
+      treating xxhash64 as uniform, a true phi-heavy item is missed only
+      when its sampled count lands ``safety``x below expectation —
+      Chernoff ``P <= exp(-(1 - 1/safety)^2 * phi*N / (2*mod))``,
+      vanishing for any corpus where phi*N >> mod. Per corpus the
+      outcome is FIXED (hash, not randomness): it either recalls or it
+      doesn't, so a gate over a given corpus can never flake.
+
+    The shuffle is the sampled groupBy: ~N/mod rows, all JVM, versus the
+    MG path's full-stream Arrow export. The exact-recount second pass
+    (:func:`heavy_hitters_fast`) keeps the no-false-positive guarantee
+    unconditionally.
+    """
+    phi = float(phi)
+    mod, safety = int(mod), int(safety)
+    if not (0.0 < phi <= 1.0):
+        raise ValueError("phi must be in (0, 1]")
+    if mod < 1 or safety < 1:
+        raise ValueError("mod and safety must be >= 1")
+    vals = df.select(
+        F.col(col).cast("string").alias(col), *[F.col(c) for c in id_cols]
+    ).filter(F.col(col).isNotNull())
+    n_rows = vals.count()
+    t_s = max(1, int((phi * n_rows) / (mod * safety)))
+    sampled = vals.filter(
+        F.pmod(F.xxhash64(*[F.col(c) for c in id_cols], F.col(col)), mod) == 0
+    )
+    return (
+        sampled.groupBy(col)
+        .agg(F.count("*").alias("_sc"))
+        .filter(F.col("_sc") >= t_s)
+        .select(F.col(col).alias("value"))
+    )
+
+
+def heavy_hitters_fast(
+    df: DataFrame,
+    col: str,
+    phi: float,
+    id_cols: list[str],
+    *,
+    mod: int = 8,
+    safety: int = 4,
+) -> DataFrame:
+    """``(value, cnt)`` — phi-heavy-hitters by the all-JVM two-pass
+    plan: :func:`sampled_candidates` (deterministic occurrence-hash
+    sample, ``<= ~safety/phi`` candidates) + the same exact recount as
+    :func:`heavy_hitters`. Output counts are EXACT and the ``>=
+    ceil(phi*N)`` filter admits no false positives ever; completeness
+    inherits the candidate pass's hash-deterministic recall (see
+    :func:`sampled_candidates` — use the MG path when a deterministic
+    superset proof is required and the Arrow-export cost is acceptable).
+    """
+    phi = float(phi)
+    vals = df.select(
+        F.col(col).cast("string").alias(col), *[F.col(c) for c in id_cols]
+    ).filter(F.col(col).isNotNull())
+    cand = sampled_candidates(
+        df, col, phi, id_cols, mod=mod, safety=safety
+    ).localCheckpoint(eager=False)
+    counted = (
+        vals.select(col)
+        .join(cand.withColumnRenamed("value", col), col)
         .groupBy(col)
         .agg(F.count("*").alias("cnt"))
     )
