@@ -100,11 +100,18 @@ def main() -> None:
             entry["rake_keywords"] = round(time.time() - t0, 2)
 
         if "hh" in ops:
-            toks = docs_flat.filter(F.trim("text") != "").select(
-                "doc_id",
-                F.posexplode(F.split(F.trim("text"), r"\s+")).alias(
-                    "pos", "tok"
-                ),
+            # persist the exploded token table so the timings isolate the
+            # SWEEPS — otherwise the shared tokenize+explode scan (~30 s
+            # at 346M tokens) floors both paths identically
+            toks = (
+                docs_flat.filter(F.trim("text") != "")
+                .select(
+                    "doc_id",
+                    F.posexplode(F.split(F.trim("text"), r"\s+")).alias(
+                        "pos", "tok"
+                    ),
+                )
+                .persist()
             )
             n_toks = toks.count()
             entry["tokens"] = n_toks
@@ -125,6 +132,8 @@ def main() -> None:
 
         out["scales"][str(reps)] = entry
         docs_flat.unpersist()
+        if "hh" in ops:
+            toks.unpersist()
 
     if len(scales) == 2 and "backoff_lm" in ops:
         a, b = (out["scales"][str(s)] for s in scales)
