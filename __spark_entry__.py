@@ -1068,6 +1068,28 @@ def _q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-planned decontamination (tsidx/bloom.py
+    ngram_overlap_bloom): same per-doc overlap stats as decontam_overlap
+    but with the benchmark folded into a broadcast BITMAP and the corpus
+    grams pre-filtered against it before the exact join — the plan for
+    benchmark sides too big to broadcast as a table. The twin is the
+    PLAIN exact overlap SQL: the plan changes, the answer must not
+    (Bloom has no false negatives; false positives die in the exact
+    join)."""
+    from tsidx.bloom import ngram_overlap_bloom
+
+    docs = load_documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % DECON_MOD == 0)
+    return ngram_overlap_bloom(docs, bench, n=DECON_N, tau=DECON_TAU).select(
+        F.col("doc_id").cast("long"),
+        "n_grams",
+        "n_hit",
+        F.round("overlap_frac", 4).alias("frac_r"),
+        "contaminated",
+    )
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline action: corpus docs surviving decontamination."""
     from tsidx.decontam import decontaminate
@@ -4425,6 +4447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- remaining never-driver-checked backlog (queued for r5) --
         "heavy_hitters_fast": _q_heavy_hitters_fast,
         "media_meta": _q_media_meta,
+        "bloom_decontam": _q_bloom_decontam,
         "facet_counts": _q_facet_counts,
         "simhash_pairs": _q_simhash_pairs,
         "suggest_terms": _q_suggest_terms,
@@ -6818,6 +6841,27 @@ n AS (
 SELECT min(doc_id)::BIGINT AS keep_doc_id, count(*)::BIGINT AS n_dups
 FROM n GROUP BY ntext""",
         "decontam_overlap": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{DECON_N - 1}], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(t) - {DECON_N} + 2, 1))) AS u(i)
+),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % {DECON_MOD} = 0)
+SELECT d.doc_id,
+       count(dg.g)::BIGINT AS n_grams,
+       count(b.g)::BIGINT AS n_hit,
+       round(coalesce(count(b.g)::DOUBLE / nullif(count(dg.g), 0), 0), 4)
+         AS frac_r,
+       coalesce(count(b.g)::DOUBLE / nullif(count(dg.g), 0), 0) >= {DECON_TAU}
+         AS contaminated
+FROM documents d
+LEFT JOIN dg ON d.doc_id = dg.doc_id
+LEFT JOIN bench b ON dg.g = b.g
+GROUP BY d.doc_id""",
+        "bloom_decontam": f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
