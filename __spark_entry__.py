@@ -1628,8 +1628,16 @@ SELECT {Q_BM25_K}::BIGINT AS k,
 FROM ov"""
 
 
-CH_M = 200  # champion-list depth
-CH_RECALL_BOUND = 0.6  # measured 0.72 at sf0.01 (uniform-text worst case)
+CH_M = 200  # champion-list depth floor
+#: tier depth scales with the corpus: m = max(CH_M, ceil(CH_FRAC*n_docs)).
+#: On THIS uniform-text corpus wtf ties everywhere, so champion selection
+#: is near-arbitrary and recall ~= m/n_docs (measured r4 at sf0.1:
+#: m=200 -> 0.28, m=1600 -> 1.00) — a FIXED m silently fails the recall
+#: gate the moment the corpus grows (caught by the r4 sf0.1 full-gate
+#: run). Real Zipf text doesn't need m ~ n (hot terms concentrate mass);
+#: the scaling rule is the uniform worst case's honest requirement.
+CH_FRAC = 0.35
+CH_RECALL_BOUND = 0.6  # measured 0.72 at sf0.01, 1.00 at sf0.1 with CH_FRAC
 
 
 def _get_champions(spark: SparkSession, sf_dir: str):
@@ -1638,7 +1646,10 @@ def _get_champions(spark: SparkSession, sf_dir: str):
     key = ("champions", id(spark), os.path.normpath(sf_dir))
     ch = _INDEX_CACHE.get(key)
     if ch is None:
-        ch = champion_lists(get_engine(spark, sf_dir), CH_M).localCheckpoint()
+        eng = get_engine(spark, sf_dir)
+        n_docs = int(eng.index.meta["n_docs"])
+        m = max(CH_M, -(-int(CH_FRAC * n_docs)))
+        ch = champion_lists(eng, m).localCheckpoint()
         _INDEX_CACHE[key] = ch
     return ch
 
@@ -1692,7 +1703,8 @@ champs AS (
                PARTITION BY term ORDER BY wr DESC, doc_id
            ) AS rn
     FROM wtfs
-  ) WHERE rn <= {CH_M}
+  ) WHERE rn <= greatest({CH_M},
+                         ceil({CH_FRAC} * (SELECT n_docs FROM stats)))
 ),
 contrib AS (
   SELECT c.doc_id,
