@@ -6789,7 +6789,10 @@ sc AS (
   GROUP BY ct.doc_id
 )
 SELECT doc_id, n_tokens,
-       round((s6 + p.prior6) / 1000000.0, 3) AS score_r,
+       -- + 0 normalizes IEEE negative zero: DuckDB's round keeps -0.0
+       -- for tiny negative scores while Spark's BigDecimal round cannot
+       -- produce it (caught by the r4 sf0.1 full-gate run)
+       round((s6 + p.prior6) / 1000000.0, 3) + 0 AS score_r,
        round((s6 + p.prior6) / 1000000.0, 3) > 0 AS positive
 FROM sc CROSS JOIN prm p""",
         "semantic_decontam": f"""
