@@ -4399,10 +4399,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries each round (confirmed r1/r2/r3). Round-4
     # rotation: three stable canaries, then the 47 highest-priority keys
     # (VERDICT r3 task #1 list) out of the 72 that had no driver
-    # CORRECTNESS row after r1+r2+r3, then the remaining 25 never-checked
-    # keys (the r5 front-load), then the already-driver-verified backlog.
-    # All 183 entries pass the full local gate (tools/check_oracle.py)
-    # every round regardless of position.
+    # CORRECTNESS row after r1+r2+r3, then the remaining never-checked
+    # keys — the 25 left from r3 plus round-4's three new operators
+    # (heavy_hitters_fast, media_meta, bloom_decontam), 28 in all, which
+    # together are the r5 front-load — then the already-driver-verified
+    # backlog. All 186 entries pass the full local gate
+    # (tools/check_oracle.py) at sf0.01 AND the r4 sf0.1 10x run
+    # (BENCH/BASELINE.md) every round regardless of position.
     return {
         # -- canaries (stable across rounds) --
         "index_stats": _q_index_stats,
