@@ -118,6 +118,30 @@ def main():
 
     timings: dict[str, float] = {}
 
+    # mid-suite host canaries (VERDICT r4 task #7): the committed JSON
+    # must be trustworthy WITHOUT a side snapshot, so the host is probed
+    # between suite sections and every entry is attributable to the
+    # canary state it was measured under. A span whose closing canary
+    # runs >1.5x the session's best pyloop is flagged, and its entries
+    # are listed in host_degraded_entries — those p50s are host-tail
+    # readings, not engine regressions (the r4 rake 34s-vs-18.2s trap).
+    canaries: list[dict] = []
+    _span_start = [0]
+    _degraded: list[str] = []
+
+    def mark_canary(label: str) -> None:
+        c = host_canary(cpus)
+        c["label"] = label
+        canaries.append(c)
+        keys = list(timings)  # insertion-ordered: the span since last mark
+        span = keys[_span_start[0]:]
+        _span_start[0] = len(keys)
+        floor = min(
+            [canary_pre["pyloop_sec"]] + [x["pyloop_sec"] for x in canaries]
+        )
+        if c["pyloop_sec"] > 1.5 * floor:
+            _degraded.extend(span)
+
     # shuffle partitions sized for the REPLICAS-expanded corpus volume
     # rather than the core count: AQE coalesces an oversized count down
     # but never splits an undersized one up (tsidx/tuning.py; the sf1.0
@@ -236,6 +260,8 @@ def main():
     )
     p50("percolate3", lambda: percolate(eng, reg).count())
 
+    mark_canary("after_p50_queries")
+
     # Carmel impact pruning: full decode -> broadcast idf join -> per-term
     # partial-agg max threshold -> per-block Arrow re-encode
     from tsidx.prune import prune_by_impact
@@ -314,6 +340,8 @@ def main():
     stats = idx.statistics()
     timings["index_stats"] = time.time() - t0
 
+    mark_canary("after_index_suite")
+
     # single-node reference-class baseline: the oracle (a faithful
     # reimplementation of the reference's in-memory Index + BM25) over the
     # same corpus, same process — the "matches-or-beats single-node" check
@@ -384,6 +412,8 @@ def main():
     pq_topk_rerank(emb, _codes, queries, k=10, codebooks=_cbs,
                    rerank_n=50).count()
     timings["pq_ann_topk"] = time.time() - t0
+
+    mark_canary("after_dedup_ann")
 
     # cross-corpus exact dedup (new half vs curated half); the sum forces
     # the key join (a bare count would let Catalyst drop the left join)
@@ -469,6 +499,8 @@ def main():
     sessionize(jittered, "30 minutes").count()
     timings["sessionize"] = time.time() - t0
 
+    mark_canary("after_pipeline_ops")
+
     # decontamination + LM quality at full transcript scale: both are
     # one-corpus-scan designs (benchmark grams broadcast; LM model join)
     from tsidx.decontam import ngram_overlap
@@ -507,6 +539,8 @@ def main():
     t0 = time.time()
     rake_keywords(docs_flat, top_m=3).count()
     timings["rake_keywords"] = time.time() - t0
+
+    mark_canary("after_lm_rake")
 
     # perplexity partitioning + DSIR weighting at full transcript scale:
     # both reuse the bigram-LM scoring pass (one model join each; the DSIR
@@ -568,6 +602,7 @@ def main():
     nb_score(docs_flat, nb_model, nb_params).agg(F.sum("score")).collect()
     timings["nb_quality"] = time.time() - t0
 
+    mark_canary("post")  # closes the final span; last entry = post canary
     total = sum(timings.values())
     print(
         json.dumps(
@@ -587,7 +622,9 @@ def main():
                 "cpus": cpus,
                 "shuffle_partitions": n_shuffle,
                 "host_canary_pre": canary_pre,
-                "host_canary_post": host_canary(cpus),
+                "host_canary_post": canaries[-1],
+                "host_canary_mid": canaries[:-1],
+                "host_degraded_entries": sorted(set(_degraded)),
             }
         )
     )

@@ -116,3 +116,45 @@ def test_probe_recall_reasonable(engine):
         for r in champion_topk(engine, champs, "customer query merge", k).collect()
     }
     assert len(exact & probe) / k >= 0.8
+
+
+def test_rescored_exact_when_everything_championed(engine):
+    """champion_topk_rescored (IIR-canonical: champion candidates, full
+    BM25 rescoring) with m >= n_docs has every posting championed, so it
+    must reproduce the exact BM25 top-k rows bit-identically."""
+    from tsidx.champion import champion_topk_rescored
+
+    champs = champion_lists(engine, len(TEXTS))
+    for q in ("customer query merge", "merge", "planner scan"):
+        exact = [
+            tuple(r) for r in engine.bm25_topk(q, 5).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in champion_topk_rescored(engine, champs, q, 5).collect()
+        ]
+        assert got == exact, q
+
+
+def test_rescored_scores_are_full_scores(engine):
+    """Even with a tiny m, every RETURNED candidate's score equals its
+    full bm25_scores value (the rescoring half of the contract), and the
+    result is a subset of the champion-candidate union."""
+    from pyspark.sql import functions as F
+
+    from tsidx.champion import champion_topk_rescored
+
+    champs = champion_lists(engine, 2)
+    q = "customer query merge"
+    full = {
+        r["doc_id"]: r["score"] for r in engine.bm25_scores(q).collect()
+    }
+    cand = {
+        r["doc_id"]
+        for r in champs.filter(
+            F.col("term").isin(stem_tokens(q))
+        ).select("doc_id").collect()
+    }
+    for r in champion_topk_rescored(engine, champs, q, 5).collect():
+        assert r["doc_id"] in cand
+        assert r["score"] == full[r["doc_id"]]

@@ -355,6 +355,40 @@ def test_prefix_jaccard_prefix_actually_prunes(spark):
     assert prefix_jaccard_pairs(df, tau=0.8).count() == 0
 
 
+def test_pair_join_guard_uniform_shard(spark):
+    """VERDICT r4 task #3: a planted degenerate shard (every doc drawn
+    from the same tiny closed vocab, so every token is hot and every
+    pair qualifies) must fail fast on the candidate-volume guard BEFORE
+    the pair join executes — for both pair generators — and the same
+    call succeeds once the bound is lifted."""
+    import warnings
+
+    from tsidx.dedup import containment_pairs, prefix_jaccard_pairs
+
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [
+        (d, " ".join(vocab[(d + i) % 5] for i in range(5))) for d in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="candidate volume"):
+        prefix_jaccard_pairs(df, tau=0.8, max_candidates=1000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(ValueError, match="candidate volume"):
+            containment_pairs(df, tau=0.9, max_candidates=1000)
+    # lifted bound: the joins run and (docs being permutations of the
+    # same 5-token set) every ordered/unordered pair qualifies
+    assert prefix_jaccard_pairs(df, tau=0.8, max_candidates=None).count() == (
+        120 * 119 // 2
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert (
+            containment_pairs(df, tau=0.9, max_candidates=None).count()
+            == 120 * 119
+        )
+
+
 # --------------------------------------------------------- containment join
 
 

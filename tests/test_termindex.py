@@ -95,6 +95,31 @@ def test_symspell_with_persisted_index(engine, tmp_path):
     assert "PushedFilters" in plan and "del_key" in plan
 
 
+@pytest.mark.parametrize("dist", [1, 2])
+def test_correct_query_indexed_equals_scan(engine, dist):
+    """The full-query at-scale spell path (r5 decision memo): the
+    SymSpell-probe correct_query_indexed must be row-identical to the
+    vocab-scan correct_query — in-vocab self-corrections, near-miss
+    corrections, and NULL hopeless tokens alike."""
+    q = "merg the querry zzzzqq summer"
+    scan = engine.correct_query(q, dist)
+    probe = engine.correct_query_indexed(q, dist)
+    assert _rows(probe) == _rows(scan)
+
+
+def test_correct_query_indexed_persisted(engine, tmp_path):
+    """Persisted deletes table variant, as production would run it."""
+    path = str(tmp_path / "deletes2")
+    deletes_index(engine.index.terms, 2).sortWithinPartitions(
+        "del_key"
+    ).write.parquet(path)
+    spark = engine.index.docs.sparkSession
+    persisted = spark.read.parquet(path)
+    scan = engine.correct_query("merg summer", 2)
+    probe = engine.correct_query_indexed("merg summer", 2, persisted)
+    assert _rows(probe) == _rows(scan)
+
+
 # ------------------------------------------------------------- trigram
 
 

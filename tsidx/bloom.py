@@ -140,6 +140,7 @@ def ngram_overlap_bloom(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits_per_key: int = 10,
+    max_bitmap_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Exactly :func:`tsidx.decontam.ngram_overlap` — same schema, same
     values for every input — via the Bloom plan: the benchmark gram
@@ -148,22 +149,32 @@ def ngram_overlap_bloom(
     and the exact hash join over the surviving sliver restores
     exactness. Use when the benchmark side outgrows the broadcast
     budget; the DuckDB twin is the plain exact overlap, which is the
-    point — the plan changes, the answer must not."""
+    point — the plan changes, the answer must not.
+
+    The bitmap itself is a driver-side/broadcast expansion, so it gets
+    the repo-standard explicit byte bound (ADVICE r4): if ``m_bits/8``
+    exceeds *max_bitmap_bytes* (default 64 MiB, ~3.4e8 keys at the
+    default 10 bits/key), the Bloom pre-filter is skipped and the plan
+    degrades to the plain distributed exact join — same answer, no
+    unbounded single-row array ever built."""
     from tsidx.decontam import benchmark_grams, doc_ngram_hashes
 
     bench = benchmark_grams(benchmark, n, text_col=text_col)
     bench = bench.localCheckpoint(eager=False)  # feeds count + build + join
     n_bench = bench.count()
     m_bits, k = bloom_params(n_bench, bits_per_key)
-    bitmap = bloom_bitmap(bloom_words(bench, "gram_hash", m_bits, k), m_bits)
 
     grams = doc_ngram_hashes(corpus, n, id_col=id_col, text_col=text_col)
     grams = grams.localCheckpoint(eager=False)  # totals + probe share it
     totals = grams.groupBy(id_col).agg(F.count("gram_hash").alias("n_grams"))
-    candidates = bloom_prefilter(
-        grams.where(F.col("gram_hash").isNotNull()), "gram_hash", bitmap,
-        m_bits, k,
-    )
+    live = grams.where(F.col("gram_hash").isNotNull())
+    if m_bits // 8 <= int(max_bitmap_bytes):
+        bitmap = bloom_bitmap(
+            bloom_words(bench, "gram_hash", m_bits, k), m_bits
+        )
+        candidates = bloom_prefilter(live, "gram_hash", bitmap, m_bits, k)
+    else:  # over budget: exact distributed join, no bitmap materialized
+        candidates = live
     hits = (
         candidates.join(bench, on="gram_hash")  # exact: fp die here
         .groupBy(id_col)

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["champion_lists", "champion_topk"]
+__all__ = ["champion_lists", "champion_topk", "champion_topk_rescored"]
 
 
 def champion_lists(engine, m: int) -> DataFrame:
@@ -89,6 +89,42 @@ def champion_topk(
                 lambda acc, x: acc + x["contrib"],
             ).alias("score")
         )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def champion_topk_rescored(
+    engine, champions: DataFrame, query: str | list[str], k: int
+) -> DataFrame:
+    """(doc_id, score): the IIR-canonical champion-list method (Manning
+    et al. §7.1.3): the CANDIDATE SET is the union of the query terms'
+    champion lists, but candidates are ranked by their FULL BM25 score
+    (``QueryEngine.bm25_scores`` restricted by a candidate semi-join).
+
+    This differs from :func:`champion_topk`, which also restricts the
+    SCORING to champion postings — cheaper, but within a term's tier
+    every doc whose other-term memberships aren't championed collapses
+    onto the same partial score, so multi-term rankings tie-break on
+    doc_id and recall vs exact top-k decays with corpus size (measured
+    0.28 at 5k docs, m=200, on the Zipf gate corpus). Rescoring keeps
+    the candidate bound (<= m·|q| docs enter the agg/top-k instead of
+    every posting's doc) while scores stay exact for every candidate,
+    so a FIXED realistic m holds recall at any corpus size — misses
+    require a top-k doc championed by NO query term.
+    """
+    terms = sorted(set(engine.terms_of(query)))
+    spark = engine.index.docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cand = (
+        champions.filter(F.col("term").isin(terms))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        engine.bm25_scores(query)
+        .join(cand, "doc_id", "semi")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(int(k))
     )

@@ -842,11 +842,20 @@ class QueryEngine:
         """(term, df, dist): dictionary terms within *max_dist* edits of the
         (stemmed) token — did-you-mean suggestions ranked by (dist, -df).
 
+        DECISION MEMO (r5, mirroring the heavy-hitters memo in
+        BENCH/BASELINE.md): the AT-SCALE DEFAULT for spell paths is the
+        SymSpell deletes-index probe (:meth:`suggest_terms_indexed` /
+        :meth:`correct_query_indexed`, tsidx/termindex.py) — per-query
+        work ~L^d index probes with pushed ``del_key IN`` row-group
+        pruning, vs this method's vocab-wide levenshtein scan. The scan
+        stays as the REFERENCE TWIN: both are pinned row-identical by
+        tests/test_termindex.py, and the scan's one-pass shape is the
+        easier one to audit. Reach for the scan only when the dictionary
+        is small enough that building/persisting the deletes table isn't
+        worth it (~10^6 terms).
+
         One scan of the (term, df) dictionary with a JVM ``levenshtein``
-        filter — embarrassingly parallel; no posting bytes touched. (An
-        indexed deletion-neighborhood variant would replace the scan at
-        billion-term dictionaries; the dictionary is ~10^6 rows even at
-        10^12 docs, so the scan is already cheap.)
+        filter — embarrassingly parallel; no posting bytes touched.
         """
         q = self.terms_of([token])
         lit = q[0] if q else token
@@ -875,6 +884,10 @@ class QueryEngine:
         candidates — the window's partition count is |q| and its rows
         are the handful of near-miss terms, never data-scale. No
         posting bytes are touched.
+
+        At-scale default: :meth:`correct_query_indexed` (SymSpell
+        deletes-index probe, row-identical — see the decision memo on
+        :meth:`suggest_terms`); this scan is its reference twin.
         """
         from pyspark.sql import Window
 
@@ -907,6 +920,79 @@ class QueryEngine:
         # best has at most |q| rows (one winner per token) — a bounded
         # broadcast by construction, so hint it rather than let the
         # planner fall back to a sort-merge join on a |q|-row frame.
+        return (
+            qdf.join(F.broadcast(best), on="pos", how="left")
+            .select("pos", "token", "stem", "suggestion", "dist", "df")
+            .orderBy("pos")
+        )
+
+    def correct_query_indexed(
+        self,
+        query: str | list[str],
+        max_dist: int = 2,
+        deletes: DataFrame | None = None,
+    ) -> DataFrame:
+        """Row-identical to :meth:`correct_query`, probing a SymSpell
+        deletes index (:mod:`tsidx.termindex`) instead of scanning the
+        whole dictionary per token — the at-scale default (decision memo
+        on :meth:`suggest_terms`; equality pinned by
+        tests/test_termindex.py). Pass a persisted *deletes* table
+        (built once per index via ``deletes_index``) for pushed
+        ``del_key IN`` row-group pruning; omitted, the neighborhood is
+        derived in-plan (test scale).
+
+        Plan: each token's own deletion variants (driver-side, bounded
+        |q|*L^max_dist short strings) probe the deletes index;
+        candidates (a superset by the SymSpell sharing lemma) join the
+        dictionary for df, pass the exact ``levenshtein <= d`` predicate
+        against their token's stem, and the same (dist ASC, df DESC,
+        term ASC) window picks each winner. Never a vocab-wide scan.
+        """
+        from pyspark.sql import Window
+
+        from tsidx.termindex import deletes_index, deletion_variants
+        from tsidx.tokenize import break_on_whitespace
+
+        tokens = (
+            break_on_whitespace(query) if isinstance(query, str) else list(query)
+        )
+        rows = [
+            (i, tok, (self.terms_of([tok]) or [tok])[0])
+            for i, tok in enumerate(tokens)
+        ]
+        spark = self.index.docs.sparkSession
+        qdf = spark.createDataFrame(rows, "pos int, token string, stem string")
+        if deletes is None:
+            deletes = deletes_index(self.index.terms, int(max_dist))
+        key_rows = sorted(
+            {
+                (pos, k)
+                for pos, _tok, stem in rows
+                for k in deletion_variants(stem, int(max_dist))
+            }
+        )
+        kdf = spark.createDataFrame(key_rows, "pos int, del_key string")
+        keys = sorted({k for _p, k in key_rows})
+        cand = (
+            deletes.filter(F.col("del_key").isin(keys))  # pushed probe
+            .join(F.broadcast(kdf), "del_key")
+            .select("pos", "term")
+            .distinct()
+        )
+        scored = (
+            cand.join(self.index.terms.select("term", "df"), "term")
+            .join(F.broadcast(qdf.select("pos", "stem")), "pos")
+            .withColumn("dist", F.levenshtein(F.col("term"), F.col("stem")))
+            .filter(F.col("dist") <= int(max_dist))
+        )
+        w = Window.partitionBy("pos").orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("term")
+        )
+        best = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("pos", F.col("term").alias("suggestion"), "dist", "df")
+        )
         return (
             qdf.join(F.broadcast(best), on="pos", how="left")
             .select("pos", "token", "stem", "suggestion", "dist", "df")

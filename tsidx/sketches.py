@@ -118,6 +118,7 @@ def sampled_candidates(
     *,
     mod: int = 8,
     safety: int = 4,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """One column ``(value)``: heavy-hitter candidates from a
     DETERMINISTIC 1/mod occurrence sample — the all-JVM alternative to
@@ -163,7 +164,8 @@ def sampled_candidates(
     vals = df.select(
         F.col(col).cast("string").alias(col), *[F.col(c) for c in id_cols]
     ).filter(F.col(col).isNotNull())
-    n_rows = vals.count()
+    if n_rows is None:  # caller may pass the stream length to avoid a rescan
+        n_rows = vals.count()
     t_s = max(1, int((phi * n_rows) / (mod * safety)))
     sampled = vals.filter(
         F.pmod(F.xxhash64(*[F.col(c) for c in id_cols], F.col(col)), mod) == 0
@@ -198,8 +200,12 @@ def heavy_hitters_fast(
     vals = df.select(
         F.col(col).cast("string").alias(col), *[F.col(c) for c in id_cols]
     ).filter(F.col(col).isNotNull())
+    # count the stream ONCE and share it with the candidate pass — the
+    # sampled threshold and the exact ceil(phi*N) filter use the same N
+    # (ADVICE r4: the previous code scanned the full stream twice).
+    n_rows = vals.count()
     cand = sampled_candidates(
-        df, col, phi, id_cols, mod=mod, safety=safety
+        df, col, phi, id_cols, mod=mod, safety=safety, n_rows=n_rows
     ).localCheckpoint(eager=False)
     counted = (
         vals.select(col)
@@ -207,7 +213,6 @@ def heavy_hitters_fast(
         .groupBy(col)
         .agg(F.count("*").alias("cnt"))
     )
-    n_rows = vals.count()
     threshold = math.ceil(phi * n_rows)
     return counted.filter(F.col("cnt") >= threshold).select(
         F.col(col).alias("value"), "cnt"
