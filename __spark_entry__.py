@@ -799,9 +799,13 @@ def _q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First BPE_MERGES learned merges (rows-only: the iterative loop is
-    not SQL-expressible; pytest verifies against an independent
-    single-node reference implementation)."""
+    """First BPE_MERGES learned merges. Hash-checked since r5 (VERDICT
+    r4 task #6): training applies each round's best pair EVERYWHERE
+    before the next round, so the loop unrolls into a BPE_MERGES-stage
+    SQL replay (the textrank unrolled-SQL precedent) — per-round pair
+    count + (cnt DESC, a, b) argmax + left-to-right non-overlapping
+    replace, exactly the engine's round semantics. pytest additionally
+    verifies against an independent single-node reference."""
     merges = _get_bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
@@ -810,8 +814,15 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc BPE piece counts under the learned merge table (rows-only;
-    deterministic given the merges, which are themselves deterministic)."""
+    """Per-doc BPE piece counts under the learned merge table.
+    Hash-checked since r5 against the sequential merge replay
+    (bpe_merges chain applied through all rounds, then piece counts
+    joined per doc). NOTE: the engine tokenizer (tsidx/bpe.py
+    bpe_segment) merges lowest-RANK pair first, while the replay applies
+    merges in rank order everywhere — equivalent on this corpus
+    (verified at sf0.01 + sf0.1, the heavy_hitters_fast per-corpus
+    discipline) but not in general; a new gate corpus must be
+    re-verified."""
     from tsidx.bpe import bpe_segment
 
     docs = load_documents(spark, sf_dir)
@@ -819,6 +830,92 @@ def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_segment(docs, merges).select(
         F.col("doc_id").cast("long"), "n_words", "n_pieces"
     )
+
+
+BPE_MIN_PAIR = 2  # train_bpe's default early-stop threshold
+
+
+def _bpe_chain_cte(n_rounds: int) -> str:
+    """CTE chain replaying BPE training in SQL: w (word dictionary),
+    v0..v{n} (per-round symbol strings), p{i}/m{i} (per-round pair
+    counts / winning merge). Symbols ride a control-char encoding —
+    chr(31) sym chr(30) per symbol — so a merge is ONE literal
+    ``replace()``, whose left-to-right non-overlapping semantics match
+    the engine's merge loop exactly (tsidx/bpe.py _merge_batch_fn /
+    _train_bpe_driver). Early stop: m{i} is empty below BPE_MIN_PAIR and
+    the emptiness cascades through the cross joins, like the engine's
+    break."""
+    syms = (
+        "regexp_extract_all(s, chr(31) || '([^' || chr(30) || ']+)' "
+        "|| chr(30), 1)"
+    )
+    sql = f"""w AS (
+  SELECT word, count(*)::BIGINT AS n FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+v0 AS (
+  SELECT word, n,
+         chr(31) || array_to_string(regexp_split_to_array(word, ''),
+                                    chr(30) || chr(31))
+                 || '</w>' || chr(30) AS s
+  FROM w
+)"""
+    for i in range(1, n_rounds + 1):
+        p = i - 1
+        sql += f""",
+p{i} AS (
+  SELECT syms[j] AS a, syms[j + 1] AS b, sum(n)::BIGINT AS cnt
+  FROM (SELECT n, {syms} AS syms FROM v{p}),
+       unnest(range(1, greatest(len(syms), 1))) AS u(j)
+  WHERE j < len(syms)
+  GROUP BY 1, 2
+),
+m{i} AS (
+  SELECT a, b, cnt FROM p{i} WHERE cnt >= {BPE_MIN_PAIR}
+  ORDER BY cnt DESC, a, b LIMIT 1
+),
+v{i} AS (
+  SELECT v.word, v.n,
+         replace(v.s,
+                 chr(31) || m.a || chr(30) || chr(31) || m.b || chr(30),
+                 chr(31) || m.a || m.b || chr(30)) AS s
+  FROM v{p} v CROSS JOIN m{i} m
+)"""
+    return sql
+
+
+def _bpe_merges_sql() -> str:
+    unions = "\nUNION ALL\n".join(
+        f'SELECT {i - 1}::BIGINT AS merge_idx, a AS "left", b AS "right",'
+        f" cnt FROM m{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return f"WITH {_bpe_chain_cte(BPE_MERGES)}\n{unions}"
+
+
+def _bpe_token_counts_sql() -> str:
+    syms = (
+        "regexp_extract_all(s, chr(31) || '([^' || chr(30) || ']+)' "
+        "|| chr(30), 1)"
+    )
+    return f"""
+WITH {_bpe_chain_cte(BPE_MERGES)},
+seg AS (SELECT word, len({syms})::BIGINT AS pieces FROM v{BPE_MERGES}),
+dt AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words, sum(pieces)::BIGINT AS n_pieces
+  FROM dt JOIN seg USING (word) WHERE word <> '' GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_words, 0)::BIGINT AS n_words,
+       coalesce(agg.n_pieces, 0)::BIGINT AS n_pieces
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN agg USING (doc_id)"""
 
 
 ROCCHIO_FB_K = 4
@@ -981,7 +1078,13 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs — approximate, rows-only check."""
+    """MinHash-LSH near-dup candidate pairs. Hash-checked since r5
+    (VERDICT r4 task #6): "approximate" describes the relation to true
+    Jaccard pairs, but the OUTPUT is a pure deterministic function of
+    the corpus — md5-prefix shingle hashes, fixed (a_i, b_i) minhash
+    params, band key = the signature slice values — so the DuckDB twin
+    replays the whole pipeline value-exactly (lsh_dedup_recall remains
+    the recall-vs-truth gate)."""
     from tsidx.dedup import lsh_candidate_pairs, minhash_signatures
 
     docs = load_documents(spark, sf_dir)
@@ -989,6 +1092,50 @@ def _q_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).select(
         F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
     )
+
+
+def _lsh_dedup_sql() -> str:
+    """Value-exact DuckDB replay of minhash_signatures(16, n=3) +
+    lsh_candidate_pairs(bands=4, rows_per_band=4): same distinct token
+    trigrams, same md5-hex-prefix 60-bit shingle hash mod 2^31-1
+    (tsidx/dedup.py _shingle_hash64), same (2i+1, FNV*(i+1) mod p)
+    hash family, and band agreement joined on the raw 4-value slice
+    (the engine's band key is exactly that slice comma-joined)."""
+    from tsidx.dedup import _MERSENNE_P, minhash_params
+
+    params = minhash_params(16)
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE_P})::BIGINT AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, s{b * 4} AS k1, s{b * 4 + 1} AS k2,"
+        f" s{b * 4 + 2} AS k3, s{b * 4 + 3} AS k4 FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[j:j+2], ' ') AS s
+  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(j)
+  WHERE len(t) >= 3 AND j <= len(t) - 2
+),
+hs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MERSENNE_P} AS h
+  FROM sh
+),
+sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
+bk AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bk a
+JOIN bk b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.doc_id < b.doc_id"""
 
 
 def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6455,6 +6602,14 @@ SELECT word, count(*)::BIGINT AS n
 FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
       FROM documents)
 WHERE word <> '' GROUP BY word""",
+        # r5 (VERDICT r4 task #6): iterative != uncheckable — the
+        # training loop unrolled as a BPE_MERGES-stage SQL replay
+        "bpe_merges": _bpe_merges_sql(),
+        # per-corpus-verified equivalence of rank-order replay vs the
+        # engine tokenizer's lowest-rank-first loop (see entry docstring)
+        "bpe_token_counts": _bpe_token_counts_sql(),
+        # deterministic minhash/banding pipeline replayed value-exactly
+        "lsh_dedup_pairs": _lsh_dedup_sql(),
         "quantized_ann_topk": f"""
 WITH {_quant_cte()},
 q AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < {ANN_NQ}),
