@@ -1057,9 +1057,15 @@ def _q_embedding_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (LSH-bucketed) cosine top-k — no SQL oracle by design
-    (recall < 1); the driver records the weaker rows-only check, and
-    tests/test_ann.py bounds recall vs the exact path."""
+    """Approximate (LSH-bucketed) cosine top-k. Hash-checked since r5
+    (VERDICT r4 task #6): approximation is vs the TRUE neighbors, but
+    the pipeline itself — seeded hyperplanes embedded as literals,
+    sign-bit buckets, bucket-join candidates, exact rescoring — is a
+    pure deterministic function of the corpus, so the DuckDB twin
+    replays it with the same plane literals. Sign decisions sit at a
+    float >= 0 threshold: agreement is per-corpus-verified (sf0.01 +
+    sf0.1; re-verify on a new corpus — heavy_hitters_fast discipline).
+    lsh_ann_recall remains the recall-vs-truth gate."""
     from tsidx.ann import lsh_bucketed_topk
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -1075,6 +1081,68 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long"),
         F.round("sim", 4).alias("sim_r"),
     )
+
+
+LSH_ANN_PLANES = 4
+LSH_ANN_TABLES = 16
+LSH_ANN_SEED = 7  # lsh_bucketed_topk's default
+
+
+def _lsh_ann_sql() -> str:
+    """Value-exact replay of lsh_bucketed_topk(n_planes=4, n_tables=16):
+    the SAME seeded hyperplanes the engine embeds as Spark literals are
+    embedded here as DuckDB literals (driver-side constants, like the
+    minhash params); buckets are the engine's sign-bit sums; candidates
+    join on (table, bucket); survivors rescore with exact cosine."""
+    from tsidx.ann import _hyperplanes
+
+    dim = 64  # the embeddings table's dimension (asserted by the entry)
+    selects = []
+    for t in range(LSH_ANN_TABLES):
+        planes = _hyperplanes(dim, LSH_ANN_PLANES, LSH_ANN_SEED + 1000 * t)
+        bits = []
+        for i, p in enumerate(planes):
+            lits = ", ".join(repr(float(v)) for v in p)
+            bits.append(
+                f"(CASE WHEN list_dot_product(emb, [{lits}]) >= 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bkt FROM ev"
+        )
+    buckets_sql = "\n  UNION ALL\n  ".join(selects)
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+bk AS MATERIALIZED (
+  {buckets_sql}
+),
+qb AS MATERIALIZED (
+  SELECT vec_id AS query_id, tbl, bkt FROM bk WHERE vec_id < {ANN_NQ}
+),
+cand AS (
+  SELECT DISTINCT qb.query_id, bk.vec_id
+  FROM bk JOIN qb ON bk.tbl = qb.tbl AND bk.bkt = qb.bkt
+  WHERE bk.vec_id <> qb.query_id
+),
+sims AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(a.emb, b.emb) /
+         (sqrt(list_dot_product(a.emb, a.emb)) *
+          sqrt(list_dot_product(b.emb, b.emb))) AS sim
+  FROM cand c
+  JOIN ev a ON a.vec_id = c.vec_id
+  JOIN ev b ON b.vec_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT query_id, vec_id, round(sim, 4) AS sim_r
+FROM ranked WHERE rn <= {ANN_K}"""
 
 
 def _q_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2563,9 +2631,11 @@ def _q_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup cluster-bucketed pairs — approximate by design (pairs
-    straddling a k-means boundary are missed); no SQL oracle, gated by
-    semdedup_recall."""
+    """SemDeDup cluster-bucketed pairs. Hash-checked since r5: the
+    clustering is the deterministic IVF trainer, replayed in SQL by the
+    shared _kmeans_cte_chain (per-corpus ulp caveat there); the
+    approximation vs TRUE near-dup pairs (boundary-straddling misses)
+    is still gated by semdedup_recall."""
     from tsidx.ann import semdedup_pairs
 
     corpus = semdedup_corpus(spark, sf_dir)
@@ -3634,10 +3704,157 @@ IVF_CENTROIDS = 16
 IVF_PROBES = 8
 
 
+def _kmeans_cte_chain(n_centroids: int, dim: int = 64) -> str:
+    """Shared CTE chain replaying ivf_train_centroids + ivf_assign in
+    SQL (assumes a prior ``ev(vec_id, emb DOUBLE[])`` CTE): md5-ordered
+    seed, two Lloyd rounds — argmax-cosine assignment with the
+    (sim DESC, cid) tie-break, per-dimension RAW-embedding means,
+    empty clusters keeping their previous centroid — and the final
+    assignment ``af(vec_id, cid)``. Used by the ivf_ann_topk and
+    semdedup_pairs twins (VERDICT r4 task #6, bpe_merges unroll
+    precedent). numpy-vs-DuckDB sum-order ulp noise can only flip exact
+    boundary ties, so agreement is per-corpus-verified (sf0.01 +
+    sf0.1; heavy_hitters_fast discipline)."""
+    unit = (
+        "list_transform({e}, x -> x / (CASE WHEN"
+        " sqrt(list_dot_product({e}, {e})) = 0 THEN 1.0"
+        " ELSE sqrt(list_dot_product({e}, {e})) END))"
+    )
+
+    def assign(name, cent_u):
+        return f"""
+{name} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT ev.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY ev.vec_id
+             ORDER BY list_dot_product(ev.uemb, c.ucent) DESC, c.cid
+           ) AS rn
+    FROM evu ev CROSS JOIN {cent_u} c
+  ) WHERE rn = 1
+)"""
+
+    def means(i):
+        return f"""
+m{i} AS MATERIALIZED (
+  SELECT cid, list(mv ORDER BY j) AS cent FROM (
+    SELECT a.cid, u.j, avg(ev.emb[u.j]) AS mv
+    FROM a{i} a JOIN ev ON ev.vec_id = a.vec_id,
+         unnest(range(1, {dim + 1})) AS u(j)
+    GROUP BY a.cid, u.j
+  ) GROUP BY cid
+)"""
+
+    def next_cent(i, prev):
+        return f"""
+c{i} AS MATERIALIZED (
+  SELECT p.cid, coalesce(m.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN m{i} m ON m.cid = p.cid
+),
+c{i}u AS MATERIALIZED (
+  SELECT cid, {unit.format(e="cent")} AS ucent FROM c{i}
+)"""
+
+    return f"""
+evu AS MATERIALIZED (
+  SELECT vec_id, {unit.format(e="emb")} AS uemb FROM ev
+),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+           AS cid,
+         emb AS cent
+  FROM (SELECT vec_id, emb FROM ev
+        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {n_centroids})
+),
+c0u AS MATERIALIZED (
+  SELECT cid, {unit.format(e="cent")} AS ucent FROM c0
+),{assign("a1", "c0u")},{means(1)},{next_cent(1, "c0")},\
+{assign("a2", "c1u")},{means(2)},{next_cent(2, "c1")},\
+{assign("af", "c2u")}"""
+
+
+def _ivf_ann_sql() -> str:
+    """ivf_topk(n_centroids=16, n_probes=8, n_iters=2) replayed end to
+    end: the _kmeans_cte_chain trainer/assignment, the top-8 probe join,
+    and exact cosine rescoring (per-corpus ulp caveat on the chain)."""
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),{_kmeans_cte_chain(IVF_CENTROIDS)},
+probes AS MATERIALIZED (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.uemb, c.ucent) DESC, c.cid
+           ) AS rn
+    FROM evu q CROSS JOIN c2u c WHERE q.vec_id < {ANN_NQ}
+  ) WHERE rn <= {IVF_PROBES}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM af a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+sims AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(a.emb, b.emb) /
+         (sqrt(list_dot_product(a.emb, a.emb)) *
+          sqrt(list_dot_product(b.emb, b.emb))) AS sim
+  FROM cand c
+  JOIN ev a ON a.vec_id = c.vec_id
+  JOIN ev b ON b.vec_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT query_id, vec_id, round(sim, 4) AS sim_r
+FROM ranked WHERE rn <= {ANN_K}"""
+
+
+def _semdedup_sql() -> str:
+    """semdedup_pairs(tau=0.95, n_centroids=16) replayed end to end over
+    the planted corpus: the same _kmeans_cte_chain clustering, then
+    within-cluster exact-cosine pairs at tau (per-corpus ulp caveat on
+    the chain)."""
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+planted AS (
+  SELECT vec_id + {SEMDEDUP_ID_OFFSET} AS vec_id,
+         [v[i] + {SEMDEDUP_EPS} * v[(i % len(v)) + 1]
+          for i in range(1, len(v) + 1)] AS v
+  FROM base WHERE vec_id % {SEMDEDUP_MOD} = 0
+),
+ev AS MATERIALIZED (
+  SELECT vec_id, v AS emb FROM base
+  UNION ALL SELECT vec_id, v FROM planted
+),{_kmeans_cte_chain(SEMDEDUP_C)},
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         list_dot_product(ex.emb, ey.emb) /
+         (sqrt(list_dot_product(ex.emb, ex.emb)) *
+          sqrt(list_dot_product(ey.emb, ey.emb))) AS sim
+  FROM af x
+  JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  JOIN ev ex ON ex.vec_id = x.vec_id
+  JOIN ev ey ON ey.vec_id = y.vec_id
+)
+SELECT id_a, id_b, round(sim, 4) AS sim_r
+FROM pairs WHERE sim >= {SEMDEDUP_TAU}"""
+
+
 def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (approximate, rows-only): deterministic
-    spherical k-means + map-only assignment + probe join; the exact
-    ``ann_cosine_topk`` is the ground truth (gated by ivf_ann_recall)."""
+    """IVF coarse-quantizer ANN. Hash-checked since r5: the trainer is
+    deterministic (md5-ordered seed, fixed 2 Lloyd rounds, avg means,
+    empty-cluster carry-over), so the DuckDB twin replays training +
+    assignment + probe + exact rescoring end to end (_ivf_ann_sql;
+    per-corpus ulp caveat on its docstring). ivf_ann_recall remains the
+    recall-vs-truth gate."""
     from tsidx.ann import ivf_topk
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -3699,13 +3916,139 @@ def _pq_state(spark: SparkSession, sf_dir: str):
     return state
 
 
+def _pq_ann_sql() -> str:
+    """Value-exact replay of the WHOLE PQ pipeline (VERDICT r4 task #6):
+    pq_train_codebooks(16 subspaces x 32 codes, 2 Lloyd rounds, means
+    ROUNDED@6 — the engine's own order-independence device), pq_encode,
+    ADC scoring over the codes (per-subspace LUT dots summed; orthogonal
+    subspaces make dot and reconstructed sqnorm exact sums), the
+    rerank_n=50 shortlist, and the exact-cosine rerank. Seeds are the
+    md5-ordered corpus rows, squared-L2 assignment drops the ||x||^2
+    term exactly like the engine, ties break to the lower code. ulp
+    sum-order noise can only flip exact boundary ties — per-corpus-
+    verified at sf0.01 + sf0.1 (heavy_hitters_fast discipline)."""
+    m_sub, n_codes, dsub = PQ_SUBSPACES, PQ_CODES, 64 // PQ_SUBSPACES
+
+    def assign(name, cb):
+        return f"""
+{name} AS MATERIALIZED (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY list_dot_product(c.cent, c.cent)
+                      - 2 * list_dot_product(s.sv, c.cent), c.code
+           ) AS rn
+    FROM sub s JOIN {cb} c ON c.m = s.m
+  ) WHERE rn = 1
+)"""
+
+    def means(i, a):
+        return f"""
+pm{i} AS MATERIALIZED (
+  SELECT m, code, list(mv ORDER BY j) AS cent FROM (
+    SELECT a.m, a.code, u.j, round(avg(s.sv[u.j]), 6) AS mv
+    FROM {a} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+         unnest(range(1, {dsub + 1})) AS u(j)
+    GROUP BY a.m, a.code, u.j
+  ) GROUP BY m, code
+)"""
+
+    def carry(i, prev):
+        return f"""
+pcb{i} AS MATERIALIZED (
+  SELECT p.m, p.code, coalesce(n.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN pm{i} n ON n.m = p.m AND n.code = p.code
+)"""
+
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+sub AS MATERIALIZED (
+  SELECT ev.vec_id, u.m, ev.emb[u.m * {dsub} + 1 : (u.m + 1) * {dsub}] AS sv
+  FROM ev, unnest(range(0, {m_sub})) AS u(m)
+),
+seeds AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+           AS code,
+         emb
+  FROM (SELECT vec_id, emb FROM ev
+        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {n_codes})
+),
+pcb0 AS MATERIALIZED (
+  SELECT u.m, s.code, s.emb[u.m * {dsub} + 1 : (u.m + 1) * {dsub}] AS cent
+  FROM seeds s, unnest(range(0, {m_sub})) AS u(m)
+),{assign("pa1", "pcb0")},{means(1, "pa1")},{carry(1, "pcb0")},\
+{assign("pa2", "pcb1")},{means(2, "pa2")},{carry(2, "pcb1")},\
+{assign("codes", "pcb2")},
+cbsq AS MATERIALIZED (
+  SELECT m, code, list_dot_product(cent, cent) AS sq FROM pcb2
+),
+xnorm AS MATERIALIZED (
+  SELECT c.vec_id, sqrt(sum(q.sq)) AS xn
+  FROM codes c JOIN cbsq q ON q.m = c.m AND q.code = c.code
+  GROUP BY c.vec_id
+),
+qv AS MATERIALIZED (
+  SELECT vec_id AS query_id, emb,
+         (CASE WHEN sqrt(list_dot_product(emb, emb)) = 0 THEN 1.0
+               ELSE sqrt(list_dot_product(emb, emb)) END) AS qn
+  FROM ev WHERE vec_id < {ANN_NQ}
+),
+lut AS MATERIALIZED (
+  SELECT q.query_id, c.m, c.code,
+         list_dot_product(
+           q.emb[c.m * {dsub} + 1 : (c.m + 1) * {dsub}], c.cent) AS d
+  FROM qv q CROSS JOIN pcb2 c
+),
+adc AS MATERIALIZED (
+  SELECT l.query_id, c.vec_id, sum(l.d) AS dot
+  FROM codes c
+  JOIN lut l ON l.m = c.m AND l.code = c.code
+  GROUP BY l.query_id, c.vec_id
+),
+shortlist AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT a.query_id, a.vec_id,
+           row_number() OVER (
+             PARTITION BY a.query_id
+             ORDER BY a.dot / ((CASE WHEN x.xn = 0 THEN 1.0 ELSE x.xn END)
+                               * q.qn) DESC,
+                      a.vec_id
+           ) AS rn
+    FROM adc a
+    JOIN xnorm x ON x.vec_id = a.vec_id
+    JOIN qv q ON q.query_id = a.query_id
+    WHERE a.vec_id <> a.query_id
+  ) WHERE rn <= {PQ_RERANK_N}
+),
+sims AS (
+  SELECT s.query_id, s.vec_id,
+         list_dot_product(a.emb, q.emb) /
+         (sqrt(list_dot_product(a.emb, a.emb)) * q.qn) AS sim
+  FROM shortlist s
+  JOIN ev a ON a.vec_id = s.vec_id
+  JOIN qv q ON q.query_id = s.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT query_id, vec_id, round(sim, 4) AS sim_r
+FROM ranked WHERE rn <= {ANN_K}"""
+
+
 def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN, two-stage (approximate, rows-only): ADC
-    over the ~M-bytes/vector codes retrieves a PQ_RERANK_N shortlist (the
-    float corpus is never scanned), then only the shortlist reads floats
-    for the exact rerank — the Jegou et al. 2011 production shape. The
-    exact ``ann_cosine_topk`` is the ground truth (gated by
-    pq_ann_recall)."""
+    """Product-quantization ANN, two-stage: ADC over the ~M-bytes/vector
+    codes retrieves a PQ_RERANK_N shortlist (the float corpus is never
+    scanned), then only the shortlist reads floats for the exact rerank
+    — the Jegou et al. 2011 production shape. Hash-checked since r5:
+    training, encoding, ADC, and rerank all replay in SQL (_pq_ann_sql;
+    per-corpus ulp caveat there). pq_ann_recall remains the
+    recall-vs-truth gate."""
     from tsidx.ann import pq_topk_rerank
 
     emb, cbs, codes = _pq_state(spark, sf_dir)
@@ -4474,11 +4817,17 @@ def _q_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR diversity reranking over the embeddings table — approximate
-    twin-free by design (greedy selection is iterative, not
-    SQL-expressible); correctness is pytest-gated against a pure-Python
-    oracle in tests/test_evalrank_mmr_ngrams.py, and mmr_consistency
-    below carries the oracle-checkable invariant."""
+    """MMR diversity reranking over the embeddings table. Hash-checked
+    since r5 (VERDICT r4 task #6): the greedy loop runs a FIXED k steps
+    over a deterministic fetch_k candidate pool, so it unrolls into a
+    k-stage SQL replay (the textrank/bpe_merges precedent) — per step,
+    argmax of lam*sim - (1-lam)*max-pairwise-sim-to-selected with the
+    (mmr DESC, vec_id) tie-break. Engine-side sums are numpy
+    (pairwise/BLAS order) vs DuckDB's sequential folds, so argmax
+    agreement is a per-corpus-verified property (sf0.01 + sf0.1 green;
+    re-verify on any new gate corpus — the heavy_hitters_fast
+    discipline). pytest vs the pure-Python oracle and the
+    mmr_consistency invariant row remain."""
     from tsidx.ann import mmr_rerank
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -4486,6 +4835,61 @@ def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         emb, [float(x) for x in q], k=MMR_K, fetch_k=MMR_FETCH, lam=MMR_LAM
     ).select("rank", "vec_id", F.round("sim", 4).alias("sim_r"))
+
+
+def _mmr_sql() -> str:
+    """Unrolled MMR greedy replay: cand (fetch_k pool, same (sim DESC,
+    vec_id) order as cosine_topk), pairs (pool-bounded pairwise
+    cosines), then MMR_K argmax stages accumulating the selected set."""
+    lam, one_m = MMR_LAM, 1.0 - MMR_LAM
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b})))"
+    )
+    sql = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+scored AS MATERIALIZED (
+  SELECT e.vec_id,
+         {cos.format(a="e.embedding::DOUBLE[]", b="q.qe")} AS sim
+  FROM embeddings e CROSS JOIN q
+),
+cand AS MATERIALIZED (SELECT vec_id, sim FROM scored ORDER BY sim DESC,
+         vec_id LIMIT {MMR_FETCH}),
+ce AS MATERIALIZED (
+  SELECT c.vec_id, e.embedding::DOUBLE[] AS emb
+  FROM cand c JOIN embeddings e USING (vec_id)
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         {cos.format(a="a.emb", b="b.emb")} AS psim
+  FROM ce a CROSS JOIN ce b
+),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, sim, 1::BIGINT AS rank FROM cand
+  ORDER BY {lam} * round(sim, 9) DESC, vec_id LIMIT 1
+)"""
+    for i in range(2, MMR_K + 1):
+        p = i - 1
+        sql += f""",
+s{i} AS (
+  SELECT c.vec_id, c.sim,
+         {lam} * round(c.sim, 9) - {one_m} * max(round(p.psim, 9)) AS mmr
+  FROM cand c
+  JOIN pairs p ON p.ia = c.vec_id
+              AND p.ib IN (SELECT vec_id FROM sel{p})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{p})
+  GROUP BY c.vec_id, c.sim
+  ORDER BY mmr DESC, c.vec_id LIMIT 1
+),
+sel{i} AS MATERIALIZED (
+  SELECT * FROM sel{p}
+  UNION ALL SELECT vec_id, sim, {i}::BIGINT FROM s{i}
+)"""
+    sql += f"""
+SELECT rank, vec_id, round(sim, 4) AS sim_r FROM sel{MMR_K}
+ORDER BY rank"""
+    return sql
 
 
 def _q_mmr_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6610,6 +7014,14 @@ WHERE word <> '' GROUP BY word""",
         "bpe_token_counts": _bpe_token_counts_sql(),
         # deterministic minhash/banding pipeline replayed value-exactly
         "lsh_dedup_pairs": _lsh_dedup_sql(),
+        # seeded-hyperplane ANN replayed with the same plane literals
+        "lsh_ann_topk": _lsh_ann_sql(),
+        # deterministic k-means trained IN SQL (2 unrolled Lloyd rounds)
+        "ivf_ann_topk": _ivf_ann_sql(),
+        # same trainer chain; within-cluster pairs at tau
+        "semdedup_pairs": _semdedup_sql(),
+        # full PQ pipeline (train/encode/ADC/rerank) replayed in SQL
+        "pq_ann_topk": _pq_ann_sql(),
         "quantized_ann_topk": f"""
 WITH {_quant_cte()},
 q AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < {ANN_NQ}),
@@ -7044,6 +7456,9 @@ SELECT {EVAL_K}::BIGINT AS k,
        round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 4) AS ndcg_r,
        round(mrr, 4) AS mrr_r
 FROM dcg CROSS JOIN idcg CROSS JOIN mrr""",
+        # r5: fixed-k greedy unrolled (see _q_mmr_rerank docstring for
+        # the per-corpus numpy-vs-sequential-fold caveat)
+        "mmr_rerank": _mmr_sql(),
         "mmr_consistency": f"""
 SELECT {MMR_K}::BIGINT AS k, true AS lam1_equals_topk""",
         "chunk_docs": f"""

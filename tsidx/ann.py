@@ -732,7 +732,14 @@ def mmr_rerank(
     ]
     rows.sort(key=lambda r: (-r["sim"], r[id_col]))  # candidate order
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    sims = np.array([r["sim"] for r in rows], dtype=np.float64)
+    # rounded intermediates (repo float-determinism convention): the
+    # greedy argmax compares lam*sim - (1-lam)*max_pair_sim, and when the
+    # query is itself a corpus vector the first penalty step is an EXACT
+    # mathematical tie across the pool — ulp noise between numpy's
+    # pairwise/BLAS sums and any replica's sequential folds would then
+    # pick an arbitrary winner. Rounding sims and pair sims @9 resolves
+    # exact ties by the documented (mmr, id) order on every engine.
+    sims = np.round(np.array([r["sim"] for r in rows], dtype=np.float64), 9)
     mat = np.array([r[emb_col] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0.0] = 1.0
@@ -758,7 +765,7 @@ def mmr_rerank(
         )
         remaining[pick] = False
         selected.append(pick)
-        pair = unit @ unit[pick]
+        pair = np.round(unit @ unit[pick], 9)  # see rounding note above
         max_sim_to_sel = np.maximum(max_sim_to_sel, pair)
     return spark.createDataFrame(out, out_schema)
 

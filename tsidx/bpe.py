@@ -26,9 +26,10 @@ Scale design — the one that survives 100 TB:
   CORPUS-scale is ever collected — the gate bounds the driver copy.
 
 The result is deterministic, so it is pytest-verified against an
-independent single-node reference implementation; the iterative loop is
-not SQL-expressible, so its driver-gate entry is rows-only (the word
-count table that feeds it IS oracle-checked).
+independent single-node reference implementation AND (since r5)
+hash-checked by the driver gate: training applies each round's best pair
+everywhere before the next round, so the loop unrolls into an n_merges-
+stage SQL replay (see ``_bpe_chain_cte`` in ``__spark_entry__.py``).
 """
 
 from __future__ import annotations
